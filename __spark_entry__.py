@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship multi-frame candle query on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2.8
+(plus north-star extensions) as (spark, sf_dir) -> DataFrame; each key in
+``oracle_sql()`` is the DuckDB-equivalent SQL over the same parquet views.
+Column aliases match exactly between the two sides.
 """
 
 from __future__ import annotations
@@ -12,27 +12,224 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark import (
+    CandleStore,
+    candles,
+    load_trades,
+    multi_frame_candles,
+    rollup_candles,
+    tune_session,
+)
+from stock_chart_kafka_streams_spark.sources.trades import read_events, trades_from_events
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments (DuckDB SQL). The trades CTE is the SQL twin of
+# sources/trades.py::trades_from_events — events.ts is TIMESTAMP_NS in
+# DuckDB; CAST .. AS TIMESTAMP truncates to microseconds exactly like the
+# Spark reader's `ts div 1000` floor.
+# ---------------------------------------------------------------------------
+
+_TRADES_CTE = """
+trades AS (
+    SELECT
+        event_type AS symbol,
+        value AS price,
+        CAST(props->>'$.k' AS BIGINT) AS quantity,
+        CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+)
+"""
+
+
+def _candle_sql(frame: str, source_cte: str = _TRADES_CTE) -> str:
+    unit = {"MINUTE": "minute", "HOUR": "hour", "DAY": "day", "MONTH": "month"}[frame]
+    return f"""
+WITH {source_cte}
+SELECT
+    symbol,
+    '{frame}' AS time_frame,
+    CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket_start,
+    CAST(date_trunc('{unit}', ts) + INTERVAL 1 {unit} AS TIMESTAMP) AS bucket_end,
+    arg_min(price, ts) AS "open",
+    max(price) AS high,
+    min(price) AS low,
+    arg_max(price, ts) AS "close",
+    CAST(sum(quantity) AS BIGINT) AS volume
+FROM trades
+GROUP BY symbol, date_trunc('{unit}', ts)
+"""
+
+
+# Deterministic "dirty" variant (FIXTURES.md F2): every 25th event re-emitted
+# once with a null symbol, once with corrupt JSON props. The engine must drop
+# the null-symbol rows and aggregate null quantities as 0-contribution (sum
+# skips nulls) — identical expressions on both sides.
+_DIRTY_TRADES_CTE = """
+dirty_events AS (
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    UNION ALL
+    SELECT event_id, ts, user_id, NULL AS event_type, value, props
+    FROM events WHERE event_id % 25 = 0
+    UNION ALL
+    SELECT event_id, ts, user_id, event_type, value, 'not json' AS props
+    FROM events WHERE event_id % 25 = 7
+),
+trades AS (
+    SELECT
+        event_type AS symbol,
+        value AS price,
+        CASE WHEN json_valid(props) THEN CAST(props->>'$.k' AS BIGINT) END AS quantity,
+        CAST(ts AS TIMESTAMP) AS ts
+    FROM dirty_events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+)
+"""
+
+
+def _dirty_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _DIRTY_TRADES_CTE."""
+    ev = read_events(spark, sf_dir)
+    dirty = ev.unionByName(
+        ev.where(F.col("event_id") % 25 == 0).withColumn(
+            "event_type", F.lit(None).cast("string")
+        )
+    ).unionByName(
+        ev.where(F.col("event_id") % 25 == 7).withColumn("props", F.lit("not json"))
+    )
+    return trades_from_events(dirty)
+
+
+# ---------------------------------------------------------------------------
+# Driver API
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    tune_session(spark)
+    trades = load_trades(spark, "/root/testdata/sf0.001")
+    return multi_frame_candles(trades)
+
+
+def _q_c1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candles(load_trades(spark, sf_dir), "MINUTE")
+
+
+def _q_c2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candles(load_trades(spark, sf_dir), "HOUR")
+
+
+def _q_c3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candles(load_trades(spark, sf_dir), "DAY")
+
+
+def _q_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candles(load_trades(spark, sf_dir), "MONTH")
+
+
+def _q_c5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hour candles via the minute-candle rollup path (associativity, Q6)
+    return rollup_candles(candles(load_trades(spark, sf_dir), "MINUTE"), "HOUR")
+
+
+def _store(spark: SparkSession, sf_dir: str) -> CandleStore:
+    return CandleStore(multi_frame_candles(load_trades(spark, sf_dir)))
+
+
+def _q_c6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _store(spark, sf_dir).get_candles(
+        "click", "HOUR", "2024-01-05 00:00:00", "2024-01-12 00:00:00"
+    )
+
+
+def _q_c7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _store(spark, sf_dir).recent("click", "DAY", n=10)
+
+
+def _q_c8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _store(spark, sf_dir).point("click", "DAY", 2024, 1, 5)
+
+
+def _q_c9_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _store(spark, sf_dir).catalog(frame="DAY")
+
+
+def _q_c9_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _store(spark, sf_dir).symbols()
+
+
+def _q_c10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _store(spark, sf_dir).get_minute_candles(
+        "click", "2024-01-05 00:00:00", "2024-01-06 00:00:00"
+    )
+
+
+def _q_c11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return candles(_dirty_trades(spark, sf_dir), "MINUTE")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2.8."""
+    return {
+        "c1_minute_candles": _q_c1,
+        "c2_hour_candles": _q_c2,
+        "c3_day_candles": _q_c3,
+        "c4_month_candles": _q_c4,
+        "c5_rollup_hour": _q_c5,
+        "c6_range_query": _q_c6,
+        "c7_recent_n": _q_c7,
+        "c8_point_lookup": _q_c8,
+        "c9_catalog": _q_c9_catalog,
+        "c9_symbols": _q_c9_symbols,
+        "c10_legacy_projection": _q_c10,
+        "c11_null_handling": _q_c11,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query key (views pre-registered)."""
+    hour_candles = _candle_sql("HOUR")
+    return {
+        "c1_minute_candles": _candle_sql("MINUTE"),
+        "c2_hour_candles": hour_candles,
+        "c3_day_candles": _candle_sql("DAY"),
+        "c4_month_candles": _candle_sql("MONTH"),
+        "c5_rollup_hour": hour_candles,
+        "c6_range_query": f"""
+SELECT * FROM ({hour_candles})
+WHERE symbol = 'click'
+  AND bucket_start >= TIMESTAMP '2024-01-05 00:00:00'
+  AND bucket_start <= TIMESTAMP '2024-01-12 00:00:00'
+ORDER BY bucket_start
+""",
+        "c7_recent_n": f"""
+SELECT * FROM ({_candle_sql("DAY")})
+WHERE symbol = 'click'
+ORDER BY bucket_start DESC LIMIT 10
+""",
+        "c8_point_lookup": f"""
+SELECT * FROM ({_candle_sql("DAY")})
+WHERE symbol = 'click' AND bucket_start = TIMESTAMP '2024-01-05 00:00:00'
+""",
+        "c9_catalog": f"""
+SELECT DISTINCT symbol, time_frame, bucket_start
+FROM ({_candle_sql("DAY")})
+ORDER BY symbol, time_frame, bucket_start
+""",
+        "c9_symbols": """
+WITH """ + _TRADES_CTE.strip() + """
+SELECT DISTINCT symbol FROM trades ORDER BY symbol
+""",
+        "c10_legacy_projection": f"""
+SELECT symbol, bucket_start, bucket_end, "open", high, low, "close", volume
+FROM ({_candle_sql("MINUTE")})
+WHERE symbol = 'click'
+  AND bucket_start >= TIMESTAMP '2024-01-05 00:00:00'
+  AND bucket_start <= TIMESTAMP '2024-01-06 00:00:00'
+ORDER BY bucket_start
+""",
+        "c11_null_handling": _candle_sql("MINUTE", source_cte=_DIRTY_TRADES_CTE),
+    }

@@ -1,0 +1,48 @@
+"""PySpark-native candlestick analytics engine.
+
+A brand-new engine with the query and data-processing capabilities of the
+reference Kafka Streams application (``kyuminMoon/stock-chart-kafka-streams``,
+surveyed in ``SURVEY.md``): per-symbol OHLCV candlestick aggregation over
+tumbling event-time windows at MINUTE / HOUR / DAY / MONTH granularity, an
+idempotent partitioned serving table, and a small query API (range scans,
+recent-N, point lookups, catalogs) — plus LLM-data-pipeline extensions
+(dedup, similarity search, text analysis, multimodal columns) designed for
+100 TB scale.
+
+Everything is expressed through the public PySpark DataFrame/SQL/Structured
+Streaming surface so Catalyst/Tungsten (predicate pushdown, column pruning,
+whole-stage codegen, AQE) optimize the physical plan.
+"""
+
+from stock_chart_kafka_streams_spark.functions.timeframes import (
+    FRAMES,
+    bucket_end,
+    bucket_start,
+)
+from stock_chart_kafka_streams_spark.operators.candles import (
+    candles,
+    multi_frame_candles,
+    rollup_candles,
+)
+from stock_chart_kafka_streams_spark.plans.query_api import CandleStore
+from stock_chart_kafka_streams_spark.session import get_spark, tune_session
+from stock_chart_kafka_streams_spark.sources.trades import (
+    load_trades,
+    trades_from_events,
+)
+
+__all__ = [
+    "FRAMES",
+    "CandleStore",
+    "bucket_end",
+    "bucket_start",
+    "candles",
+    "get_spark",
+    "load_trades",
+    "multi_frame_candles",
+    "rollup_candles",
+    "trades_from_events",
+    "tune_session",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,73 @@
+"""Time-frame arithmetic (reference SURVEY.md §2.3 T1-T6).
+
+The reference snaps candle bounds to frame boundaries in imperative Kotlin
+(``stream/CandlestickAggregator.kt:205-262`` ``adjustTimeFrame``) and
+enumerates per-bucket store keys (``service/CandleStickService.kt:88-110``).
+Here a frame is just a ``date_trunc`` unit plus an interval: bucket bounds
+are pure column expressions, and range queries are predicate filters (no key
+enumeration — predicate pushdown + partition pruning replace it, SURVEY §4.1).
+
+MONTH is a true calendar month (``date_trunc('month')`` + ``add_months``),
+not the reference's 30-day window wearing a month label — documented
+divergence, SURVEY §2.7 Q2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# frame name -> (date_trunc unit, streaming window duration or None)
+# MONTH has no fixed duration; streaming handles it via date_trunc grouping.
+FRAMES: dict[str, tuple[str, str | None]] = {
+    "MINUTE": ("minute", "1 minute"),
+    "HOUR": ("hour", "1 hour"),
+    "DAY": ("day", "1 day"),
+    "MONTH": ("month", None),
+}
+
+# Coarsening order for hierarchical rollups (reference cascade,
+# CandlestickAggregator.kt:120,143,166).
+FRAME_ORDER = ["MINUTE", "HOUR", "DAY", "MONTH"]
+
+
+def _unit(frame: str) -> str:
+    try:
+        return FRAMES[frame][0]
+    except KeyError:
+        raise ValueError(f"unknown time frame {frame!r}; expected one of {list(FRAMES)}") from None
+
+
+def bucket_start(ts: Column | str, frame: str) -> Column:
+    """Inclusive start of the frame bucket containing ``ts`` (T1/T2)."""
+    return F.date_trunc(_unit(frame), ts)
+
+
+def bucket_end(start: Column | str, frame: str) -> Column:
+    """Exclusive end of the bucket beginning at ``start`` (half-open;
+    the reference's inclusive end-minus-1ns is normalized away,
+    FIXTURES.md F4)."""
+    start = F.col(start) if isinstance(start, str) else start
+    unit = _unit(frame)
+    if unit == "month":
+        return F.add_months(start, 1).cast("timestamp")
+    return (start + F.expr(f"INTERVAL 1 {unit}")).cast("timestamp")
+
+
+def bucket_id(start: Column | str, frame: str) -> Column:
+    """Reference-compatible string bucket id (T3): yyyyMMddHHmm / yyyyMMddHH /
+    yyyyMMdd / yyyyMM per frame (Redis key suffix,
+    CandlestickAggregator.kt:284-293). Provided for export parity; the
+    engine's native key is the TimestampType ``bucket_start``."""
+    fmt = {
+        "MINUTE": "yyyyMMddHHmm",
+        "HOUR": "yyyyMMddHH",
+        "DAY": "yyyyMMdd",
+        "MONTH": "yyyyMM",
+    }[frame]
+    return F.date_format(start, fmt)
+
+
+def frame_interval(frame: str, n: int = 1) -> str:
+    """SQL interval literal spanning ``n`` buckets of ``frame`` (T5)."""
+    return f"INTERVAL {n} {_unit(frame)}"

@@ -1,0 +1,109 @@
+"""Batch candlestick aggregation (reference SURVEY.md §2.4 A1-A7).
+
+The reference's core dataflow — group trades by symbol, bucket into
+tumbling event-time windows, reduce to OHLCV
+(``stream/CandlestickAggregator.kt:92-102`` and the hour/day/month cascades
+``:120-184``) — expressed as single declarative DataFrame aggregations.
+
+Scale notes (100 TB posture):
+- ``candles()`` is ONE shuffle on (symbol, bucket_start), with map-side
+  partial aggregation (all five aggregates are built-in, codegen'd JVM
+  expressions). There are at most symbols × buckets output rows, so the
+  reduce side is small regardless of input volume.
+- ``multi_frame_candles(cascade=True)`` reads and shuffles the raw trades
+  ONCE (to minute candles) and derives hour/day/month by re-aggregating the
+  tiny candle frame — the reference's cascade optimization
+  (``Readme.md:31-33``), valid because OHLCV merge is associative
+  (SURVEY §2.7 Q6). At 100 TB this is the only sane plan: 1 full-data
+  shuffle instead of 4.
+- Hot symbols skew the shuffle; the groupBy key includes bucket_start,
+  which spreads one symbol across all its time buckets — natural salting.
+  AQE skew handling covers the rest (session.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.functions.ohlcv import merge_aggs, ohlcv_aggs
+from stock_chart_kafka_streams_spark.functions.timeframes import (
+    FRAME_ORDER,
+    FRAMES,
+    bucket_end,
+    bucket_start,
+)
+from stock_chart_kafka_streams_spark.schemas import CANDLE_COLUMNS
+
+
+def _finalize(df: DataFrame, frame: str) -> DataFrame:
+    """Attach time_frame tag + bucket_end and order columns canonically."""
+    return df.withColumns(
+        {
+            "time_frame": F.lit(frame),
+            "bucket_end": bucket_end("bucket_start", frame),
+        }
+    ).select(*CANDLE_COLUMNS)
+
+
+def candles(trades: DataFrame, frame: str = "MINUTE") -> DataFrame:
+    """Aggregate raw trades into one candle per (symbol, frame bucket).
+
+    Reference semantics A3 with the Q1 decision (open/close by event time):
+    open = price of earliest trade, close = price of latest, high/low =
+    max/min price, volume = Σ quantity. Buckets are ``date_trunc`` tumbling
+    windows — equivalent to ``window(ts, duration)`` for fixed frames and
+    the only correct form for calendar MONTH.
+    """
+    if frame not in FRAMES:
+        raise ValueError(f"unknown time frame {frame!r}; expected one of {list(FRAMES)}")
+    grouped = trades.groupBy(
+        "symbol", bucket_start("ts", frame).alias("bucket_start")
+    ).agg(*ohlcv_aggs())
+    return _finalize(grouped, frame)
+
+
+def rollup_candles(finer: DataFrame, frame: str) -> DataFrame:
+    """Merge finer-frame candles into ``frame`` candles (A5/A6/A7).
+
+    open/close come from the earliest/latest sub-bucket (min_by/max_by on
+    bucket_start); high/low/volume fold with max/min/sum. Associativity
+    makes this equal to ``candles(trades, frame)`` — checked by C5 in the
+    oracle harness.
+    """
+    grouped = finer.groupBy(
+        "symbol", bucket_start("bucket_start", frame).alias("bucket_start")
+    ).agg(*merge_aggs(order_col="bucket_start"))
+    return _finalize(grouped, frame)
+
+
+def multi_frame_candles(
+    trades: DataFrame,
+    frames: list[str] | None = None,
+    cascade: bool = True,
+) -> DataFrame:
+    """All requested frames as one candle DataFrame.
+
+    cascade=True (default): aggregate trades to the finest requested frame
+    once, then roll up — one full-data shuffle total. cascade=False:
+    aggregate raw trades per frame independently (4 shuffles; useful to
+    cross-check associativity).
+    """
+    frames = [f for f in FRAME_ORDER if f in (frames or FRAME_ORDER)]
+    if not frames:
+        raise ValueError("no valid frames requested")
+
+    finest = frames[0]
+    base = candles(trades, finest)
+    out = [base]
+    if cascade:
+        # Each coarser frame rolls up from the finest — candle frames are
+        # tiny (≤ symbols × buckets rows), so these shuffles are noise.
+        for f in frames[1:]:
+            out.append(rollup_candles(base, f))
+    else:
+        out.extend(candles(trades, f) for f in frames[1:])
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    return result

@@ -1,0 +1,158 @@
+"""Read/query layer over the candle serving table (SURVEY.md §2.5 Q1-Q10).
+
+The reference serves reads from Redis by enumerating every bucket key in a
+range and issuing N point GETs (``service/CandleStickService.kt:30-110``).
+Here the serving store is a partitioned columnar table, so every read is a
+single filtered scan: partition pruning on ``time_frame`` and parquet
+min/max stats on ``bucket_start`` turn point lookups and range queries into
+near-O(result) scans, and the N-GET read amplification disappears
+(SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.functions.timeframes import FRAMES, frame_interval
+from stock_chart_kafka_streams_spark.session import tune_session
+
+TsLike = _dt.datetime | str
+
+
+def _ts(value: TsLike) -> _dt.datetime:
+    if isinstance(value, str):
+        return _dt.datetime.fromisoformat(value)
+    return value
+
+
+class CandleStore:
+    """Query API over a candles DataFrame or serving-table path.
+
+    Mirrors the reference's service layer (``CandleStickService.kt``) and
+    HTTP surface (``StockChartController.kt:18-47``): range queries,
+    recent-N, point lookups by calendar parts, catalog listings, and the
+    legacy minute-only projection.
+    """
+
+    def __init__(self, candles: DataFrame):
+        self._df = candles
+
+    @classmethod
+    def from_path(cls, spark: SparkSession, path: str) -> "CandleStore":
+        tune_session(spark)
+        return cls(spark.read.parquet(path))
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    # -- Q1/Q2: range query, sorted ascending ------------------------------
+    def get_candles(
+        self,
+        symbol: str,
+        frame: str = "MINUTE",
+        start: TsLike | None = None,
+        end: TsLike | None = None,
+    ) -> DataFrame:
+        """Candles for (symbol, frame) with bucket_start in [start, end],
+        ordered by bucket_start ascending (reference Q1+Q2,
+        ``CandleStickService.kt:30-83``). Bounds are inclusive like the
+        reference's key enumeration."""
+        if frame not in FRAMES:
+            raise ValueError(f"unknown time frame {frame!r}")
+        out = self._df.where(
+            (F.col("symbol") == symbol) & (F.col("time_frame") == frame)
+        )
+        if start is not None:
+            out = out.where(F.col("bucket_start") >= F.lit(_ts(start)))
+        if end is not None:
+            out = out.where(F.col("bucket_start") <= F.lit(_ts(end)))
+        return out.orderBy("bucket_start")
+
+    # -- Q3: legacy minute range (frame column dropped, P4) ----------------
+    def get_minute_candles(
+        self, symbol: str, start: TsLike | None = None, end: TsLike | None = None
+    ) -> DataFrame:
+        """Reference legacy API (``CandleStickService.kt:119-134``):
+        MINUTE-frame range with the narrowing projection P4."""
+        return self.get_candles(symbol, "MINUTE", start, end).drop("time_frame")
+
+    # -- Q4/Q5: recent-N buckets -------------------------------------------
+    def recent(
+        self,
+        symbol: str,
+        frame: str = "MINUTE",
+        n: int = 60,
+        now: TsLike | None = None,
+    ) -> DataFrame:
+        """Last ``n`` frame buckets up to ``now`` (reference Q4/Q5,
+        ``CandleStickService.kt:142-170``). ``now`` defaults to the data's
+        max bucket_start for that (symbol, frame) — the engine keeps
+        wall-clock out of the data path (SURVEY §2.7 Q3); pass ``now``
+        explicitly for the reference's now()-anchored behavior."""
+        base = self._df.where(
+            (F.col("symbol") == symbol) & (F.col("time_frame") == frame)
+        )
+        if now is not None:
+            lo = F.lit(_ts(now)) - F.expr(frame_interval(frame, n))
+            base = base.where(
+                (F.col("bucket_start") > lo) & (F.col("bucket_start") <= F.lit(_ts(now)))
+            )
+            return base.orderBy("bucket_start")
+        # data-anchored: top-N buckets by time, re-sorted ascending
+        return (
+            base.orderBy(F.col("bucket_start").desc())
+            .limit(n)
+            .orderBy("bucket_start")
+        )
+
+    # -- Q6: point lookup by calendar parts --------------------------------
+    def point(
+        self,
+        symbol: str,
+        frame: str,
+        year: int,
+        month: int,
+        day: int = 1,
+        hour: int = 0,
+        minute: int = 0,
+    ) -> DataFrame:
+        """Single candle addressed by calendar parts (reference Q6,
+        ``CandleStickService.kt:210-246``). Equality filter on a
+        make_timestamp — partition pruning + min/max stats make this a
+        point scan, replacing the Redis key build."""
+        key = F.make_timestamp(
+            F.lit(year), F.lit(month), F.lit(day), F.lit(hour), F.lit(minute), F.lit(0)
+        )
+        return self._df.where(
+            (F.col("symbol") == symbol)
+            & (F.col("time_frame") == frame)
+            & (F.col("bucket_start") == key)
+        )
+
+    # -- Q7/Q8: catalogs ----------------------------------------------------
+    def catalog(
+        self, symbol: str | None = None, frame: str | None = None
+    ) -> DataFrame:
+        """Distinct (symbol, time_frame, bucket_start) triples, optionally
+        filtered — the reference's ``KEYS candle:*`` pattern scans
+        (``CandleStickService.kt:176-197``) without touching data columns
+        (column pruning keeps the scan narrow)."""
+        out = self._df
+        if symbol is not None:
+            out = out.where(F.col("symbol") == symbol)
+        if frame is not None:
+            out = out.where(F.col("time_frame") == frame)
+        return (
+            out.select("symbol", "time_frame", "bucket_start")
+            .distinct()
+            .orderBy("symbol", "time_frame", "bucket_start")
+        )
+
+    def symbols(self) -> DataFrame:
+        """Distinct symbols (reference hardcodes 5,
+        ``StockChartController.kt:35-39``; the engine derives them)."""
+        return self._df.select("symbol").distinct().orderBy("symbol")

@@ -1,0 +1,125 @@
+"""Trade sources: test-data adapter, generic readers, Kafka stream source.
+
+Reference source: Kafka topic ``stock-transactions`` with String key /
+JSON ``StockTransaction`` value (``stream/CandlestickAggregator.kt:80-84``,
+SURVEY §2.1 S1). Batch/test inputs come from the driver's ``events`` table
+(``/root/testdata/sf*/events.parquet``) through a thin column mapping
+(FIXTURES.md F1 adapter note): the entity id column becomes ``symbol``,
+``value`` → ``price``, the ``props.k`` count → ``quantity``, event time →
+``ts``. The oracle harness applies the same mapping in SQL, so the adapter
+cannot affect correctness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.schemas import KAFKA_TRADE_JSON_SCHEMA
+from stock_chart_kafka_streams_spark.session import tune_session
+
+# DuckDB twin of trades_from_events(), used by every candle oracle query.
+# Kept next to the Spark adapter so the two mappings evolve together.
+TRADES_FROM_EVENTS_SQL = """
+    SELECT
+        event_type AS symbol,
+        value AS price,
+        CAST(props->>'$.k' AS BIGINT) AS quantity,
+        ts
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+"""
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the driver's events table with ``ts`` as a proper timestamp.
+
+    The driver parquet stores TIMESTAMP(NANOS), which Spark reads as a
+    nanosecond-epoch long under ``spark.sql.legacy.parquet.nanosAsLong``
+    (session.py); ``ts div 1000`` floors to microseconds, preserving event
+    order for all sub-microsecond-distinct data.
+    """
+    tune_session(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def trades_from_events(events: DataFrame) -> DataFrame:
+    """Map the driver's events table onto the trade schema (FIXTURES F1).
+
+    Nulls in any mapped column are dropped — the reference's
+    decode-and-drop behavior (``CandleStickService.kt:77-81``, SURVEY P5);
+    ``get_json_object`` yields null for corrupt ``props`` exactly as
+    ``from_json`` does on corrupt Kafka payloads.
+    """
+    return (
+        events.select(
+            F.col("event_type").alias("symbol"),
+            F.col("value").alias("price"),
+            F.get_json_object("props", "$.k").cast("long").alias("quantity"),
+            F.col("ts"),
+        )
+        .where(
+            F.col("symbol").isNotNull()
+            & F.col("price").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+    )
+
+
+def load_trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet at ``sf_dir`` → trades DataFrame."""
+    return trades_from_events(read_events(spark, sf_dir))
+
+
+def read_trades_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Read an already-trade-shaped parquet table."""
+    tune_session(spark)
+    return spark.read.parquet(path)
+
+
+def read_trades_kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "stock-transactions",
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Streaming trade source from Kafka (reference S1).
+
+    Key is the symbol (duplicated in the JSON value, reference
+    ``StockTransactionGenerator.kt:69-72``); the JSON value is authoritative.
+    Corrupt payloads decode to null and are dropped (P5).
+    """
+    tune_session(spark)
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return (
+        raw.select(
+            F.from_json(F.col("value").cast("string"), KAFKA_TRADE_JSON_SCHEMA).alias("t")
+        )
+        .select("t.*")
+        .where(F.col("symbol").isNotNull() & F.col("ts").isNotNull())
+    )
+
+
+def read_trades_json_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming trade source from a directory of JSON files — the
+    test/replay stand-in for Kafka (one file ≈ one micro-batch when
+    ``max_files_per_trigger=1``)."""
+    tune_session(spark)
+    reader = spark.readStream.schema(KAFKA_TRADE_JSON_SCHEMA).format("json")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return (
+        reader.load(path)
+        .where(F.col("symbol").isNotNull() & F.col("ts").isNotNull())
+    )

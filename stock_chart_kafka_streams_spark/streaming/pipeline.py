@@ -1,0 +1,150 @@
+"""Structured Streaming candle pipeline (reference SURVEY.md §3.1).
+
+The reference topology — stream → groupByKey → 4 tumbling windowed
+aggregations → Redis/Kafka sinks (``stream/CandlestickAggregator.kt:80-196``)
+— becomes ONE watermarked windowed aggregation (minute candles, append
+mode: emit-once on window close, SURVEY §2.7 Q5) plus a ``foreachBatch``
+cascade that rolls closed minute candles up into hour/day/month rows in the
+serving table. Cascading from minutes is the reference's own optimization
+(``Readme.md:31-33``), valid by OHLCV associativity (Q6); doing the coarse
+frames in the sink rather than as three more stateful operators keeps
+streaming state bounded to one minute-granularity store and sidesteps
+Spark's fixed-duration-only ``window()`` for calendar months
+(SURVEY §4.3.1-2).
+
+Late data: ``withWatermark(ts, delay)`` with delay defaulting to the
+reference's zero grace (``ofSizeWithNoGrace``, Q4) — records arriving after
+the watermark passes their minute are dropped.
+
+Coarse-frame rows update as their minute candles close (progressive
+refinement) instead of appearing only at hour/day/month close; final
+contents are identical to the reference's emit-on-close rows, and the MERGE
+key makes every refinement idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from stock_chart_kafka_streams_spark.functions.ohlcv import ohlcv_aggs
+from stock_chart_kafka_streams_spark.functions.timeframes import (
+    FRAME_ORDER,
+    bucket_end,
+    bucket_start,
+)
+from stock_chart_kafka_streams_spark.operators.candles import rollup_candles
+from stock_chart_kafka_streams_spark.schemas import CANDLE_COLUMNS
+from stock_chart_kafka_streams_spark.streaming.sink import upsert_candles
+
+
+def streaming_minute_candles(
+    trades: DataFrame, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Watermarked 1-minute windowed OHLCV over a streaming trade frame.
+
+    Append output mode ⇒ each (symbol, minute) emits exactly one final
+    candle once the watermark passes the window end — the reference's
+    emit-on-close contract (A2+A3+A4).
+    """
+    return (
+        trades.withWatermark("ts", watermark_delay)
+        .groupBy("symbol", F.window("ts", "1 minute"))
+        .agg(*ohlcv_aggs())
+        .select(
+            "symbol",
+            F.lit("MINUTE").alias("time_frame"),
+            F.col("window.start").alias("bucket_start"),
+            F.col("window.end").alias("bucket_end"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+def cascade_upsert(path: str, frames: list[str] | None = None):
+    """``foreachBatch`` hook: upsert the batch's closed minute candles,
+    then recompute every coarse bucket those minutes touch by rolling up
+    the serving table's minute rows (partition-pruned read; affected
+    buckets per batch are few). Recomputing from stored minutes instead of
+    keeping partial-merge state makes every batch idempotent and
+    replay-safe."""
+    frames = [f for f in FRAME_ORDER if f != "MINUTE" and f in (frames or FRAME_ORDER)]
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch = batch.select(*CANDLE_COLUMNS).localCheckpoint(eager=True)
+        upsert_candles(spark, batch, path)
+        if not frames:
+            return
+        minutes = spark.read.parquet(path).where(F.col("time_frame") == "MINUTE")
+        for frame in frames:
+            affected = batch.select(
+                "symbol", bucket_start("bucket_start", frame).alias("bucket_start")
+            ).distinct()
+            scoped = minutes.withColumn(
+                "coarse", bucket_start("bucket_start", frame)
+            ).join(
+                affected.withColumnRenamed("bucket_start", "coarse"),
+                on=["symbol", "coarse"],
+                how="left_semi",
+            )
+            upsert_candles(spark, rollup_candles(scoped, frame), path)
+
+    return _write
+
+
+def start_candle_pipeline(
+    trades: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    frames: list[str] | None = None,
+    watermark_delay: str = "0 seconds",
+    available_now: bool = False,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Wire source → windowed agg → cascade sink and start the query.
+
+    ``available_now=True`` drains all currently-available input in
+    deterministic micro-batches and stops — the test/replay mode.
+    """
+    candles = streaming_minute_candles(trades, watermark_delay)
+    writer = (
+        candles.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(cascade_upsert(path, frames))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def candles_to_kafka(
+    candles: DataFrame,
+    bootstrap_servers: str,
+    topic: str = "stock-candles",
+    checkpoint_dir: str = "/tmp/candle-kafka-checkpoint",
+) -> StreamingQuery:
+    """Publish finalized candles to a Kafka topic as JSON, keyed by symbol
+    (reference S2: ``.to(candlesTopic, ...)``,
+    ``stream/CandlestickAggregator.kt:190-193``)."""
+    payload = candles.select(
+        F.col("symbol").alias("key"),
+        F.to_json(F.struct(*CANDLE_COLUMNS)).alias("value"),
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

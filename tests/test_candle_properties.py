@@ -1,0 +1,83 @@
+"""Property/invariant tests for the candle operators (SURVEY §5.4) on the
+deterministic generator and the driver test data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark import (
+    CandleStore,
+    candles,
+    load_trades,
+    multi_frame_candles,
+    rollup_candles,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return load_trades(spark, SF_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def mf(trades):
+    return multi_frame_candles(trades).cache()
+
+
+def test_ohlc_invariants(mf):
+    bad = mf.where(
+        (F.col("low") > F.least("open", "close"))
+        | (F.col("high") < F.greatest("open", "close"))
+        | (F.col("volume") < 0)
+        | (F.col("bucket_end") <= F.col("bucket_start"))
+    )
+    assert bad.count() == 0
+
+
+def test_candle_uniqueness(mf):
+    total = mf.count()
+    distinct = mf.select("symbol", "time_frame", "bucket_start").distinct().count()
+    assert total == distinct
+
+
+def test_volume_conservation(trades, mf):
+    """Σ volume per frame == Σ quantity of all trades."""
+    total_qty = trades.agg(F.sum("quantity")).collect()[0][0]
+    per_frame = {
+        r["time_frame"]: r["v"]
+        for r in mf.groupBy("time_frame").agg(F.sum("volume").alias("v")).collect()
+    }
+    for frame, v in per_frame.items():
+        assert v == total_qty, frame
+
+
+@pytest.mark.parametrize("frame", ["HOUR", "DAY", "MONTH"])
+def test_rollup_equals_direct(trades, frame):
+    """Associativity (SURVEY §2.7 Q6): minute-candle rollup == direct agg."""
+    direct = candles(trades, frame)
+    rolled = rollup_candles(candles(trades, "MINUTE"), frame)
+    assert direct.exceptAll(rolled).count() == 0
+    assert rolled.exceptAll(direct).count() == 0
+
+
+def test_cascade_equals_independent(trades):
+    a = multi_frame_candles(trades, cascade=True)
+    b = multi_frame_candles(trades, cascade=False)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_recent_n_is_suffix_of_range(mf):
+    store = CandleStore(mf)
+    all_days = store.get_candles("click", "DAY").collect()
+    recent = store.recent("click", "DAY", n=5).collect()
+    assert recent == all_days[-5:]
+
+
+def test_point_lookup_unique(mf):
+    store = CandleStore(mf)
+    rows = store.point("click", "DAY", 2024, 1, 5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["symbol"] == "click" and r["time_frame"] == "DAY"
