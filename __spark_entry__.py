@@ -171,6 +171,68 @@ def _q_c11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candles(_dirty_trades(spark, sf_dir), "MINUTE")
 
 
+def _q_c12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming zero-grace late-data drop (SURVEY C12): replay the events
+    table through the real Structured Streaming pipeline in deterministic
+    micro-batches with ~4% of rows delayed two batches, then read back the
+    serving table. The oracle implements the calibrated watermark
+    contribution rule in SQL (see streaming/replay.py docstring)."""
+    from stock_chart_kafka_streams_spark.streaming.replay import (
+        late_replay_trades,
+        replay_candles,
+    )
+
+    tune_session(spark)
+    trades = late_replay_trades(spark, sf_dir, batch_size=1250)
+    return replay_candles(spark, trades, frames=["MINUTE"])
+
+
+# SQL twin of the streaming watermark semantics: a row in micro-batch k
+# contributes iff its minute-window end > max(ts over batches <= k-2)
+# (zero watermark delay). batch_max has one row per non-empty batch, in the
+# same order the file source replays them, so ROWS ... 2 PRECEDING is
+# exactly "batches <= k-2".
+_C12_SQL = """
+WITH batched AS (
+    SELECT
+        event_type AS symbol,
+        value AS price,
+        CAST(props->>'$.k' AS BIGINT) AS quantity,
+        CAST(ts AS TIMESTAMP) AS ts,
+        (event_id // 1250) + (CASE WHEN event_id % 23 = 7 THEN 2 ELSE 0 END) AS b
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+),
+batch_max AS (
+    SELECT b, max(ts) AS mx FROM batched GROUP BY b
+),
+wm AS (
+    SELECT b, max(mx) OVER (
+        ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING
+    ) AS wm_eff
+    FROM batch_max
+),
+kept AS (
+    SELECT t.*
+    FROM batched t JOIN wm USING (b)
+    WHERE wm.wm_eff IS NULL
+       OR date_trunc('minute', t.ts) + INTERVAL 1 MINUTE > wm.wm_eff
+)
+SELECT
+    symbol,
+    'MINUTE' AS time_frame,
+    CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+    CAST(date_trunc('minute', ts) + INTERVAL 1 MINUTE AS TIMESTAMP) AS bucket_end,
+    arg_min(price, ts) AS "open",
+    max(price) AS high,
+    min(price) AS low,
+    arg_max(price, ts) AS "close",
+    CAST(sum(quantity) AS BIGINT) AS volume
+FROM kept
+GROUP BY symbol, date_trunc('minute', ts)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.8."""
     return {
@@ -186,6 +248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c9_symbols": _q_c9_symbols,
         "c10_legacy_projection": _q_c10,
         "c11_null_handling": _q_c11,
+        "c12_streaming_late_drop": _q_c12,
     }
 
 
@@ -232,4 +295,5 @@ WHERE symbol = 'click'
 ORDER BY bucket_start
 """,
         "c11_null_handling": _candle_sql("MINUTE", source_cte=_DIRTY_TRADES_CTE),
+        "c12_streaming_late_drop": _C12_SQL,
     }

@@ -42,6 +42,16 @@ def tune_session(spark: SparkSession) -> SparkSession:
             # A conf may be static in some deployments; the engine still
             # functions, callers just lose that optimization.
             pass
+    try:
+        # Streaming stateful operators key their state store count off
+        # spark.sql.shuffle.partitions at query start (AQE never re-plans
+        # them), so the Spark default of 200 wastes task overhead on small
+        # local runs. Batch queries are unaffected — AQE coalesces.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+            spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    except Exception:
+        pass
     return spark
 
 

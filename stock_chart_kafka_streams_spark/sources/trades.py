@@ -46,7 +46,7 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def trades_from_events(events: DataFrame) -> DataFrame:
+def trades_from_events(events: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Map the driver's events table onto the trade schema (FIXTURES F1).
 
     Nulls in any mapped column are dropped — the reference's
@@ -60,6 +60,7 @@ def trades_from_events(events: DataFrame) -> DataFrame:
             F.col("value").alias("price"),
             F.get_json_object("props", "$.k").cast("long").alias("quantity"),
             F.col("ts"),
+            *[F.col(c) for c in extra_cols],
         )
         .where(
             F.col("symbol").isNotNull()

@@ -1,0 +1,154 @@
+"""Deterministic micro-batch replay harness (test stand-in for Kafka).
+
+Drives the streaming pipeline from a directory of JSON files — one file per
+micro-batch (``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow``) — so
+watermark/late-data behavior (SURVEY §2.7 Q4, C12) is reproducible: batch k
+of the file source sees exactly the rows assigned batch k here.
+
+Semantics being exercised (zero-grace parity with the reference's
+``ofSizeWithNoGrace``, SURVEY §2.7 Q4), calibrated empirically against
+Spark 4.1 and pinned by tests/test_streaming.py: with watermark delay d,
+
+- a row arriving in micro-batch k CONTRIBUTES iff its window end >
+  ``max(event time over batches <= k-2) - d`` (the input late-filter uses
+  the watermark committed at the END of batch k-1, which was computed from
+  data through batch k-2 — one batch more lag than the eviction boundary);
+- a window is EMITTED (append mode) at the end of the first batch k whose
+  eviction watermark ``max(event time over batches <= k-1) - d`` passes its
+  end.
+
+Two trailing sentinel batches with far-future timestamps flush every real
+window out of state; sentinel windows themselves are filtered from the
+result. The contribution rule is pure SQL over (row, batch) — the DuckDB
+oracle for C12 implements it with a windowed running max (see
+__spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.sources.trades import read_trades_json_stream
+from stock_chart_kafka_streams_spark.streaming.pipeline import start_candle_pipeline
+
+# Any event at/after this instant is a sentinel heartbeat, not data.
+SENTINEL_CUTOFF = "2099-01-01 00:00:00"
+_SENTINELS = ["2099-06-01T00:00:00.000000", "2099-06-01T00:02:00.000000"]
+
+
+def late_replay_trades(spark: SparkSession, sf_dir: str, batch_size: int = 1250) -> DataFrame:
+    """Deterministic out-of-order replay input (FIXTURES.md F3): trades from
+    the driver's events table, split into time-ordered micro-batches of
+    ``batch_size`` events, with every 23rd-mod-7 event delayed by two
+    batches (those become droppable once the watermark passes their
+    window)."""
+    from stock_chart_kafka_streams_spark.sources.trades import (
+        read_events,
+        trades_from_events,
+    )
+
+    ev = read_events(spark, sf_dir)
+    batched = ev.withColumn(
+        "batch",
+        (F.col("event_id") / batch_size).cast("long")
+        + F.when(F.col("event_id") % 23 == 7, F.lit(2)).otherwise(F.lit(0)),
+    )
+    return trades_from_events(batched, extra_cols=("batch",))
+
+
+def write_replay_batches(trades_with_batch: DataFrame, replay_dir: str) -> int:
+    """Write trades as one JSON-lines file per ``batch`` column value,
+    named and mtime-ordered so the file stream source replays them in
+    batch order. Appends two sentinel heartbeat batches that advance the
+    watermark past all real event time. Returns the number of files."""
+    pdf = trades_with_batch.select("symbol", "price", "quantity", "ts", "batch").toPandas()
+    os.makedirs(replay_dir, exist_ok=True)
+    batches = sorted(pdf["batch"].unique())
+    mtime = 1_700_000_000
+    for i, b in enumerate(batches):
+        rows = pdf[pdf["batch"] == b]
+        path = os.path.join(replay_dir, f"batch-{i:05d}.json")
+        with open(path, "w") as f:
+            for r in rows.itertuples(index=False):
+                f.write(
+                    json.dumps(
+                        {
+                            "symbol": r.symbol,
+                            "price": float(r.price),
+                            "quantity": int(r.quantity),
+                            "ts": r.ts.isoformat(),
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(path, (mtime + i, mtime + i))
+    for j, ts in enumerate(_SENTINELS):
+        path = os.path.join(replay_dir, f"batch-{len(batches) + j:05d}.json")
+        with open(path, "w") as f:
+            f.write(
+                json.dumps(
+                    {"symbol": "__heartbeat__", "price": 0.01, "quantity": 1, "ts": ts}
+                )
+                + "\n"
+            )
+        os.utime(path, (mtime + len(batches) + j, mtime + len(batches) + j))
+    return len(batches) + len(_SENTINELS)
+
+
+def replay_candles(
+    spark: SparkSession,
+    trades_with_batch: DataFrame,
+    frames: list[str] | None = None,
+    watermark_delay: str = "0 seconds",
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Run the full streaming pipeline over a deterministic batch replay and
+    return the resulting serving table (sentinel rows excluded).
+
+    ``trades_with_batch`` needs trade columns + an integer ``batch``.
+    """
+    own_tmp = work_dir is None
+    work_dir = work_dir or tempfile.mkdtemp(prefix="candle-replay-")
+    replay_dir = os.path.join(work_dir, "input")
+    table_dir = os.path.join(work_dir, "serving")
+    ckpt_dir = os.path.join(work_dir, "checkpoint")
+    try:
+        write_replay_batches(trades_with_batch, replay_dir)
+        stream = read_trades_json_stream(spark, replay_dir, max_files_per_trigger=1)
+        q = start_candle_pipeline(
+            stream,
+            table_dir,
+            ckpt_dir,
+            frames=frames,
+            watermark_delay=watermark_delay,
+            available_now=True,
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(table_dir)
+            .where(F.col("bucket_start") < F.lit(SENTINEL_CUTOFF).cast("timestamp"))
+            .where(F.col("symbol") != "__heartbeat__")
+            .select(
+                "symbol",
+                "time_frame",
+                "bucket_start",
+                "bucket_end",
+                "open",
+                "high",
+                "low",
+                "close",
+                "volume",
+            )
+        )
+        # materialize before the temp dir can disappear
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        if own_tmp:
+            shutil.rmtree(work_dir, ignore_errors=True)

@@ -1,0 +1,119 @@
+"""Streaming semantics tests (SURVEY §5.3): watermark late-data drop,
+append-mode emit-once, sink MERGE idempotency, cascade consistency."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stock_chart_kafka_streams_spark import candles, load_trades
+from stock_chart_kafka_streams_spark.schemas import CANDLE_KEY
+from stock_chart_kafka_streams_spark.streaming.replay import (
+    late_replay_trades,
+    replay_candles,
+)
+from stock_chart_kafka_streams_spark.streaming.sink import upsert_candles, write_candles
+from tests.oracle import assert_matches_oracle
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("symbol", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("quantity", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("batch", T.IntegerType()),
+    ]
+)
+
+
+def _t(m, s):
+    return dt.datetime(2024, 1, 1, 0, m, s)
+
+
+def test_late_row_dropped_after_watermark(spark):
+    """Zero-grace: a row two batches behind the max event time is dropped;
+    a row whose window is still open merges (calibrated rule pinned here)."""
+    rows = [
+        ("AAPL", 10.0, 1, _t(0, 10), 0),
+        ("AAPL", 11.0, 2, _t(0, 50), 0),
+        ("AAPL", 12.0, 3, _t(1, 30), 0),
+        ("AAPL", 13.0, 4, _t(2, 10), 1),
+        ("AAPL", 88.0, 9, _t(0, 40), 2),  # late for minute 0 -> dropped
+        ("AAPL", 15.0, 7, _t(1, 40), 2),  # minute 1 still open -> merged
+    ]
+    out = replay_candles(
+        spark, spark.createDataFrame(rows, _BATCH_SCHEMA), frames=["MINUTE"]
+    )
+    got = {r["bucket_start"].minute: r for r in out.collect()}
+    assert got[0]["volume"] == 3 and got[0]["high"] == 11.0
+    assert got[1]["volume"] == 10 and got[1]["close"] == 15.0
+    assert got[2]["volume"] == 4
+
+
+def test_every_emitted_window_unique(spark):
+    """Append mode + MERGE key: exactly one row per (symbol, frame, bucket)."""
+    trades = late_replay_trades(spark, SF_DIR, batch_size=250)
+    out = replay_candles(spark, trades, frames=["MINUTE", "HOUR"])
+    assert out.count() == out.select(*CANDLE_KEY).distinct().count()
+
+
+def test_streaming_matches_watermark_oracle(spark, duck):
+    """C12 at sf0.001 with small batches so real drops occur locally."""
+    trades = late_replay_trades(spark, SF_DIR, batch_size=250)
+    out = replay_candles(spark, trades, frames=["MINUTE"])
+    sql = """
+WITH batched AS (
+    SELECT event_type AS symbol, value AS price,
+           CAST(props->>'$.k' AS BIGINT) AS quantity,
+           CAST(ts AS TIMESTAMP) AS ts,
+           (event_id // 250) + (CASE WHEN event_id % 23 = 7 THEN 2 ELSE 0 END) AS b
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+),
+batch_max AS (SELECT b, max(ts) AS mx FROM batched GROUP BY b),
+wm AS (SELECT b, max(mx) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS wm_eff FROM batch_max),
+kept AS (
+    SELECT t.* FROM batched t JOIN wm USING (b)
+    WHERE wm.wm_eff IS NULL OR date_trunc('minute', t.ts) + INTERVAL 1 MINUTE > wm.wm_eff
+)
+SELECT symbol, 'MINUTE' AS time_frame,
+       CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+       CAST(date_trunc('minute', ts) + INTERVAL 1 MINUTE AS TIMESTAMP) AS bucket_end,
+       arg_min(price, ts) AS "open", max(price) AS high, min(price) AS low,
+       arg_max(price, ts) AS "close", CAST(sum(quantity) AS BIGINT) AS volume
+FROM kept GROUP BY symbol, date_trunc('minute', ts)
+"""
+    assert_matches_oracle(out, duck, sql)
+    # sanity: lateness actually dropped something vs the full batch result
+    full = candles(load_trades(spark, SF_DIR), "MINUTE")
+    assert out.count() <= full.count()
+
+
+def test_upsert_idempotent_and_newer_wins(spark, tmp_path):
+    table = str(tmp_path / "serving")
+    base = candles(load_trades(spark, SF_DIR), "MINUTE").limit(200).localCheckpoint()
+    write_candles(base, table)
+    # materialize: the upsert below rewrites the files this scan reads
+    before = spark.read.parquet(table).drop("bucket_date").localCheckpoint()
+
+    # replaying the identical batch changes nothing
+    upsert_candles(spark, base, table)
+    after = spark.read.parquet(table).drop("bucket_date")
+    assert after.count() == before.count()
+    assert after.exceptAll(before).count() == 0
+
+    # an updated candle replaces the old row at the same key
+    updated = base.limit(1).withColumn("volume", F.lit(999_999).cast("long"))
+    upsert_candles(spark, updated, table)
+    final = spark.read.parquet(table)
+    assert final.count() == before.count()
+    key = updated.collect()[0]
+    got = final.where(
+        (F.col("symbol") == key["symbol"])
+        & (F.col("time_frame") == key["time_frame"])
+        & (F.col("bucket_start") == key["bucket_start"])
+    ).collect()
+    assert len(got) == 1 and got[0]["volume"] == 999_999
