@@ -22,6 +22,10 @@ from stock_chart_kafka_streams_spark import (
     rollup_candles,
     tune_session,
 )
+from stock_chart_kafka_streams_spark.operators import dedup as _dd
+from stock_chart_kafka_streams_spark.operators import multimodal as _mm
+from stock_chart_kafka_streams_spark.operators import similarity as _sim
+from stock_chart_kafka_streams_spark.operators import text as _tx
 from stock_chart_kafka_streams_spark.sources.trades import read_events, trades_from_events
 
 # ---------------------------------------------------------------------------
@@ -233,6 +237,98 @@ GROUP BY symbol, date_trunc('minute', ts)
 """
 
 
+# ---------------------------------------------------------------------------
+# North-star operators (SURVEY §2.9): dedup, similarity, text, multimodal
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune_session(spark)
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+
+
+def _q_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def _q_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.dedup import dedup_minhash
+
+    return dedup_minhash(_docs(spark, sf_dir))
+
+
+def _q_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        planted_neardup_vectors,
+    )
+
+    return embedding_neardup_pairs(
+        planted_neardup_vectors(_embs(spark, sf_dir)), threshold=0.99
+    )
+
+
+def _q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    return cosine_topk(embs, embs.where(_F.col("vec_id") < 5), k=10)
+
+
+def _q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import lsh_topk
+
+    embs = _embs(spark, sf_dir)
+    return lsh_topk(embs, embs.where(_F.col("vec_id") < 5), k=10)
+
+
+def _q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.text import text_features
+
+    return text_features(_docs(spark, sf_dir))
+
+
+def _q_mm1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.multimodal import (
+        decode_media,
+        media_from_documents,
+    )
+
+    return decode_media(media_from_documents(_docs(spark, sf_dir)))
+
+
+def _q_mm2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.multimodal import (
+        media_from_documents,
+        sample_frames,
+    )
+
+    return sample_frames(media_from_documents(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.8."""
     return {
@@ -249,6 +345,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c10_legacy_projection": _q_c10,
         "c11_null_handling": _q_c11,
         "c12_streaming_late_drop": _q_c12,
+        "d1_dedup_exact": _q_d1,
+        "d2_dedup_minhash_lsh": _q_d2,
+        "d3_ngram_jaccard_pairs": _q_d3,
+        "d4_simhash": _q_d4,
+        "d5_embedding_neardup": _q_d5,
+        "s1_cosine_topk": _q_s1,
+        "s2_lsh_ann_topk": _q_s2,
+        "t1_text_features": _q_t1,
+        "mm1_decode_media": _q_mm1,
+        "mm2_frame_sample": _q_mm2,
     }
 
 
@@ -296,4 +402,22 @@ ORDER BY bucket_start
 """,
         "c11_null_handling": _candle_sql("MINUTE", source_cte=_DIRTY_TRADES_CTE),
         "c12_streaming_late_drop": _C12_SQL,
+        "d1_dedup_exact": _dd.dedup_exact_sql(),
+        "d2_dedup_minhash_lsh": _dd.dedup_minhash_sql(),
+        "d3_ngram_jaccard_pairs": _dd.ngram_jaccard_pairs_sql(threshold=0.5),
+        "d4_simhash": _dd.simhash_sql(),
+        "d5_embedding_neardup": _sim.embedding_neardup_sql(threshold=0.99),
+        "s1_cosine_topk": _sim.cosine_topk_sql(k=10, query_pred="vec_id < 5"),
+        # s2_lsh_ann_topk: approximate operator, rows-only (recall is
+        # property-tested against s1 in tests/test_similarity.py)
+        "t1_text_features": f"""
+SELECT doc_id,
+       {_tx.token_count_sql('text')} AS n_tokens,
+       {_tx.quality_score_sql('text')} AS quality,
+       {_tx.lang_id_sql('text')} AS lang_pred,
+       {_tx.fingerprint_sql('text')} AS fingerprint
+FROM documents
+""",
+        "mm1_decode_media": _mm.decode_media_sql(),
+        "mm2_frame_sample": _mm.sample_frames_sql(),
     }

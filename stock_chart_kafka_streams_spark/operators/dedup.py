@@ -1,0 +1,360 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.9).
+
+Four families, all deterministic and cluster-scalable:
+
+- **exact**: group by normalized-content hash, keep the minimum doc_id.
+  One shuffle on the 32-hex-char hash; at 100 TB this is the cheapest
+  possible dedup (hash is computed map-side, only (hash, doc_id) shuffles).
+- **MinHash + LSH**: 3-word shingles -> k lexicographic-min md5 hashes ->
+  bands -> band-bucket grouping. Hash values are md5 HEX STRINGS (not ints)
+  so the DuckDB oracle can reproduce them exactly; the min over a set of
+  uniformly-distributed hex strings is a textbook 1-permutation minhash.
+- **n-gram Jaccard**: LSH band buckets generate candidate pairs, exact
+  Jaccard over distinct shingle sets confirms them. The candidate join is
+  bucket-local (no quadratic blowup); bucket skew is bounded because a
+  band value is 128 bits of minhash.
+- **SimHash**: 32-bit signature from per-token md5 bit votes — explode +
+  32 conditional sums + bit assembly, all JVM expressions.
+
+Duplicate-group resolution uses a deterministic 1-hop rule: a document's
+representative is the smallest doc_id over every bucket/pair-neighborhood
+it belongs to; a document survives iff it is its own representative. (Full
+transitive closure needs iterative connected components — out of SQL's
+reach and rarely worth it for dedup; the 1-hop rule is stable, idempotent
+on its output, and oracle-checkable.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.operators.text import (
+    TOKENS_SQL,
+    fingerprint,
+    fingerprint_sql,
+    normalized,
+    tokens,
+)
+
+MINHASH_K = 12
+LSH_BANDS = 3  # rows per band = MINHASH_K // LSH_BANDS = 4
+SHINGLE_WORDS = 3
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per normalized content hash."""
+    keyed = docs.withColumn("__fp", fingerprint(text_col))
+    keep = keyed.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(keep, on=[id_col, "__fp"], how="left_semi").drop("__fp")
+    )
+
+
+def dedup_exact_sql(table: str = "documents") -> str:
+    fp = fingerprint_sql("text")
+    return f"""
+SELECT d.* FROM {table} d
+JOIN (
+    SELECT min(doc_id) AS doc_id FROM {table} GROUP BY {fp}
+) k USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash signature
+# ---------------------------------------------------------------------------
+
+
+def shingles(text_col: str = "text") -> Column:
+    """Distinct 3-word shingles; documents with < 3 tokens fall back to a
+    single whole-text shingle so every document has a signature."""
+    toks = tokens(text_col)
+    # slice() clamps instead of erroring (ANSI-safe for any token count);
+    # the guarded sequence end keeps it ascending when size < 3.
+    tri = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(toks) - F.lit(SHINGLE_WORDS - 1), F.lit(1))
+        ),
+        lambda i: F.array_join(F.slice(toks, i, F.lit(SHINGLE_WORDS)), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= SHINGLE_WORDS, tri).otherwise(
+            F.array(normalized(text_col))
+        )
+    )
+
+
+def SHINGLES_SQL(col: str = "text") -> str:
+    toks = TOKENS_SQL.format(col=col)
+    norm = f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    tri = (
+        f"list_transform(range(1, len({toks}) - {SHINGLE_WORDS - 2}), "
+        f"i -> array_to_string({toks}[i:i+{SHINGLE_WORDS - 1}], ' '))"
+    )
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {SHINGLE_WORDS} "
+        f"THEN {tri} ELSE [{norm}] END)"
+    )
+
+
+def minhash_signature(text_col: str = "text", k: int = MINHASH_K) -> list[Column]:
+    """k 1-permutation minhashes: lexicographic min of md5('<i>:'||shingle)."""
+    sh = shingles(text_col)
+    return [
+        F.array_min(
+            F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+
+
+def _minhash_sql_exprs(col: str = "text", k: int = MINHASH_K) -> list[str]:
+    sh = SHINGLES_SQL(col)
+    return [
+        f"list_min(list_transform({sh}, s -> md5(concat('{i}:', s)))) AS mh_{i}"
+        for i in range(k)
+    ]
+
+
+def lsh_bands(k: int = MINHASH_K, bands: int = LSH_BANDS) -> list[Column]:
+    """Band values: md5 over each run of k/bands signature components."""
+    r = k // bands
+    return [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh_{b * r + j}") for j in range(r)])
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+
+
+def _bands_sql_exprs(k: int = MINHASH_K, bands: int = LSH_BANDS) -> list[str]:
+    r = k // bands
+    return [
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * r + j}" for j in range(r))
+        + f")) AS band_{b}"
+        for b in range(bands)
+    ]
+
+
+def _band_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, band_idx, band_val) — one row per document per band."""
+    sig = docs.select(F.col(id_col), *minhash_signature(text_col))
+    banded = sig.select(id_col, *lsh_bands())
+    pairs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_val"))
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return banded.select(id_col, F.explode(pairs).alias("b")).select(
+        id_col, F.col("b.band_idx"), F.col("b.band_val")
+    )
+
+
+_BUCKETS_CTE = """
+sig AS (
+    SELECT doc_id, {mh_exprs} FROM {table}
+),
+banded AS (
+    SELECT doc_id, {band_exprs} FROM sig
+),
+buckets AS (
+    {band_union}
+)
+"""
+
+
+def _buckets_cte_sql(table: str = "documents") -> str:
+    band_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_val FROM banded"
+        for b in range(LSH_BANDS)
+    )
+    return _BUCKETS_CTE.format(
+        table=table,
+        mh_exprs=", ".join(_minhash_sql_exprs()),
+        band_exprs=", ".join(_bands_sql_exprs()),
+        band_union=band_union,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_minhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dedup: documents agreeing on ANY full LSH band are grouped;
+    the 1-hop minimum doc_id survives."""
+    buckets = _band_buckets(docs, id_col, text_col)
+    bucket_min = buckets.groupBy("band_idx", "band_val").agg(
+        F.min(id_col).alias("bucket_rep")
+    )
+    doc_rep = (
+        buckets.join(bucket_min, on=["band_idx", "band_val"])
+        .groupBy(id_col)
+        .agg(F.min("bucket_rep").alias("rep"))
+    )
+    keep = doc_rep.where(F.col(id_col) == F.col("rep")).select(id_col)
+    return docs.join(keep, on=id_col, how="left_semi")
+
+
+def dedup_minhash_sql(table: str = "documents") -> str:
+    return f"""
+WITH {_buckets_cte_sql(table)},
+bucket_min AS (
+    SELECT band_idx, band_val, min(doc_id) AS bucket_rep
+    FROM buckets GROUP BY band_idx, band_val
+),
+doc_rep AS (
+    SELECT b.doc_id, min(m.bucket_rep) AS rep
+    FROM buckets b JOIN bucket_min m USING (band_idx, band_val)
+    GROUP BY b.doc_id
+)
+SELECT d.* FROM {table} d
+JOIN doc_rep r ON d.doc_id = r.doc_id AND r.rep = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (LSH candidates + exact verification)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate pairs from LSH buckets, confirmed by exact Jaccard over
+    distinct shingle sets. Returns (id_a, id_b, jaccard), id_a < id_b."""
+    buckets = _band_buckets(docs, id_col, text_col)
+    cands = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sh = docs.select(F.col(id_col), shingles(text_col).alias("sh"))
+    joined = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    sh = SHINGLES_SQL("text")
+    return f"""
+WITH {_buckets_cte_sql(table)},
+cands AS (
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM buckets x
+    JOIN buckets y
+      ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+     AND x.doc_id < y.doc_id
+),
+sh AS (SELECT doc_id, {sh} AS s FROM {table})
+SELECT c.id_a, c.id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
+FROM cands c
+JOIN sh a ON a.doc_id = c.id_a
+JOIN sh b ON b.doc_id = c.id_b
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= {threshold}
+"""
+
+
+def dedup_ngram_jaccard(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup via confirmed Jaccard pairs + 1-hop minimum representative."""
+    pairs = ngram_jaccard_pairs(docs, threshold, id_col, text_col)
+    neighbors = pairs.select(
+        F.col("id_a").alias(id_col), F.col("id_b").alias("nb")
+    ).unionByName(pairs.select(F.col("id_b").alias(id_col), F.col("id_a").alias("nb")))
+    rep = neighbors.groupBy(id_col).agg(F.min("nb").alias("mn"))
+    dup = rep.where(F.col("mn") < F.col(id_col)).select(id_col)
+    return docs.join(dup, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit simhash per document: each token votes its md5-derived bits
+    up/down; the sign of each bit-sum forms the signature. Documents with
+    no tokens get simhash -1."""
+    tok = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h32 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h32, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = tok.groupBy(id_col).agg(*votes)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    sums = sums.select(F.col(id_col), sig.alias("simhash"))
+    return docs.select(id_col).join(sums, on=id_col, how="left").select(
+        id_col, F.coalesce("simhash", F.lit(-1).cast("long")).alias("simhash")
+    )
+
+
+def simhash_sql(table: str = "documents") -> str:
+    toks = TOKENS_SQL.format(col="text")
+    votes = ", ".join(
+        f"sum(CASE WHEN (h32 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({toks}) AS tok FROM {table}
+),
+hashed AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h32 FROM tok
+),
+sums AS (
+    SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+),
+sig AS (
+    SELECT doc_id, {sig} AS simhash FROM sums
+)
+SELECT d.doc_id, COALESCE(s.simhash, CAST(-1 AS BIGINT)) AS simhash
+FROM {table} d LEFT JOIN sig s USING (doc_id)
+"""

@@ -1,0 +1,201 @@
+"""Multimodal (binary) column support (SURVEY.md §2.9).
+
+Treats image/audio/video payloads as opaque ``BinaryType`` columns with a
+typed metadata struct, and implements decode / feature-extraction /
+frame-sampling as Arrow-batched ``mapInPandas`` stages — the Spark-side
+plumbing (schema, batching, partitioning, UDF signatures) is real and
+tested; the actual codec call is STUBBED with a deterministic
+hash-derived fake because no image/audio libraries exist in this
+container (swap ``_fake_decode`` for PIL/ffmpeg in production — the
+dataflow does not change).
+
+Scale posture: mapInPandas streams Arrow record batches through one
+Python worker per core with no shuffle; payload bytes never hit the
+driver. Decoded metadata is tiny relative to payloads, so the follow-up
+aggregations shuffle only metadata columns (project the binary column
+away BEFORE any shuffle — Catalyst's column pruning does this when the
+downstream plan never references it).
+
+Because the stub derives every output from sha256/md5 of the payload,
+each stage has an exact DuckDB SQL twin — the oracle checks the whole
+Arrow round-trip, not just the stub arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), nullable=False),
+        T.StructField("media_type", T.StringType(), nullable=False),
+        T.StructField("payload", T.BinaryType(), nullable=False),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("duration_s", T.LongType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_digest", T.StringType()),
+    ]
+)
+
+_MEDIA_TYPES = ["image", "audio", "video"]
+MAX_SAMPLED_FRAMES = 3
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from the documents fixture: UTF-8 payload
+    bytes + a media_type derived from doc_id (stable across engines)."""
+    mt = F.element_at(
+        F.array(*[F.lit(m) for m in _MEDIA_TYPES]),
+        (F.col("doc_id") % len(_MEDIA_TYPES) + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mt.alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+MEDIA_FROM_DOCUMENTS_CTE = """
+media AS (
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+           text AS payload_text
+    FROM documents
+)
+"""
+
+
+def _fake_decode(media_type: str, payload: bytes) -> dict:
+    """Deterministic stand-in for a real codec: dimensions/duration derived
+    from payload size, content digest from sha256. Replace with
+    PIL.Image.open / soundfile / ffprobe in production."""
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "sha": hashlib.sha256(payload).hexdigest(),
+        "width": n % 640 if media_type == "image" else 0,
+        "height": (n * 7) % 480 if media_type == "image" else 0,
+        "duration_s": n % 300 if media_type in ("audio", "video") else 0,
+    }
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched metadata extraction over the binary payload column.
+
+    The closure is self-contained (stdlib + pandas only) so Python workers
+    can unpickle it without this package on their path.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        def fake_decode(media_type: str, payload: bytes) -> dict:
+            # deterministic stand-in for a real codec (see _fake_decode)
+            n = len(payload)
+            return {
+                "n_bytes": n,
+                "sha": _hl.sha256(payload).hexdigest(),
+                "width": n % 640 if media_type == "image" else 0,
+                "height": (n * 7) % 480 if media_type == "image" else 0,
+                "duration_s": n % 300 if media_type in ("audio", "video") else 0,
+            }
+
+        for pdf in batches:
+            meta = [
+                fake_decode(mt, bytes(p))
+                for mt, p in zip(pdf["media_type"], pdf["payload"])
+            ]
+            out = pd.DataFrame(meta)
+            out.insert(0, "media_type", pdf["media_type"].values)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def decode_media_sql() -> str:
+    """DuckDB twin of media_from_documents >> decode_media."""
+    return f"""
+WITH {MEDIA_FROM_DOCUMENTS_CTE}
+SELECT media_id,
+       media_type,
+       CAST(octet_length(encode(payload_text)) AS BIGINT) AS n_bytes,
+       sha256(payload_text) AS sha,
+       CAST(CASE WHEN media_type = 'image'
+                 THEN octet_length(encode(payload_text)) % 640 ELSE 0 END AS BIGINT) AS width,
+       CAST(CASE WHEN media_type = 'image'
+                 THEN (octet_length(encode(payload_text)) * 7) % 480 ELSE 0 END AS BIGINT) AS height,
+       CAST(CASE WHEN media_type IN ('audio', 'video')
+                 THEN octet_length(encode(payload_text)) % 300 ELSE 0 END AS BIGINT) AS duration_s
+FROM media
+"""
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame-sampling stub for video payloads: n_frames from payload size,
+    up to MAX_SAMPLED_FRAMES per-frame digests chained off the payload md5
+    (a real implementation decodes keyframes; the Arrow plumbing and
+    per-row fan-out shape are identical)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, mt, p in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                if mt != "video":
+                    continue
+                payload = bytes(p)
+                n_frames = len(payload) % 16 + 1
+                base = hashlib.md5(payload).hexdigest()
+                digest = "|".join(
+                    hashlib.sha256(f"{base}-{i}".encode()).hexdigest()
+                    for i in range(min(n_frames, MAX_SAMPLED_FRAMES))
+                )
+                rows.append(
+                    {"media_id": int(mid), "n_frames": n_frames, "frame_digest": digest}
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "n_frames", "frame_digest"])
+
+    return media.mapInPandas(_sample, schema=FRAMES_SCHEMA)
+
+
+def sample_frames_sql() -> str:
+    return f"""
+WITH {MEDIA_FROM_DOCUMENTS_CTE},
+video AS (
+    SELECT media_id,
+           octet_length(encode(payload_text)) % 16 + 1 AS n_frames,
+           md5(payload_text) AS base
+    FROM media WHERE media_type = 'video'
+)
+SELECT media_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       array_to_string(
+           list_transform(
+               range(0, least(n_frames, {MAX_SAMPLED_FRAMES})),
+               i -> sha256(base || '-' || i)
+           ), '|'
+       ) AS frame_digest
+FROM video
+"""

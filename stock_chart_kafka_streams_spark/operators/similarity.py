@@ -1,0 +1,252 @@
+"""Similarity search over embedding columns (SURVEY.md §2.9).
+
+- ``cosine_topk``: exact brute-force top-k. The query set is BROADCAST
+  (it is small by definition), so the scan over the corpus is a single
+  map-side pass — no shuffle of the big side; at 100 TB this is the
+  correct baseline plan and the accuracy oracle for ANN variants.
+- ``lsh_topk``: sign-random-projection LSH. Each vector gets a short
+  hash code per table (deterministic ±1 hyperplanes derived from
+  xxhash64); candidates share a code in any table; exact re-ranking on
+  the (much smaller) candidate set. Corpus codes are computed map-side;
+  the join is an equi-join on (table, code) — shuffle proportional to the
+  candidate set, not the corpus square.
+- ``embedding_neardup_pairs``: all-pairs cosine above a threshold —
+  exact quadratic form for oracle checking; production path would bucket
+  through ``lsh_topk``'s codes first.
+
+All dot products are double-precision fold-left sums over the element
+order (``aggregate`` over ``zip_with``), matching the DuckDB twin's
+``list_sum(list_transform(...))`` so values agree bit-for-bit within the
+oracle's 9-decimal rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EMBED_DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector (ties broken by corpus
+    id ascending). Returns (query_id, vec_id, cos, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        id_col,
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_sql(
+    table: str = "embeddings", k: int = 10, query_pred: str = "vec_id < 5"
+) -> str:
+    dot = "list_sum(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]))".format
+    d_qc = dot(n=EMBED_DIM + 1, a="q.v", b="c.v")
+    d_qq = dot(n=EMBED_DIM + 1, a="q.v", b="q.v")
+    d_cc = dot(n=EMBED_DIM + 1, a="c.v", b="c.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE {query_pred}),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) AS cos
+    FROM e c CROSS JOIN q
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# sign-random-projection LSH
+# ---------------------------------------------------------------------------
+
+
+def _srp_code(vec: Column, table_idx: int, n_bits: int, dim: int) -> Column:
+    """Sign-random-projection code: bit j = sign(Σ_i ±1 · v_i) where the
+    ±1 pattern is a deterministic hash of (table, bit, dim index)."""
+    bits = []
+    for j in range(n_bits):
+        terms = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, i: F.when(
+                    F.pmod(F.xxhash64(F.lit(table_idx), F.lit(j), i), 2) == 0, x
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(terms > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return code
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Approximate top-k: candidates share an SRP code in any of
+    ``n_tables`` tables; exact cosine re-ranks candidates. Returns
+    (query_id, vec_id, cos, rank) like cosine_topk (may return < k rows
+    per query if the buckets are sparse)."""
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c_codes = c.select(
+        id_col,
+        "cv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _srp_code(F.col("cv"), t, n_bits, dim).alias("code"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tc"),
+    ).select(id_col, "cv", F.col("tc.t"), F.col("tc.code"))
+    q_codes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _srp_code(F.col("qv"), t, n_bits, dim).alias("code"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tc"),
+    ).select("query_id", "qv", F.col("tc.t"), F.col("tc.code"))
+
+    cands = (
+        c_codes.join(F.broadcast(q_codes), on=["t", "code"])
+        .select("query_id", "qv", id_col, "cv")
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cands.select(
+        "query_id", id_col, cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine >= threshold — exact quadratic
+    scan (the oracle-checkable form; LSH-bucket first at scale)."""
+    a = vectors.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).where(F.col("cos") >= threshold)
+
+
+def planted_neardup_vectors(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic near-dup fixture: every 40th vector re-emitted under
+    id + 1_000_000 with its first component shifted by +0.05 (cosine with
+    the original stays ~1; scaling alone would be exactly 1). The DuckDB
+    twin is PLANTED_NEARDUP_CTE."""
+    base = vectors.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    planted = base.where(F.col(id_col) % 40 == 0).select(
+        (F.col(id_col) + 1_000_000).alias(id_col),
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.05)),
+            F.slice("v", 2, EMBED_DIM - 1),
+        ).alias("v"),
+    )
+    return base.unionByName(planted).withColumnRenamed("v", vec_col)
+
+
+PLANTED_NEARDUP_CTE = """
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+aug AS (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id,
+           list_concat([v[1] + 0.05], v[2:]) AS v
+    FROM base WHERE vec_id % 40 = 0
+)
+"""
+
+
+def embedding_neardup_sql(threshold: float = 0.99) -> str:
+    dot = "list_sum(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]))".format
+    d_ab = dot(n=EMBED_DIM + 1, a="a.v", b="b.v")
+    d_aa = dot(n=EMBED_DIM + 1, a="a.v", b="a.v")
+    d_bb = dot(n=EMBED_DIM + 1, a="b.v", b="b.v")
+    return f"""
+WITH {PLANTED_NEARDUP_CTE}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) AS cos
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) >= {threshold}
+"""

@@ -1,0 +1,174 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.9).
+
+North-star extensions beyond the reference's surface (driver mandate in
+BASELINE.json): language identification, quality scoring, token counting,
+and document fingerprinting over the ``documents`` table.
+
+Every operator is a pure JVM column expression (no Python UDFs — these run
+inside whole-stage codegen and scale linearly at 100 TB), and each has a
+DuckDB SQL twin built from the same constants so the oracle harness checks
+exact value parity. Tokenization is the shared primitive: lowercase, split
+on non-alphanumeric runs, drop empties — identical semantics in Spark
+(`split` + `filter`) and DuckDB (`string_split_regex` + `list_filter`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# CJK unified ideographs as a literal char range — identical count semantics
+# in Java regex (Spark) and RE2 (DuckDB \x{...} escapes).
+_CJK_RANGE_SPARK = "[一-鿿]"
+_CJK_RANGE_DUCK = r"[\x{4e00}-\x{9fff}]"
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+# Order matters only for the deterministic tie-break (first match wins).
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "on"],
+    "es": ["el", "los", "las", "es", "una", "del", "que", "por", "con", "para"],
+    "fr": ["le", "les", "et", "est", "une", "des", "du", "dans", "pour", "sur"],
+}
+
+EN_STOPWORDS = LANG_PROFILES["en"] + ["a", "an", "or", "as", "at", "by", "with"]
+
+
+def tokens(text: Column | str = "text") -> Column:
+    """Lowercased alphanumeric tokens."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda x: x != F.lit("")
+    )
+
+
+def token_count(text: Column | str = "text") -> Column:
+    """Whitespace/punctuation token count (BPE-ish proxy: alnum runs)."""
+    return F.size(tokens(text))
+
+
+def _stop_hits(toks: Column, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def quality_score(text: Column | str = "text") -> Column:
+    """Deterministic [0,1] quality heuristic: length, stopword density,
+    digit noise. Same closed-form arithmetic as the SQL twin."""
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("double")
+    stop_ratio = F.when(
+        n_tok > 0, _stop_hits(toks, EN_STOPWORDS).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.regexp_count(
+        F.col(text) if isinstance(text, str) else text, F.lit("[0-9]")
+    ).cast("double") / F.greatest(F.length(text).cast("double"), F.lit(1.0))
+    return (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+        + (F.lit(1.0) - F.least(digit_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.3)
+    )
+
+
+def lang_scores(text: Column | str = "text") -> dict[str, Column]:
+    """Per-language evidence scores: stopword hit counts for latin-script
+    languages, CJK character count for zh."""
+    toks = tokens(text)
+    scores = {
+        lang: _stop_hits(toks, words).cast("double")
+        for lang, words in LANG_PROFILES.items()
+    }
+    scores["zh"] = F.regexp_count(
+        F.col(text) if isinstance(text, str) else text, F.lit(_CJK_RANGE_SPARK)
+    ).cast("double")
+    return scores
+
+
+def lang_id(text: Column | str = "text") -> Column:
+    """Deterministic argmax over lang_scores; ties resolve to the first
+    language in (de, en, es, fr, zh) order; all-zero evidence -> 'und'."""
+    scores = lang_scores(text)
+    ordered = ["de", "en", "es", "fr", "zh"]
+    g = F.greatest(*[scores[la] for la in ordered])
+    result = None
+    for la in ordered:
+        cond = (g > 0) & (scores[la] == g)
+        result = F.when(cond, F.lit(la)) if result is None else result.when(cond, F.lit(la))
+    return result.otherwise(F.lit("und"))
+
+
+def normalized(text: Column | str = "text") -> Column:
+    """Whitespace-collapsed lowercase normalization (fingerprint base)."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column | str = "text") -> Column:
+    """Content fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(text))
+
+
+def text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text-analysis columns at once (single pass over the corpus)."""
+    return docs.select(
+        "doc_id",
+        token_count(text_col).alias("n_tokens"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins (same constants, same arithmetic)
+# ---------------------------------------------------------------------------
+
+TOKENS_SQL = (
+    "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+def _stop_hits_sql(toks_sql: str, words: list[str]) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter({toks_sql}, t -> list_contains({arr}, t)))"
+
+
+def token_count_sql(col: str = "text") -> str:
+    return f"len({TOKENS_SQL.format(col=col)})"
+
+
+def quality_score_sql(col: str = "text") -> str:
+    toks = TOKENS_SQL.format(col=col)
+    n_tok = f"CAST(len({toks}) AS DOUBLE)"
+    stop = _stop_hits_sql(toks, EN_STOPWORDS)
+    stop_ratio = f"(CASE WHEN {n_tok} > 0 THEN CAST({stop} AS DOUBLE) / {n_tok} ELSE 0.0 END)"
+    digit_ratio = (
+        f"CAST(len(regexp_extract_all({col}, '[0-9]')) AS DOUBLE)"
+        f" / greatest(CAST(length({col}) AS DOUBLE), 1.0)"
+    )
+    return (
+        f"least({n_tok} / 100.0, 1.0) * 0.4"
+        f" + least({stop_ratio} * 5.0, 1.0) * 0.3"
+        f" + (1.0 - least({digit_ratio} * 10.0, 1.0)) * 0.3"
+    )
+
+
+def lang_id_sql(col: str = "text") -> str:
+    toks = TOKENS_SQL.format(col=col)
+    scores = {
+        lang: f"CAST({_stop_hits_sql(toks, words)} AS DOUBLE)"
+        for lang, words in LANG_PROFILES.items()
+    }
+    scores["zh"] = (
+        f"CAST(len(regexp_extract_all({col}, '{_CJK_RANGE_DUCK}')) AS DOUBLE)"
+    )
+    ordered = ["de", "en", "es", "fr", "zh"]
+    g = "greatest(" + ", ".join(scores[la] for la in ordered) + ")"
+    whens = " ".join(
+        f"WHEN {g} > 0 AND {scores[la]} = {g} THEN '{la}'" for la in ordered
+    )
+    return f"(CASE {whens} ELSE 'und' END)"
+
+
+def fingerprint_sql(col: str = "text") -> str:
+    return f"md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"

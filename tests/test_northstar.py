@@ -1,0 +1,165 @@
+"""North-star operator tests (SURVEY §2.9): dedup, similarity, text,
+multimodal. Oracle parity for these is covered by test_candles_oracle.py
+(driver-contract parametrization); here are the semantic properties."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    dedup_ngram_jaccard,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from stock_chart_kafka_streams_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+    planted_neardup_vectors,
+)
+from stock_chart_kafka_streams_spark.operators.text import text_features
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# -- dedup ----------------------------------------------------------------
+
+
+def test_dedup_exact_removes_planted_duplicates(spark, docs):
+    # plant whitespace-padded dups under new ids; normalization must catch them
+    dup = docs.limit(5).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("  "), "text", F.lit("   ")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = dedup_exact(docs.unionByName(dup))
+    assert out.count() == docs.count()
+    # originals (lower ids) survive
+    assert out.where(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_dedup_idempotent(docs):
+    once = dedup_minhash(docs)
+    twice = dedup_minhash(once)
+    assert once.count() == twice.count()
+
+
+def test_minhash_catches_near_duplicates(spark, docs):
+    # append a copy of 5 docs with one word changed -> shingle overlap high
+    near = docs.limit(5).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat("text", F.lit(" trailing extra token")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = dedup_minhash(docs.unionByName(near))
+    # every planted near-dup must collapse onto its (lower-id) original
+    assert out.where(F.col("doc_id") >= 20_000).count() == 0
+
+
+def test_jaccard_pairs_symmetric_bounds(docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert 0.5 <= r["jaccard"] <= 1.0
+
+
+def test_dedup_ngram_jaccard_removes_pair_members(docs):
+    """1-hop rule: for every confirmed pair (a < b), b is removed; a
+    survives unless it is the larger side of some other pair."""
+    kept = dedup_ngram_jaccard(docs, threshold=0.5)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    expected_removed = pairs.select("id_b").distinct().count()
+    assert docs.count() - kept.count() == expected_removed
+
+
+def test_simhash_stable_and_total(docs):
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    b = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert a == b
+    assert len(a) == docs.count()
+    assert all(0 <= v < 2**32 or v == -1 for v in a.values())
+
+
+def test_shingles_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["sh"] for r in df.select("doc_id", shingles().alias("sh")).collect()}
+    assert rows[1] == ["one two"]
+    assert rows[2] == [""]
+    assert rows[3] == ["a b c", "b c d"]
+
+
+# -- similarity -----------------------------------------------------------
+
+
+def test_cosine_topk_self_first(embs):
+    top = cosine_topk(embs, embs.where(F.col("vec_id") < 5), k=10)
+    firsts = top.where(F.col("rank") == 1).collect()
+    for r in firsts:
+        assert r["vec_id"] == r["query_id"]  # self-similarity == 1.0
+        assert abs(r["cos"] - 1.0) < 1e-9
+
+
+def test_lsh_recall_against_brute_force(embs):
+    queries = embs.where(F.col("vec_id") < 20)
+    brute = cosine_topk(embs, queries, k=5)
+    approx = lsh_topk(embs, queries, k=5)
+    hits = brute.join(approx, on=["query_id", "vec_id"], how="left_semi").count()
+    recall = hits / brute.count()
+    assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+
+
+def test_embedding_neardup_finds_planted(embs):
+    pairs = embedding_neardup_pairs(planted_neardup_vectors(embs), threshold=0.99)
+    got = pairs.collect()
+    planted_ids = {r["vec_id"] for r in embs.where(F.col("vec_id") % 40 == 0).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in got} == {
+        (i, i + 1_000_000) for i in planted_ids
+    }
+
+
+# -- text -----------------------------------------------------------------
+
+
+def test_lang_id_on_real_language_samples(spark):
+    """The synthetic corpus's lang column is arbitrary metadata (the text is
+    the same English-ish word soup for every label), so accuracy is measured
+    on hand-written samples instead."""
+    samples = [
+        (1, "the cat and the dog sat on the mat for a while", "en"),
+        (2, "der Hund und die Katze sind nicht mit dem Ball", "de"),
+        (3, "le chat est dans la maison et les oiseaux sont sur le toit", "fr"),
+        (4, "el perro y los gatos es una historia del pueblo", "es"),
+        (5, "今天天气很好我们一起去公园散步吧", "zh"),
+        (6, "zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id long, text string, expect string")
+    got = {r["doc_id"]: r["lang_pred"] for r in text_features(df).collect()}
+    want = {i: e for i, _, e in samples}
+    assert got == want
+
+
+def test_text_features_ranges(docs):
+    feats = text_features(docs)
+    bad = feats.where(
+        (F.col("quality") < 0) | (F.col("quality") > 1) | (F.col("n_tokens") < 0)
+    )
+    assert bad.count() == 0
+    assert feats.where(F.length("fingerprint") != 32).count() == 0
