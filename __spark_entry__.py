@@ -140,7 +140,11 @@ def _q_c5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _store(spark: SparkSession, sf_dir: str) -> CandleStore:
-    return CandleStore(multi_frame_candles(load_trades(spark, sf_dir)))
+    # cascade=False: each frame aggregates straight from trades, so a
+    # single-frame query plans as ONE shuffle after Catalyst prunes the
+    # other union branches (the cascade's shared-minute-agg advantage only
+    # pays off when materializing all frames at once — see bench).
+    return CandleStore(multi_frame_candles(load_trades(spark, sf_dir), cascade=False))
 
 
 def _q_c6(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,72 @@
+"""Benchmark harness: headline candle queries (SURVEY §2.8 C1-C7) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "candle_c1_c7_total", "value": <total sec>, "unit": "sec",
+   "queries": {"c1_minute_candles": sec, ...}, "sf": 0.1}
+
+Each query materializes through the noop sink (full distributed compute,
+no driver-side collect cost). A small warmup query absorbs JVM/codegen
+startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from stock_chart_kafka_streams_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "c1_minute_candles",
+    "c2_hour_candles",
+    "c3_day_candles",
+    "c4_month_candles",
+    "c5_rollup_hour",
+    "c6_range_query",
+    "c7_recent_n",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="candle-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+
+    # warmup: touch the parquet + exercise codegen once
+    queries["c3_day_candles"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "candle_c1_c7_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
