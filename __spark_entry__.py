@@ -241,6 +241,48 @@ GROUP BY symbol, date_trunc('minute', ts)
 """
 
 
+def _q_c13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-format string bucket ids (SURVEY T3): the Redis key suffix
+    yyyyMMddHHmm / yyyyMMddHH / yyyyMMdd / yyyyMM per frame, derived from
+    the native timestamp key."""
+    from stock_chart_kafka_streams_spark.functions.timeframes import bucket_id
+
+    mf = multi_frame_candles(load_trades(spark, sf_dir))
+    ids = None
+    for frame in ["MINUTE", "HOUR", "DAY", "MONTH"]:
+        part = mf.where(F.col("time_frame") == frame).select(
+            "symbol",
+            "time_frame",
+            "bucket_start",
+            bucket_id("bucket_start", frame).alias("bucket_id"),
+        )
+        ids = part if ids is None else ids.unionByName(part)
+    return ids
+
+
+_C13_SQL_FRAME_FMT = {
+    "MINUTE": "%Y%m%d%H%M",
+    "HOUR": "%Y%m%d%H",
+    "DAY": "%Y%m%d",
+    "MONTH": "%Y%m",
+}
+
+
+def _c13_sql() -> str:
+    parts = []
+    for frame, fmt in _C13_SQL_FRAME_FMT.items():
+        unit = frame.lower() if frame != "MONTH" else "month"
+        unit = {"MINUTE": "minute", "HOUR": "hour", "DAY": "day", "MONTH": "month"}[frame]
+        parts.append(
+            f"""
+SELECT symbol, '{frame}' AS time_frame,
+       CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket_start,
+       strftime(date_trunc('{unit}', ts), '{fmt}') AS bucket_id
+FROM trades GROUP BY symbol, date_trunc('{unit}', ts)"""
+        )
+    return "WITH " + _TRADES_CTE.strip() + "\n" + "\nUNION ALL\n".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # North-star operators (SURVEY §2.9): dedup, similarity, text, multimodal
 # ---------------------------------------------------------------------------
@@ -349,6 +391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c10_legacy_projection": _q_c10,
         "c11_null_handling": _q_c11,
         "c12_streaming_late_drop": _q_c12,
+        "c13_bucket_ids": _q_c13,
         "d1_dedup_exact": _q_d1,
         "d2_dedup_minhash_lsh": _q_d2,
         "d3_ngram_jaccard_pairs": _q_d3,
@@ -406,6 +449,7 @@ ORDER BY bucket_start
 """,
         "c11_null_handling": _candle_sql("MINUTE", source_cte=_DIRTY_TRADES_CTE),
         "c12_streaming_late_drop": _C12_SQL,
+        "c13_bucket_ids": _c13_sql(),
         "d1_dedup_exact": _dd.dedup_exact_sql(),
         "d2_dedup_minhash_lsh": _dd.dedup_minhash_sql(),
         "d3_ngram_jaccard_pairs": _dd.ngram_jaccard_pairs_sql(threshold=0.5),
