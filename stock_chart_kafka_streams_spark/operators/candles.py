@@ -81,6 +81,7 @@ def multi_frame_candles(
     trades: DataFrame,
     frames: list[str] | None = None,
     cascade: bool = True,
+    persist_base: bool = True,
 ) -> DataFrame:
     """All requested frames as one candle DataFrame.
 
@@ -88,6 +89,13 @@ def multi_frame_candles(
     once, then roll up — one full-data shuffle total. cascade=False:
     aggregate raw trades per frame independently (4 shuffles; useful to
     cross-check associativity).
+
+    persist_base: Spark does not share subplans across union branches (the
+    executed plan shows 4 source scans and 0 ReusedExchange), so without
+    caching the cascade re-reads and re-aggregates the raw trades once per
+    frame. Persisting the finest-frame candles cuts that to ONE source scan
+    plus rollups over ≤ symbols × buckets cached rows — immaterial on warm
+    small inputs, decisive when the source is a large on-disk table.
     """
     frames = [f for f in FRAME_ORDER if f in (frames or FRAME_ORDER)]
     if not frames:
@@ -97,6 +105,11 @@ def multi_frame_candles(
     base = candles(trades, finest)
     out = [base]
     if cascade:
+        if len(frames) > 1 and persist_base:
+            from pyspark.storagelevel import StorageLevel
+
+            base = base.persist(StorageLevel.MEMORY_AND_DISK)
+            out = [base]
         # Each coarser frame rolls up from the finest — candle frames are
         # tiny (≤ symbols × buckets rows), so these shuffles are noise.
         for f in frames[1:]:

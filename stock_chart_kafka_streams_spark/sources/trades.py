@@ -81,6 +81,21 @@ def read_trades_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def decode_kafka_trades(raw: DataFrame) -> DataFrame:
+    """Decode Kafka-shaped records (binary ``value`` column, JSON payload)
+    into trades. Works on both batch and streaming frames, so the parse +
+    decode-and-drop semantics (reference P5, ``CandleStickService.kt:77-81``)
+    are testable without a broker: ``from_json`` yields null for corrupt
+    payloads and those rows are dropped."""
+    return (
+        raw.select(
+            F.from_json(F.col("value").cast("string"), KAFKA_TRADE_JSON_SCHEMA).alias("t")
+        )
+        .select("t.*")
+        .where(F.col("symbol").isNotNull() & F.col("ts").isNotNull())
+    )
+
+
 def read_trades_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -91,7 +106,6 @@ def read_trades_kafka_stream(
 
     Key is the symbol (duplicated in the JSON value, reference
     ``StockTransactionGenerator.kt:69-72``); the JSON value is authoritative.
-    Corrupt payloads decode to null and are dropped (P5).
     """
     tune_session(spark)
     raw = (
@@ -101,13 +115,7 @@ def read_trades_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return (
-        raw.select(
-            F.from_json(F.col("value").cast("string"), KAFKA_TRADE_JSON_SCHEMA).alias("t")
-        )
-        .select("t.*")
-        .where(F.col("symbol").isNotNull() & F.col("ts").isNotNull())
-    )
+    return decode_kafka_trades(raw)
 
 
 def read_trades_json_stream(
