@@ -283,6 +283,50 @@ FROM trades GROUP BY symbol, date_trunc('{unit}', ts)"""
     return "WITH " + _TRADES_CTE.strip() + "\n" + "\nUNION ALL\n".join(parts)
 
 
+def _q_i2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(symbol, minute) VWAP — the batch twin of the streaming
+    applyInPandasWithState running VWAP (streaming/custom_state.py)."""
+    t = load_trades(spark, sf_dir)
+    from stock_chart_kafka_streams_spark.functions.timeframes import bucket_start
+
+    return t.groupBy(
+        "symbol", bucket_start("ts", "MINUTE").alias("bucket_start")
+    ).agg(
+        F.sum("quantity").alias("volume"),
+        # try_divide: a bucket whose only trades have quantity 0 has no VWAP
+        F.try_divide(
+            F.sum(F.col("price") * F.col("quantity")), F.sum("quantity")
+        ).alias("vwap"),
+    )
+
+
+_I2_SQL = """
+WITH """ + _TRADES_CTE.strip() + """
+SELECT symbol,
+       CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+       CAST(sum(quantity) AS BIGINT) AS volume,
+       CASE WHEN sum(quantity) = 0 THEN NULL
+            ELSE sum(price * quantity) / sum(quantity) END AS vwap
+FROM trades
+GROUP BY symbol, date_trunc('minute', ts)
+"""
+
+
+def _q_i1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chart indicator series (SMA/Bollinger/returns) over hour candles."""
+    from stock_chart_kafka_streams_spark.operators.indicators import with_indicators
+
+    return with_indicators(candles(load_trades(spark, sf_dir), "HOUR"))
+
+
+def _i1_sql() -> str:
+    from stock_chart_kafka_streams_spark.operators.indicators import (
+        with_indicators_sql,
+    )
+
+    return with_indicators_sql(_candle_sql("HOUR"))
+
+
 # ---------------------------------------------------------------------------
 # North-star operators (SURVEY §2.9): dedup, similarity, text, multimodal
 # ---------------------------------------------------------------------------
@@ -392,6 +436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c11_null_handling": _q_c11,
         "c12_streaming_late_drop": _q_c12,
         "c13_bucket_ids": _q_c13,
+        "i1_indicators": _q_i1,
+        "i2_vwap_minute": _q_i2,
         "d1_dedup_exact": _q_d1,
         "d2_dedup_minhash_lsh": _q_d2,
         "d3_ngram_jaccard_pairs": _q_d3,
@@ -450,6 +496,8 @@ ORDER BY bucket_start
         "c11_null_handling": _candle_sql("MINUTE", source_cte=_DIRTY_TRADES_CTE),
         "c12_streaming_late_drop": _C12_SQL,
         "c13_bucket_ids": _c13_sql(),
+        "i1_indicators": _i1_sql(),
+        "i2_vwap_minute": _I2_SQL,
         "d1_dedup_exact": _dd.dedup_exact_sql(),
         "d2_dedup_minhash_lsh": _dd.dedup_minhash_sql(),
         "d3_ngram_jaccard_pairs": _dd.ngram_jaccard_pairs_sql(threshold=0.5),
