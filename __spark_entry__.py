@@ -26,6 +26,7 @@ from stock_chart_kafka_streams_spark.operators import dedup as _dd
 from stock_chart_kafka_streams_spark.operators import multimodal as _mm
 from stock_chart_kafka_streams_spark.operators import similarity as _sim
 from stock_chart_kafka_streams_spark.operators import text as _tx
+from stock_chart_kafka_streams_spark.operators import windows_ext as _wx
 from stock_chart_kafka_streams_spark.sources.trades import read_events, trades_from_events
 
 # ---------------------------------------------------------------------------
@@ -327,6 +328,30 @@ def _i1_sql() -> str:
     return with_indicators_sql(_candle_sql("HOUR"))
 
 
+def _q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.windows_ext import session_candles
+
+    return session_candles(load_trades(spark, sf_dir))
+
+
+def _q_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.windows_ext import hopping_candles
+
+    return hopping_candles(load_trades(spark, sf_dir))
+
+
+def _q_w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.windows_ext import volume_cube
+
+    return volume_cube(load_trades(spark, sf_dir))
+
+
+def _q_w4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.windows_ext import daily_price_stats
+
+    return daily_price_stats(load_trades(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # North-star operators (SURVEY §2.9): dedup, similarity, text, multimodal
 # ---------------------------------------------------------------------------
@@ -438,6 +463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c13_bucket_ids": _q_c13,
         "i1_indicators": _q_i1,
         "i2_vwap_minute": _q_i2,
+        "w1_session_windows": _q_w1,
+        "w2_hopping_windows": _q_w2,
+        "w3_volume_cube": _q_w3,
+        "w4_daily_price_stats": _q_w4,
         "d1_dedup_exact": _q_d1,
         "d2_dedup_minhash_lsh": _q_d2,
         "d3_ngram_jaccard_pairs": _q_d3,
@@ -498,6 +527,10 @@ ORDER BY bucket_start
         "c13_bucket_ids": _c13_sql(),
         "i1_indicators": _i1_sql(),
         "i2_vwap_minute": _I2_SQL,
+        "w1_session_windows": _wx.session_candles_sql(_TRADES_CTE.strip()),
+        "w2_hopping_windows": _wx.hopping_candles_sql(_TRADES_CTE.strip()),
+        "w3_volume_cube": _wx.volume_cube_sql(_TRADES_CTE.strip()),
+        "w4_daily_price_stats": _wx.daily_price_stats_sql(_TRADES_CTE.strip()),
         "d1_dedup_exact": _dd.dedup_exact_sql(),
         "d2_dedup_minhash_lsh": _dd.dedup_minhash_sql(),
         "d3_ngram_jaccard_pairs": _dd.ngram_jaccard_pairs_sql(threshold=0.5),

@@ -1,0 +1,190 @@
+"""Extended windowing operators: session, hopping/sliding, cube summaries.
+
+The reference's docs discuss hopping and session windows but its topology
+only ever uses tumbling windows (``KafkaStreams_SpringBatch비교.md:42-49``,
+SURVEY §2.6). Spark provides all three natively; these wrappers pin exact,
+oracle-checkable semantics:
+
+- **session_candles**: gap-based sessions per symbol
+  (``F.session_window``); a session ends ``gap`` after its last event.
+  SQL twin: classic gaps-and-islands (lag + running sum of gap breaks).
+- **hopping_candles**: overlapping fixed windows
+  (``F.window(ts, size, slide)``); each event lands in size/slide
+  windows. SQL twin: explode the window-start offsets and re-bucket.
+- **volume_cube**: grouping-set subtotals over (symbol, day) —
+  ``cube()`` with a ``grouping_id`` bitmask, matching GROUP BY CUBE +
+  GROUPING() in the oracle.
+
+All are single-shuffle JVM aggregations; hopping multiplies input rows by
+size/slide before the shuffle (the standard cost of overlap — at scale
+prefer the tumbling cascade plus a rolling window over candles when the
+overlap factor is large).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.functions.ohlcv import ohlcv_aggs
+
+SESSION_GAP_MINUTES = 30
+HOP_SIZE = "1 hour"
+HOP_SLIDE = "15 minutes"
+
+
+def session_candles(trades: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """One row per (symbol, activity session): a session groups trades
+    whose gaps are < ``gap_minutes``; session_end = last trade + gap."""
+    return (
+        trades.groupBy(
+            "symbol", F.session_window("ts", f"{gap_minutes} minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.sum("quantity").alias("volume"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_trades",
+            "volume",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
+def session_candles_sql(trades_cte: str, gap_minutes: int = SESSION_GAP_MINUTES) -> str:
+    """Gaps-and-islands twin: Spark's session start = first event, end =
+    last event + gap."""
+    return f"""
+WITH {trades_cte},
+ordered AS (
+    SELECT symbol, quantity, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY symbol ORDER BY ts)
+                     > INTERVAL {gap_minutes} MINUTE
+                OR lag(ts) OVER (PARTITION BY symbol ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS brk
+    FROM trades
+),
+islands AS (
+    SELECT *, sum(brk) OVER (
+        PARTITION BY symbol ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS sid
+    FROM ordered
+)
+SELECT symbol,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {gap_minutes} MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST(sum(quantity) AS BIGINT) AS volume,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM islands
+GROUP BY symbol, sid
+"""
+
+
+def hopping_candles(
+    trades: DataFrame, size: str = HOP_SIZE, slide: str = HOP_SLIDE
+) -> DataFrame:
+    """OHLCV per overlapping (symbol, hopping window)."""
+    return (
+        trades.groupBy("symbol", F.window("ts", size, slide).alias("w"))
+        .agg(*ohlcv_aggs())
+        .select(
+            "symbol",
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
+def hopping_candles_sql(
+    trades_cte: str, size_minutes: int = 60, slide_minutes: int = 15
+) -> str:
+    """Twin: each event belongs to size/slide windows whose epoch-aligned
+    starts are floor_slide(ts) - j*slide for j in 0..(size/slide - 1)."""
+    n = size_minutes // slide_minutes
+    s = slide_minutes * 60
+    return f"""
+WITH {trades_cte},
+exploded AS (
+    SELECT t.*,
+           CAST(to_timestamp(CAST(floor(epoch(ts) / {s}) AS BIGINT) * {s}
+                             - j * {s}) AS TIMESTAMP) AS bucket_start
+    FROM trades t, unnest(range(0, {n})) AS u(j)
+)
+SELECT symbol,
+       bucket_start,
+       bucket_start + INTERVAL {size_minutes} MINUTE AS bucket_end,
+       arg_min(price, ts) AS "open",
+       max(price) AS high,
+       min(price) AS low,
+       arg_max(price, ts) AS "close",
+       CAST(sum(quantity) AS BIGINT) AS volume
+FROM exploded
+GROUP BY symbol, bucket_start
+"""
+
+
+def volume_cube(trades: DataFrame) -> DataFrame:
+    """Volume subtotals over cube(symbol, trade day): per (symbol, day),
+    per symbol, per day, and grand total, tagged with grouping_id."""
+    day = F.date_trunc("day", "ts").alias("day")
+    return trades.cube("symbol", day).agg(
+        # grouping_id() is only legal inside the cube aggregation itself
+        F.grouping_id().alias("grp"),
+        F.sum("quantity").alias("volume"),
+        F.count("*").alias("n_trades"),
+    )
+
+
+def volume_cube_sql(trades_cte: str) -> str:
+    return f"""
+WITH {trades_cte}
+SELECT symbol,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(GROUPING(symbol) * 2 + GROUPING(date_trunc('day', ts)) AS BIGINT) AS grp,
+       CAST(sum(quantity) AS BIGINT) AS volume,
+       CAST(count(*) AS BIGINT) AS n_trades
+FROM trades
+GROUP BY CUBE (symbol, date_trunc('day', ts))
+"""
+
+
+def daily_price_stats(trades: DataFrame) -> DataFrame:
+    """Exact order statistics per (symbol, day): median price plus exact
+    p10/p90 (interpolated continuous percentiles — matches DuckDB's
+    quantile_cont on DOUBLE)."""
+    day = F.date_trunc("day", "ts").alias("day")
+    return trades.groupBy("symbol", day).agg(
+        F.median("price").alias("median_price"),
+        F.percentile("price", F.lit(0.1)).alias("p10"),
+        F.percentile("price", F.lit(0.9)).alias("p90"),
+        F.count("*").alias("n_trades"),
+    )
+
+
+def daily_price_stats_sql(trades_cte: str) -> str:
+    return f"""
+WITH {trades_cte}
+SELECT symbol,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       median(price::DOUBLE) AS median_price,
+       quantile_cont(price::DOUBLE, 0.1) AS p10,
+       quantile_cont(price::DOUBLE, 0.9) AS p90,
+       CAST(count(*) AS BIGINT) AS n_trades
+FROM trades
+GROUP BY symbol, date_trunc('day', ts)
+"""
