@@ -23,6 +23,7 @@ from stock_chart_kafka_streams_spark import (
     tune_session,
 )
 from stock_chart_kafka_streams_spark.operators import dedup as _dd
+from stock_chart_kafka_streams_spark.operators import joins as _joins
 from stock_chart_kafka_streams_spark.operators import multimodal as _mm
 from stock_chart_kafka_streams_spark.operators import similarity as _sim
 from stock_chart_kafka_streams_spark.operators import text as _tx
@@ -328,6 +329,18 @@ def _i1_sql() -> str:
     return with_indicators_sql(_candle_sql("HOUR"))
 
 
+def _q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.joins import revenue_by_nation
+
+    return revenue_by_nation(spark, sf_dir)
+
+
+def _q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.joins import pricing_summary
+
+    return pricing_summary(spark, sf_dir)
+
+
 def _q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.windows_ext import session_candles
 
@@ -467,6 +480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_hopping_windows": _q_w2,
         "w3_volume_cube": _q_w3,
         "w4_daily_price_stats": _q_w4,
+        "j1_revenue_by_nation": _q_j1,
+        "j2_pricing_summary": _q_j2,
         "d1_dedup_exact": _q_d1,
         "d2_dedup_minhash_lsh": _q_d2,
         "d3_ngram_jaccard_pairs": _q_d3,
@@ -531,6 +546,8 @@ ORDER BY bucket_start
         "w2_hopping_windows": _wx.hopping_candles_sql(_TRADES_CTE.strip()),
         "w3_volume_cube": _wx.volume_cube_sql(_TRADES_CTE.strip()),
         "w4_daily_price_stats": _wx.daily_price_stats_sql(_TRADES_CTE.strip()),
+        "j1_revenue_by_nation": _joins.REVENUE_BY_NATION_SQL,
+        "j2_pricing_summary": _joins.PRICING_SUMMARY_SQL,
         "d1_dedup_exact": _dd.dedup_exact_sql(),
         "d2_dedup_minhash_lsh": _dd.dedup_minhash_sql(),
         "d3_ngram_jaccard_pairs": _dd.ngram_jaccard_pairs_sql(threshold=0.5),
