@@ -433,6 +433,15 @@ def _q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(embs, embs.where(_F.col("vec_id") < 5), k=10)
 
 
+def _q_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    return ivf_topk(embs, embs.where(_F.col("vec_id") < 5), k=10)
+
+
 def _q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.text import text_features
 
@@ -489,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_neardup": _q_d5,
         "s1_cosine_topk": _q_s1,
         "s2_lsh_ann_topk": _q_s2,
+        "s3_ivf_ann_topk": _q_s3,
         "t1_text_features": _q_t1,
         "mm1_decode_media": _q_mm1,
         "mm2_frame_sample": _q_mm2,

@@ -190,6 +190,120 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def ivf_build_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> list[list[float]]:
+    """Deterministic mini k-means: seed centroids from evenly-spaced corpus
+    vectors (by id order), then run a fixed number of Lloyd iterations as
+    DataFrame jobs. Only the centroids (n_centroids × dim floats) ever
+    reach the driver — assignment and averaging are distributed.
+    """
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    # hash-ordered top-N seeding: orderBy+limit plans as a distributed
+    # TakeOrdered (per-partition top-N then driver merge), unlike a global
+    # row_number window which funnels the corpus through one partition.
+    seeds = (
+        c.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n_centroids)
+        .select("v")
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in seeds]
+
+    for _ in range(iterations):
+        cent_df = F.broadcast(
+            c.sparkSession.createDataFrame(
+                [(i, v) for i, v in enumerate(centroids)],
+                "cid int, cv array<double>",
+            )
+        )
+        assigned = (
+            c.crossJoin(cent_df)
+            .withColumn("d", _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(F.col("d").desc(), F.col("cid"))
+                ),
+            )
+            .where(F.col("rk") == 1)
+        )
+        sums = (
+            assigned.select(
+                "cid", *[F.element_at("v", i + 1).alias(f"x{i}") for i in range(dim)]
+            )
+            .groupBy("cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        new = dict()
+        for r in sums:
+            new[r["cid"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: assign the corpus to its nearest centroid
+    (one map-side pass, centroids broadcast), probe each query's n_probe
+    nearest centroid lists, exact-rerank candidates. At scale the inverted
+    lists are a partitioned table; n_probe/n_centroids trade recall for
+    the fraction of the corpus scanned per query (~n_probe/n_centroids)."""
+    spark = corpus.sparkSession
+    centroids = ivf_build_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col)
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(centroids)], "cid int, cv array<double>"
+        )
+    )
+
+    def nearest(df: DataFrame, key: str, topn: int) -> DataFrame:
+        scored = df.crossJoin(cent_df).withColumn(
+            "cd", _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+        )
+        w = Window.partitionBy(key).orderBy(F.col("cd").desc(), F.col("cid"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= topn)
+            .drop("cv", "cd", "rk")
+        )
+
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("v"))
+    c_lists = nearest(c, id_col, 1)  # inverted lists: one centroid per vector
+    q_probes = nearest(q, "query_id", n_probe).withColumnRenamed("v", "qv")
+
+    cands = c_lists.join(
+        F.broadcast(q_probes), on="cid"
+    ).select("query_id", "qv", id_col, "v")
+    scored = cands.select(
+        "query_id", id_col, cosine(F.col("qv"), F.col("v")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
 # embedding near-duplicate pairs
 # ---------------------------------------------------------------------------
 

@@ -66,6 +66,38 @@ def streaming_minute_candles(
     )
 
 
+def streaming_session_candles(
+    trades: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked session-window aggregation per symbol: a session closes
+    ``gap`` after its last trade, and emits once the watermark passes that
+    end (append mode). Session state merges adjacent windows automatically
+    — the dynamic-window case Spark handles natively that the reference's
+    fixed tumbling topology cannot express (discussed but unused in its
+    docs, SURVEY §2.6)."""
+    return (
+        trades.withWatermark("ts", watermark_delay)
+        .groupBy("symbol", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.sum("quantity").alias("volume"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            "symbol",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_trades",
+            "volume",
+            "first_ts",
+            "last_ts",
+        )
+    )
+
+
 def cascade_upsert(path: str, frames: list[str] | None = None):
     """``foreachBatch`` hook: upsert the batch's closed minute candles,
     then recompute every coarse bucket those minutes touch by rolling up

@@ -117,6 +117,30 @@ def test_cosine_topk_self_first(embs):
         assert abs(r["cos"] - 1.0) < 1e-9
 
 
+def test_ivf_recall_against_brute_force(embs):
+    from stock_chart_kafka_streams_spark.operators.similarity import ivf_topk
+
+    queries = embs.where(F.col("vec_id") < 10)
+    brute = cosine_topk(embs, queries, k=5)
+    approx = ivf_topk(embs, queries, k=5, n_centroids=8, n_probe=3)
+    hits = brute.join(approx, on=["query_id", "vec_id"], how="left_semi").count()
+    recall = hits / brute.count()
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+    # rank-1 self hit must survive probing (query is in its own cell)
+    self_hits = approx.where(
+        (F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id"))
+    ).count()
+    assert self_hits == 10
+
+
+def test_ivf_deterministic(embs):
+    from stock_chart_kafka_streams_spark.operators.similarity import ivf_build_centroids
+
+    a = ivf_build_centroids(embs, n_centroids=4)
+    b = ivf_build_centroids(embs, n_centroids=4)
+    assert a == b
+
+
 def test_lsh_recall_against_brute_force(embs):
     queries = embs.where(F.col("vec_id") < 20)
     brute = cosine_topk(embs, queries, k=5)
