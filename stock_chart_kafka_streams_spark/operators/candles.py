@@ -63,6 +63,46 @@ def candles(trades: DataFrame, frame: str = "MINUTE") -> DataFrame:
     return _finalize(grouped, frame)
 
 
+def candles_salted(
+    trades: DataFrame, frame: str = "MINUTE", salt_buckets: int = 16
+) -> DataFrame:
+    """Two-phase OHLCV for pathologically hot (symbol, bucket) keys.
+
+    The normal plan already spreads a hot symbol across its time buckets
+    and does map-side partial aggregation, so salting is rarely needed —
+    but when one (symbol, bucket) pair alone overwhelms a reducer (e.g. a
+    single instrument bursting millions of trades within one minute),
+    phase 1 aggregates (symbol, bucket, salt) partials carrying explicit
+    first/last event times, and phase 2 merges the ≤ salt_buckets partials
+    per key. Exactly equal to ``candles()`` by OHLCV associativity
+    (tested), at the cost of a second (tiny) shuffle.
+    """
+    if frame not in FRAMES:
+        raise ValueError(f"unknown time frame {frame!r}; expected one of {list(FRAMES)}")
+    salt = F.pmod(F.xxhash64("ts", "price", "quantity"), F.lit(salt_buckets))
+    partial = (
+        trades.withColumn("__salt", salt)
+        .groupBy("symbol", bucket_start("ts", frame).alias("bucket_start"), "__salt")
+        .agg(
+            F.min_by("price", "ts").alias("p_open"),
+            F.max("price").alias("p_high"),
+            F.min("price").alias("p_low"),
+            F.max_by("price", "ts").alias("p_close"),
+            F.sum("quantity").alias("p_volume"),
+            F.min("ts").alias("p_first_ts"),
+            F.max("ts").alias("p_last_ts"),
+        )
+    )
+    merged = partial.groupBy("symbol", "bucket_start").agg(
+        F.min_by("p_open", "p_first_ts").alias("open"),
+        F.max("p_high").alias("high"),
+        F.min("p_low").alias("low"),
+        F.max_by("p_close", "p_last_ts").alias("close"),
+        F.sum("p_volume").alias("volume"),
+    )
+    return _finalize(merged, frame)
+
+
 def rollup_candles(finer: DataFrame, frame: str) -> DataFrame:
     """Merge finer-frame candles into ``frame`` candles (A5/A6/A7).
 

@@ -68,6 +68,17 @@ def test_cascade_equals_independent(trades):
     assert b.exceptAll(a).count() == 0
 
 
+def test_salted_equals_plain(trades):
+    """Skew-path associativity: two-phase salted aggregation == one-phase."""
+    from stock_chart_kafka_streams_spark.operators.candles import candles_salted
+
+    for frame in ["MINUTE", "DAY"]:
+        plain = candles(trades, frame)
+        salted = candles_salted(trades, frame, salt_buckets=8)
+        assert plain.exceptAll(salted).count() == 0
+        assert salted.exceptAll(plain).count() == 0
+
+
 def test_recent_n_is_suffix_of_range(mf):
     store = CandleStore(mf)
     all_days = store.get_candles("click", "DAY").collect()
