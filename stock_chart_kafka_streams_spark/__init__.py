@@ -21,10 +21,12 @@ from stock_chart_kafka_streams_spark.functions.timeframes import (
 )
 from stock_chart_kafka_streams_spark.operators.candles import (
     candles,
+    candles_salted,
     multi_frame_candles,
     rollup_candles,
 )
 from stock_chart_kafka_streams_spark.plans.query_api import CandleStore
+from stock_chart_kafka_streams_spark.plans.sql_surface import register_views
 from stock_chart_kafka_streams_spark.session import get_spark, tune_session
 from stock_chart_kafka_streams_spark.sources.trades import (
     load_trades,
@@ -37,9 +39,11 @@ __all__ = [
     "bucket_end",
     "bucket_start",
     "candles",
+    "candles_salted",
     "get_spark",
     "load_trades",
     "multi_frame_candles",
+    "register_views",
     "rollup_candles",
     "trades_from_events",
     "tune_session",
