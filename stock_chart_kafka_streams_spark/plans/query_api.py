@@ -93,6 +93,10 @@ class CandleStore:
         max bucket_start for that (symbol, frame) — the engine keeps
         wall-clock out of the data path (SURVEY §2.7 Q3); pass ``now``
         explicitly for the reference's now()-anchored behavior."""
+        if frame not in FRAMES:
+            raise ValueError(f"unknown time frame {frame!r}")
+        if n <= 0:
+            raise ValueError(f"n must be positive, got {n}")
         base = self._df.where(
             (F.col("symbol") == symbol) & (F.col("time_frame") == frame)
         )
@@ -124,6 +128,8 @@ class CandleStore:
         ``CandleStickService.kt:210-246``). Equality filter on a
         make_timestamp — partition pruning + min/max stats make this a
         point scan, replacing the Redis key build."""
+        if frame not in FRAMES:
+            raise ValueError(f"unknown time frame {frame!r}")
         key = F.make_timestamp(
             F.lit(year), F.lit(month), F.lit(day), F.lit(hour), F.lit(minute), F.lit(0)
         )

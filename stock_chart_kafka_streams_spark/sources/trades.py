@@ -81,6 +81,35 @@ def read_trades_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_trades_csv(spark: SparkSession, path: str, header: bool = True) -> DataFrame:
+    """Trade-shaped CSV with the declared schema (no inference pass —
+    a second full scan at 100 TB is never acceptable). Malformed rows
+    null out under the default PERMISSIVE mode and are dropped (P5)."""
+    tune_session(spark)
+    df = (
+        spark.read.schema(KAFKA_TRADE_JSON_SCHEMA)
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+    return df.where(
+        F.col("symbol").isNotNull()
+        & F.col("price").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+
+
+def read_trades_json(spark: SparkSession, path: str) -> DataFrame:
+    """Trade-shaped JSON-lines files (batch twin of the streaming JSON
+    source); corrupt lines decode to nulls and are dropped (P5)."""
+    tune_session(spark)
+    df = spark.read.schema(KAFKA_TRADE_JSON_SCHEMA).json(path)
+    return df.where(
+        F.col("symbol").isNotNull()
+        & F.col("price").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+
+
 def decode_kafka_trades(raw: DataFrame) -> DataFrame:
     """Decode Kafka-shaped records (binary ``value`` column, JSON payload)
     into trades. Works on both batch and streaming frames, so the parse +

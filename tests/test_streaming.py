@@ -92,6 +92,22 @@ FROM kept GROUP BY symbol, date_trunc('minute', ts)
     assert out.count() <= full.count()
 
 
+def test_cascade_frames_consistent_with_streamed_minutes(spark):
+    """The foreachBatch cascade recomputes hour/day/month from the stored
+    minute candles, so the coarse frames must equal a batch rollup of the
+    exact minute set the stream emitted (whatever the watermark dropped)."""
+    from stock_chart_kafka_streams_spark.operators.candles import rollup_candles
+
+    trades = late_replay_trades(spark, SF_DIR, batch_size=250)
+    out = replay_candles(spark, trades, frames=["MINUTE", "HOUR", "DAY"]).cache()
+    minutes = out.where(F.col("time_frame") == "MINUTE")
+    for frame in ["HOUR", "DAY"]:
+        streamed = out.where(F.col("time_frame") == frame)
+        rolled = rollup_candles(minutes, frame)
+        assert streamed.exceptAll(rolled).count() == 0, frame
+        assert rolled.exceptAll(streamed).count() == 0, frame
+
+
 def test_upsert_idempotent_and_newer_wins(spark, tmp_path):
     table = str(tmp_path / "serving")
     base = candles(load_trades(spark, SF_DIR), "MINUTE").limit(200).localCheckpoint()
