@@ -569,6 +569,7 @@ ORDER BY bucket_start
         "t1_text_features": f"""
 SELECT doc_id,
        {_tx.token_count_sql('text')} AS n_tokens,
+       {_tx.token_count_bpe_sql('text')} AS n_tokens_bpe,
        {_tx.quality_score_sql('text')} AS quality,
        {_tx.lang_id_sql('text')} AS lang_pred,
        {_tx.fingerprint_sql('text')} AS fingerprint

@@ -44,8 +44,21 @@ def tokens(text: Column | str = "text") -> Column:
 
 
 def token_count(text: Column | str = "text") -> Column:
-    """Whitespace/punctuation token count (BPE-ish proxy: alnum runs)."""
+    """Whitespace/punctuation token count (alphanumeric runs)."""
     return F.size(tokens(text))
+
+
+# GPT-style pre-tokenizer shape: space-prefixed letter runs, digit runs,
+# punctuation runs, whitespace runs. Same pattern in Java regex and RE2.
+BPE_TOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+|\s+"
+
+
+def token_count_bpe(text: Column | str = "text") -> Column:
+    """BPE-ish token count: non-overlapping matches of the GPT-style
+    pre-tokenizer regex over lowercased text — the standard cheap proxy
+    for LLM token budgets when no tokenizer vocab is available."""
+    lowered = F.lower(F.col(text) if isinstance(text, str) else text)
+    return F.regexp_count(lowered, F.lit(BPE_TOKEN_RE))
 
 
 def _stop_hits(toks: Column, words: list[str]) -> Column:
@@ -113,6 +126,7 @@ def text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id",
         token_count(text_col).alias("n_tokens"),
+        token_count_bpe(text_col).alias("n_tokens_bpe"),
         quality_score(text_col).alias("quality"),
         lang_id(text_col).alias("lang_pred"),
         fingerprint(text_col).alias("fingerprint"),
@@ -135,6 +149,10 @@ def _stop_hits_sql(toks_sql: str, words: list[str]) -> str:
 
 def token_count_sql(col: str = "text") -> str:
     return f"len({TOKENS_SQL.format(col=col)})"
+
+
+def token_count_bpe_sql(col: str = "text") -> str:
+    return f"len(regexp_extract_all(lower({col}), '{BPE_TOKEN_RE}'))"
 
 
 def quality_score_sql(col: str = "text") -> str:

@@ -163,6 +163,22 @@ GROUP BY CUBE (symbol, date_trunc('day', ts))
 """
 
 
+def approx_daily_stats(trades: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """Sketch-based daily statistics: HyperLogLog++ distinct prices and
+    approximate percentiles. The constant-memory path for 100 TB cardinality
+    and quantile estimation (exact variants: daily_price_stats). No SQL
+    oracle — sketches are implementation-defined; accuracy is bounded by
+    tests against the exact aggregates instead."""
+    day = F.date_trunc("day", "ts").alias("day")
+    return trades.groupBy("symbol", day).agg(
+        F.approx_count_distinct("price", rsd).alias("approx_distinct_prices"),
+        F.percentile_approx("price", F.lit(0.5), F.lit(10_000)).alias(
+            "approx_median_price"
+        ),
+        F.count("*").alias("n_trades"),
+    )
+
+
 def daily_price_stats(trades: DataFrame) -> DataFrame:
     """Exact order statistics per (symbol, day): median price plus exact
     p10/p90 (interpolated continuous percentiles — matches DuckDB's

@@ -98,6 +98,34 @@ def streaming_session_candles(
     )
 
 
+def streaming_hopping_candles(
+    trades: DataFrame,
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Watermarked overlapping-window OHLCV (the hopping windows the
+    reference's docs discuss but never use): each trade contributes to
+    size/slide windows; append mode emits each window once on close."""
+    from stock_chart_kafka_streams_spark.functions.ohlcv import ohlcv_aggs as _aggs
+
+    return (
+        trades.withWatermark("ts", watermark_delay)
+        .groupBy("symbol", F.window("ts", size, slide).alias("w"))
+        .agg(*_aggs())
+        .select(
+            "symbol",
+            F.col("w.start").alias("bucket_start"),
+            F.col("w.end").alias("bucket_end"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
 def cascade_upsert(path: str, frames: list[str] | None = None):
     """``foreachBatch`` hook: upsert the batch's closed minute candles,
     then recompute every coarse bucket those minutes touch by rolling up
