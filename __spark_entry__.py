@@ -564,8 +564,10 @@ ORDER BY bucket_start
         "d4_simhash": _dd.simhash_sql(),
         "d5_embedding_neardup": _sim.embedding_neardup_sql(threshold=0.99),
         "s1_cosine_topk": _sim.cosine_topk_sql(k=10, query_pred="vec_id < 5"),
-        # s2_lsh_ann_topk: approximate operator, rows-only (recall is
-        # property-tested against s1 in tests/test_similarity.py)
+        # s2's hyperplanes are md5-derived CONSTANTS, so the approximate
+        # LSH result is itself exactly reproducible in SQL; only s3 (IVF,
+        # iterative k-means) stays rows-only.
+        "s2_lsh_ann_topk": _sim.lsh_topk_sql(k=10, query_pred="vec_id < 5"),
         "t1_text_features": f"""
 SELECT doc_id,
        {_tx.token_count_sql('text')} AS n_tokens,

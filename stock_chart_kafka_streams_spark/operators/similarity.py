@@ -105,27 +105,98 @@ SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <
 # ---------------------------------------------------------------------------
 
 
+def srp_signs(table_idx: int, bit: int, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic ±1 hyperplane for (table, bit): sign i is the parity
+    of the first md5 hex digit of ``"t:bit:i"``. Computed driver-side as
+    CONSTANTS, so both the Spark expression and the SQL twin are the same
+    literal arithmetic — no in-engine hashing, bit-identical projections."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{table_idx}:{bit}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for i in range(dim)
+    ]
+
+
 def _srp_code(vec: Column, table_idx: int, n_bits: int, dim: int) -> Column:
-    """Sign-random-projection code: bit j = sign(Σ_i ±1 · v_i) where the
-    ±1 pattern is a deterministic hash of (table, bit, dim index)."""
+    """SRP code: bit j = [Σ_i sign_ji · v_i > 0], signs from srp_signs.
+    The projection is a left-associated chain of +, matching the SQL twin
+    term-for-term."""
     bits = []
     for j in range(n_bits):
-        terms = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, i: F.when(
-                    F.pmod(F.xxhash64(F.lit(table_idx), F.lit(j), i), 2) == 0, x
-                ).otherwise(-x),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(terms > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+        signs = srp_signs(table_idx, j, dim)
+        proj = None
+        for i, s in enumerate(signs):
+            term = F.element_at(vec, i + 1) * F.lit(s)
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
     code = bits[0]
     for b in bits[1:]:
         code = code + b
     return code
+
+
+def _srp_code_sql(vec_sql: str, table_idx: int, n_bits: int, dim: int) -> str:
+    parts = []
+    for j in range(n_bits):
+        signs = srp_signs(table_idx, j, dim)
+        proj = " + ".join(
+            f"{vec_sql}[{i + 1}]*{'1.0' if s > 0 else '-1.0'}"
+            for i, s in enumerate(signs)
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def lsh_topk_sql(
+    table: str = "embeddings",
+    k: int = 10,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    query_pred: str = "vec_id < 5",
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of lsh_topk with the same constant hyperplanes."""
+    dot = "list_sum(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]))".format
+    c_codes = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {t} AS t, {_srp_code_sql('v', t, n_bits, dim)} AS code FROM e"
+        for t in range(n_tables)
+    )
+    q_codes = "\n    UNION ALL\n    ".join(
+        f"SELECT query_id, {t} AS t, {_srp_code_sql('v', t, n_bits, dim)} AS code FROM q"
+        for t in range(n_tables)
+    )
+    d_qc = dot(n=dim + 1, a="qe.v", b="ce.v")
+    d_qq = dot(n=dim + 1, a="qe.v", b="qe.v")
+    d_cc = dot(n=dim + 1, a="ce.v", b="ce.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE {query_pred}),
+ccodes AS (
+    {c_codes}
+),
+qcodes AS (
+    {q_codes}
+),
+cands AS (
+    SELECT DISTINCT qc.query_id, cc.vec_id
+    FROM ccodes cc JOIN qcodes qc ON cc.t = qc.t AND cc.code = qc.code
+),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) AS cos
+    FROM cands c
+    JOIN q qe ON qe.query_id = c.query_id
+    JOIN e ce ON ce.vec_id = c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def lsh_topk(

@@ -13,7 +13,7 @@ ORACLES = entry_mod.oracle_sql()
 def test_every_query_has_an_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
     # approximate / non-SQL-expressible ops may be rows-only; explicit list
-    allowed_rows_only = {"s2_lsh_ann_topk", "s3_ivf_ann_topk"}
+    allowed_rows_only = {"s3_ivf_ann_topk"}
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
 
 
