@@ -329,6 +329,36 @@ def _i1_sql() -> str:
     return with_indicators_sql(_candle_sql("HOUR"))
 
 
+def _q_w5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over bucket sets (absent from the reference,
+    SURVEY §2.6): minute buckets where 'click' traded but 'error' did not
+    (EXCEPT) and where both traded (INTERSECT), tagged and unioned."""
+    m = candles(load_trades(spark, sf_dir), "MINUTE")
+    click = m.where(F.col("symbol") == "click").select("bucket_start")
+    error = m.where(F.col("symbol") == "error").select("bucket_start")
+    only = click.exceptAll(error).withColumn("tag", F.lit("click_only"))
+    both = click.intersect(error).withColumn("tag", F.lit("both"))
+    return only.unionByName(both)
+
+
+_W5_SQL = """
+WITH """ + _TRADES_CTE.strip() + """,
+m AS (
+    SELECT symbol, CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start
+    FROM trades GROUP BY 1, 2
+),
+click AS (SELECT bucket_start FROM m WHERE symbol = 'click'),
+error AS (SELECT bucket_start FROM m WHERE symbol = 'error')
+SELECT bucket_start, 'click_only' AS tag FROM (
+    SELECT bucket_start FROM click EXCEPT SELECT bucket_start FROM error
+)
+UNION ALL
+SELECT bucket_start, 'both' AS tag FROM (
+    SELECT bucket_start FROM click INTERSECT SELECT bucket_start FROM error
+)
+"""
+
+
 def _q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.joins import revenue_by_nation
 
@@ -489,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_hopping_windows": _q_w2,
         "w3_volume_cube": _q_w3,
         "w4_daily_price_stats": _q_w4,
+        "w5_set_ops": _q_w5,
         "j1_revenue_by_nation": _q_j1,
         "j2_pricing_summary": _q_j2,
         "d1_dedup_exact": _q_d1,
@@ -556,6 +587,7 @@ ORDER BY bucket_start
         "w2_hopping_windows": _wx.hopping_candles_sql(_TRADES_CTE.strip()),
         "w3_volume_cube": _wx.volume_cube_sql(_TRADES_CTE.strip()),
         "w4_daily_price_stats": _wx.daily_price_stats_sql(_TRADES_CTE.strip()),
+        "w5_set_ops": _W5_SQL,
         "j1_revenue_by_nation": _joins.REVENUE_BY_NATION_SQL,
         "j2_pricing_summary": _joins.PRICING_SUMMARY_SQL,
         "d1_dedup_exact": _dd.dedup_exact_sql(),

@@ -68,14 +68,16 @@ def candles_salted(
 ) -> DataFrame:
     """Two-phase OHLCV for pathologically hot (symbol, bucket) keys.
 
-    The normal plan already spreads a hot symbol across its time buckets
-    and does map-side partial aggregation, so salting is rarely needed —
-    but when one (symbol, bucket) pair alone overwhelms a reducer (e.g. a
-    single instrument bursting millions of trades within one minute),
-    phase 1 aggregates (symbol, bucket, salt) partials carrying explicit
-    first/last event times, and phase 2 merges the ≤ salt_buckets partials
-    per key. Exactly equal to ``candles()`` by OHLCV associativity
-    (tested), at the cost of a second (tiny) shuffle.
+    Measured honesty: for THIS aggregation salting is usually unnecessary —
+    OHLCV is algebraic, so Spark's map-side partial aggregation already
+    collapses a hot key to one partial row per input partition (a 5M-row
+    95%-one-key local test ran FASTER unsalted: 0.8s vs 1.4s). Salting
+    earns its keep when partial aggregation cannot help: holistic
+    aggregates bolted onto the candle frame (collect_list of trades, exact
+    per-bucket medians), or partial-agg-disabled plans. Phase 1 aggregates
+    (symbol, bucket, salt) partials carrying explicit first/last event
+    times; phase 2 merges the ≤ salt_buckets partials per key. Exactly
+    equal to ``candles()`` by associativity (tested).
     """
     if frame not in FRAMES:
         raise ValueError(f"unknown time frame {frame!r}; expected one of {list(FRAMES)}")
