@@ -496,6 +496,29 @@ def _q_mm2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media_from_documents(_docs(spark, sf_dir)))
 
 
+def _q_mm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.multimodal import (
+        media_from_documents,
+        resize_media,
+    )
+
+    return resize_media(media_from_documents(_docs(spark, sf_dir)))
+
+
+def _q_mm4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        media_from_documents,
+    )
+
+    feats = extract_features(media_from_documents(_docs(spark, sf_dir)))
+    return feats.select(
+        "media_id",
+        *[F.element_at("feature", i + 1).alias(f"f{i}") for i in range(FEATURE_DIM)],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.8."""
     return {
@@ -533,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_text_features": _q_t1,
         "mm1_decode_media": _q_mm1,
         "mm2_frame_sample": _q_mm2,
+        "mm3_resize": _q_mm3,
+        "mm4_features": _q_mm4,
     }
 
 
@@ -611,4 +636,6 @@ FROM documents
 """,
         "mm1_decode_media": _mm.decode_media_sql(),
         "mm2_frame_sample": _mm.sample_frames_sql(),
+        "mm3_resize": _mm.resize_media_sql(),
+        "mm4_features": _mm.extract_features_sql(),
     }

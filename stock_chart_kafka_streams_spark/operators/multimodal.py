@@ -153,6 +153,104 @@ FROM media
 """
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("target_w", T.LongType()),
+        T.StructField("target_h", T.LongType()),
+        T.StructField("resized_sha", T.StringType()),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize stub for image payloads: a real implementation decodes,
+    resamples, and re-encodes; the stub derives the output digest from the
+    input digest + target size, keeping the per-row Arrow plumbing and the
+    image-only filter real."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for mid, mt, p in zip(pdf["media_id"], pdf["media_type"], pdf["payload"]):
+                if mt != "image":
+                    continue
+                sha = _hl.sha256(bytes(p)).hexdigest()
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "target_w": width,
+                        "target_h": height,
+                        "resized_sha": _hl.sha256(
+                            f"{sha}:{width}x{height}".encode()
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "target_w", "target_h", "resized_sha"]
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def resize_media_sql(width: int = 64, height: int = 64) -> str:
+    return f"""
+WITH {MEDIA_FROM_DOCUMENTS_CTE}
+SELECT media_id,
+       CAST({width} AS BIGINT) AS target_w,
+       CAST({height} AS BIGINT) AS target_h,
+       sha256(sha256(payload_text) || ':{width}x{height}') AS resized_sha
+FROM media WHERE media_type = 'image'
+"""
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature-extraction stub: an 8-dim embedding derived from the
+    payload's sha256 bytes (each pair of hex digits scaled to [0,1]) —
+    stands in for a real vision/audio encoder while keeping the
+    binary-in, vector-out Arrow dataflow and output schema real."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                sha = _hl.sha256(bytes(p)).hexdigest()
+                vec = [int(sha[2 * i : 2 * i + 2], 16) / 255.0 for i in range(FEATURE_DIM)]
+                rows.append({"media_id": int(mid), "feature": vec})
+            yield pd.DataFrame(rows, columns=["media_id", "feature"])
+
+    return media.mapInPandas(_feat, schema=FEATURES_SCHEMA)
+
+
+def extract_features_sql() -> str:
+    """Twin projecting each feature dimension to its own DOUBLE column
+    (float-vs-string formatting differs across engines; bare doubles
+    compare safely under the oracle's 9dp rounding)."""
+    terms = ", ".join(
+        f"('0x' || substr(sha, {2 * i + 1}, 2))::BIGINT / 255.0 AS f{i}"
+        for i in range(FEATURE_DIM)
+    )
+    return f"""
+WITH {MEDIA_FROM_DOCUMENTS_CTE},
+hashed AS (SELECT media_id, sha256(payload_text) AS sha FROM media)
+SELECT media_id, {terms}
+FROM hashed
+"""
+
+
 def sample_frames(media: DataFrame) -> DataFrame:
     """Frame-sampling stub for video payloads: n_frames from payload size,
     up to MAX_SAMPLED_FRAMES per-frame digests chained off the payload md5
