@@ -9,7 +9,15 @@ Column aliases match exactly between the two sides.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Make the engine importable even when this module is loaded by file path
+# without the repo on sys.path.
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -359,6 +367,30 @@ SELECT bucket_start, 'both' AS tag FROM (
 """
 
 
+def _q_w6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy subtotals (symbol -> symbol×day -> grand total),
+    the ordered sibling of w3's CUBE."""
+    t = load_trades(spark, sf_dir)
+    day = F.date_trunc("day", "ts").alias("day")
+    return t.rollup("symbol", day).agg(
+        F.grouping_id().alias("grp"),
+        F.sum("quantity").alias("volume"),
+        F.count("*").alias("n_trades"),
+    )
+
+
+_W6_SQL = """
+WITH """ + _TRADES_CTE.strip() + """
+SELECT symbol,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(GROUPING(symbol) * 2 + GROUPING(date_trunc('day', ts)) AS BIGINT) AS grp,
+       CAST(sum(quantity) AS BIGINT) AS volume,
+       CAST(count(*) AS BIGINT) AS n_trades
+FROM trades
+GROUP BY ROLLUP (symbol, date_trunc('day', ts))
+"""
+
+
 def _q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.joins import revenue_by_nation
 
@@ -543,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_volume_cube": _q_w3,
         "w4_daily_price_stats": _q_w4,
         "w5_set_ops": _q_w5,
+        "w6_rollup_totals": _q_w6,
         "j1_revenue_by_nation": _q_j1,
         "j2_pricing_summary": _q_j2,
         "d1_dedup_exact": _q_d1,
@@ -613,6 +646,7 @@ ORDER BY bucket_start
         "w3_volume_cube": _wx.volume_cube_sql(_TRADES_CTE.strip()),
         "w4_daily_price_stats": _wx.daily_price_stats_sql(_TRADES_CTE.strip()),
         "w5_set_ops": _W5_SQL,
+        "w6_rollup_totals": _W6_SQL,
         "j1_revenue_by_nation": _joins.REVENUE_BY_NATION_SQL,
         "j2_pricing_summary": _joins.PRICING_SUMMARY_SQL,
         "d1_dedup_exact": _dd.dedup_exact_sql(),
