@@ -433,13 +433,18 @@ def _q_w4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-file single-row-group inputs arrive as ONE partition; the
+    # dedup/text operators are CPU-bound per row, so spread them — at real
+    # scale the source is many files and this is a no-op-sized shuffle.
     tune_session(spark)
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune_session(spark)
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _q_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
