@@ -403,6 +403,12 @@ def _q_j2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(spark, sf_dir)
 
 
+def _q_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.joins import prev_close_enrichment
+
+    return prev_close_enrichment(spark, sf_dir)
+
+
 def _q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.windows_ext import session_candles
 
@@ -583,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_rollup_totals": _q_w6,
         "j1_revenue_by_nation": _q_j1,
         "j2_pricing_summary": _q_j2,
+        "j3_asof_prev_close": _q_j3,
         "d1_dedup_exact": _q_d1,
         "d2_dedup_minhash_lsh": _q_d2,
         "d3_ngram_jaccard_pairs": _q_d3,
@@ -654,6 +661,7 @@ ORDER BY bucket_start
         "w6_rollup_totals": _W6_SQL,
         "j1_revenue_by_nation": _joins.REVENUE_BY_NATION_SQL,
         "j2_pricing_summary": _joins.PRICING_SUMMARY_SQL,
+        "j3_asof_prev_close": _joins.prev_close_enrichment_sql(_TRADES_CTE.strip()),
         "d1_dedup_exact": _dd.dedup_exact_sql(),
         "d2_dedup_minhash_lsh": _dd.dedup_minhash_sql(),
         "d3_ngram_jaccard_pairs": _dd.ngram_jaccard_pairs_sql(threshold=0.5),

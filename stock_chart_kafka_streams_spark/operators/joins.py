@@ -114,3 +114,128 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    payload: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: enrich each ``left`` row with the payload of the
+    latest ``right`` row whose ``right_ts`` <= ``left_ts``, per ``on`` key.
+
+    The canonical time-series join the reference's domain implies (price vs.
+    last completed candle) but never implements (SURVEY §2.6 — no joins of
+    any kind). Matches DuckDB ``ASOF LEFT JOIN .. ON l.key = r.key AND
+    l.ts >= r.ts`` and pandas ``merge_asof(direction="backward")``.
+
+    Implementation — union + running ``last(ignorenulls)`` — NOT a range
+    join: both sides are tagged and unioned, sorted once per key on
+    (timestamp, side) with right rows winning timestamp ties (>= semantics),
+    and the right payload is carried forward by a running window. Cost is
+    ONE hash-partition shuffle on ``on`` plus one sort — linear in
+    |left| + |right|, with none of the candidate-pair explosion of the
+    naive ``l.ts >= r.ts`` theta-join (which Spark plans as
+    BroadcastNestedLoop for non-equi conditions).
+
+    Scale posture: the window partitions by ``on`` alone, so one key's full
+    history lands in one task. For hot keys, pre-split by a coarse
+    time bucket and as-of join within buckets (carrying the previous
+    bucket's last right row forward); for the candle-enrichment use this
+    engine needs, key cardinality = symbols and rows-per-key = trades/symbol,
+    which sorts in-memory per task at any realistic symbol count.
+
+    ``right`` must be unique per (``on``, ``right_ts``) — e.g. a candle
+    frame keyed by bucket — otherwise which tied right row wins is
+    plan-dependent.
+    """
+    from pyspark.sql.window import Window
+
+    payload = payload if payload is not None else [
+        c for c in right.columns if c not in set(on) | {right_ts}
+    ]
+    left_payload = [c for c in left.columns if c not in on]
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+
+    u_left = left.select(
+        *on,
+        F.col(left_ts).alias("__asof_ts"),
+        F.lit(0).alias("__asof_side"),
+        *left_payload,
+        *[F.lit(None).cast(rtypes[c]).alias(f"__asof_{c}") for c in payload],
+    )
+    u_right = right.select(
+        *on,
+        F.col(right_ts).alias("__asof_ts"),
+        F.lit(1).alias("__asof_side"),
+        *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_payload],
+        *[F.col(c).alias(f"__asof_{c}") for c in payload],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u_left.unionByName(u_right)
+        .select(
+            *on,
+            *left_payload,
+            F.col("__asof_side"),
+            *[
+                F.last(f"__asof_{c}", ignorenulls=True).over(w).alias(c)
+                for c in payload
+            ],
+        )
+        .where(F.col("__asof_side") == 0)
+        .drop("__asof_side")
+    )
+
+
+def prev_close_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich every trade with the close (and bucket) of the most recent
+    COMPLETED minute candle — i.e. as-of join trades against minute candles
+    on ``bucket_end <= ts``. Trades before their symbol's first completed
+    candle get nulls (left join)."""
+    from stock_chart_kafka_streams_spark.operators.candles import candles
+    from stock_chart_kafka_streams_spark.sources.trades import load_trades
+
+    trades = load_trades(spark, sf_dir)
+    mc = candles(trades, "MINUTE").select(
+        "symbol",
+        F.col("bucket_end"),
+        F.col("close").alias("prev_close"),
+        F.col("bucket_start").alias("prev_bucket_start"),
+    )
+    return asof_join(
+        trades.select("symbol", "ts", "price"),
+        mc,
+        on=["symbol"],
+        left_ts="ts",
+        right_ts="bucket_end",
+        payload=["prev_close", "prev_bucket_start"],
+    )
+
+
+def prev_close_enrichment_sql(trades_cte: str) -> str:
+    """DuckDB oracle twin of :func:`prev_close_enrichment` — the native
+    ``ASOF LEFT JOIN`` against the same minute-candle derivation."""
+    return f"""
+WITH {trades_cte},
+minute_candles AS (
+    SELECT symbol,
+           date_trunc('minute', ts) AS bucket_start,
+           date_trunc('minute', ts) + INTERVAL 1 MINUTE AS bucket_end,
+           arg_max(price, ts) AS cls
+    FROM trades GROUP BY 1, 2
+)
+SELECT t.symbol, t.ts, t.price,
+       c.cls AS prev_close, c.bucket_start AS prev_bucket_start
+FROM trades t
+ASOF LEFT JOIN minute_candles c
+  ON t.symbol = c.symbol AND t.ts >= c.bucket_end
+"""

@@ -1,0 +1,107 @@
+"""asof_join: backward as-of semantics vs. a brute-force theta-join.
+
+The operator (operators/joins.py::asof_join) is the union+running-last
+plan; the brute force here is the semantic definition — for each left row,
+the right row with the greatest right_ts <= left_ts per key. They must
+agree exactly, including timestamp ties (>= semantics: a right row AT the
+left timestamp matches) and left rows with no match (nulls).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.operators.joins import asof_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    left = spark.createDataFrame(
+        [
+            ("A", _ts(0.5), 10.0),   # before any right row for A -> nulls
+            ("A", _ts(2.0), 11.0),   # tie: right row exactly at 2.0 matches
+            ("A", _ts(3.7), 12.0),
+            ("B", _ts(1.0), 20.0),
+            ("B", _ts(9.0), 21.0),
+            ("C", _ts(5.0), 30.0),   # key with no right rows at all
+        ],
+        "symbol string, ts timestamp, price double",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts(1.0), 100.0),
+            ("A", _ts(2.0), 101.0),
+            ("A", _ts(3.0), 102.0),
+            ("B", _ts(0.0), 200.0),
+            ("B", _ts(8.0), 201.0),
+        ],
+        "symbol string, rts timestamp, ref double",
+    )
+    return left, right
+
+
+def _brute_force(left, right):
+    """Greatest right_ts <= left_ts per key, via theta-join + max(struct)."""
+    j = left.join(
+        right,
+        (left["symbol"] == right["symbol"]) & (right["rts"] <= left["ts"]),
+        "left",
+    ).select(
+        left["symbol"], left["ts"], left["price"], right["rts"], right["ref"]
+    )
+    return (
+        j.groupBy("symbol", "ts", "price")
+        .agg(F.max(F.struct("rts", "ref")).alias("best"))
+        .select("symbol", "ts", "price", F.col("best.ref").alias("ref"))
+    )
+
+
+def test_asof_matches_brute_force(sides):
+    left, right = sides
+    got = asof_join(left, right, on=["symbol"], left_ts="ts", right_ts="rts")
+    want = _brute_force(left, right)
+    key = lambda r: (r["symbol"], r["ts"])
+    got_rows = {key(r): r.asDict() for r in got.collect()}
+    want_rows = {key(r): r.asDict() for r in want.collect()}
+    assert set(got_rows) == set(want_rows) and len(got_rows) == left.count()
+    for k, w in want_rows.items():
+        assert got_rows[k]["ref"] == w["ref"], k
+
+
+def test_asof_tie_and_null_semantics(sides):
+    left, right = sides
+    rows = {
+        (r["symbol"], r["ts"]): r
+        for r in asof_join(
+            left, right, on=["symbol"], left_ts="ts", right_ts="rts",
+            payload=["rts", "ref"],
+        ).collect()
+    }
+    assert rows[("A", _ts(0.5))]["ref"] is None          # before first right row
+    assert rows[("A", _ts(2.0))]["ref"] == 101.0         # >= tie matches
+    assert rows[("A", _ts(3.7))]["ref"] == 102.0
+    assert rows[("C", _ts(5.0))]["ref"] is None          # key absent on right
+    assert rows[("C", _ts(5.0))]["rts"] is None
+
+
+def test_asof_plan_has_no_nested_loop(sides):
+    """The whole point: the plan must be shuffle+sort+window, never a
+    BroadcastNestedLoopJoin over the non-equi condition."""
+    left, right = sides
+    plan = (
+        asof_join(left, right, on=["symbol"], left_ts="ts", right_ts="rts")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan
+    assert "Window" in plan
