@@ -409,6 +409,14 @@ def _q_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prev_close_enrichment(spark, sf_dir)
 
 
+def _q_j4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.joins import (
+        open_order_backlog_by_day,
+    )
+
+    return open_order_backlog_by_day(spark, sf_dir)
+
+
 def _q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.windows_ext import session_candles
 
@@ -590,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_revenue_by_nation": _q_j1,
         "j2_pricing_summary": _q_j2,
         "j3_asof_prev_close": _q_j3,
+        "j4_backlog_by_day": _q_j4,
         "d1_dedup_exact": _q_d1,
         "d2_dedup_minhash_lsh": _q_d2,
         "d3_ngram_jaccard_pairs": _q_d3,
@@ -662,6 +671,7 @@ ORDER BY bucket_start
         "j1_revenue_by_nation": _joins.REVENUE_BY_NATION_SQL,
         "j2_pricing_summary": _joins.PRICING_SUMMARY_SQL,
         "j3_asof_prev_close": _joins.prev_close_enrichment_sql(_TRADES_CTE.strip()),
+        "j4_backlog_by_day": _joins.OPEN_ORDER_BACKLOG_SQL,
         "d1_dedup_exact": _dd.dedup_exact_sql(),
         "d2_dedup_minhash_lsh": _dd.dedup_minhash_sql(),
         "d3_ngram_jaccard_pairs": _dd.ngram_jaccard_pairs_sql(threshold=0.5),

@@ -239,3 +239,72 @@ FROM trades t
 ASOF LEFT JOIN minute_candles c
   ON t.symbol = c.symbol AND t.ts >= c.bucket_end
 """
+
+
+def open_order_backlog_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily backlog: for each day, how many lineitems were ordered but not
+    yet shipped (30-day horizon) and how much quantity they represent.
+
+    The scalable pattern for point-in-interval analytics: instead of a
+    non-equi range join (calendar ⋈ [start, end] — BroadcastNestedLoop in
+    Spark), each interval EXPLODES into its member days via
+    ``sequence(start, end, interval 1 day)`` and a plain groupBy counts
+    them. Row expansion is bounded by the horizon (≤30×), the explode is
+    map-side (no shuffle), and the single shuffle is the final small
+    groupBy on day. The horizon cap is what makes this safe at 100 TB —
+    unbounded interval lengths would need the bucketed-range-join variant.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.date_trunc("day", "o_orderdate").alias("o_day"),
+            F.date_trunc("day", "l_shipdate").alias("ship_day"),
+            F.col("l_quantity"),
+        )
+        .where(F.col("ship_day") > F.col("o_day"))
+    )
+    day = F.explode(
+        F.sequence(
+            F.col("o_day"),
+            F.least(
+                F.col("ship_day") - F.expr("INTERVAL 1 DAY"),
+                F.col("o_day") + F.expr("INTERVAL 29 DAY"),
+            ),
+            F.expr("INTERVAL 1 DAY"),
+        )
+    ).alias("day")
+    return (
+        j.select(day, "l_quantity")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_open"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty_open"),
+        )
+    )
+
+
+OPEN_ORDER_BACKLOG_SQL = """
+WITH intervals AS (
+    SELECT date_trunc('day', o.o_orderdate) AS o_day,
+           date_trunc('day', l.l_shipdate) AS ship_day,
+           l.l_quantity
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE date_trunc('day', l.l_shipdate) > date_trunc('day', o.o_orderdate)
+),
+days AS (
+    SELECT unnest(generate_series(
+               o_day,
+               least(ship_day - INTERVAL 1 DAY, o_day + INTERVAL 29 DAY),
+               INTERVAL 1 DAY)) AS day,
+           l_quantity
+    FROM intervals
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_open,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_open
+FROM days
+GROUP BY 1
+"""
