@@ -25,6 +25,7 @@ from stock_chart_kafka_streams_spark.operators.candles import (
     multi_frame_candles,
     rollup_candles,
 )
+from stock_chart_kafka_streams_spark.operators.joins import asof_join
 from stock_chart_kafka_streams_spark.plans.query_api import CandleStore
 from stock_chart_kafka_streams_spark.plans.sql_surface import register_views
 from stock_chart_kafka_streams_spark.session import get_spark, tune_session
@@ -36,6 +37,7 @@ from stock_chart_kafka_streams_spark.sources.trades import (
 __all__ = [
     "FRAMES",
     "CandleStore",
+    "asof_join",
     "bucket_end",
     "bucket_start",
     "candles",
