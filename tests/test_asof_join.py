@@ -105,3 +105,21 @@ def test_asof_plan_has_no_nested_loop(sides):
     )
     assert "NestedLoop" not in plan
     assert "Window" in plan
+
+
+def test_backlog_matches_duckdb_oracle(spark, duck):
+    """j4 vs. the DuckDB unnest(generate_series) oracle at sf0.001."""
+    from stock_chart_kafka_streams_spark.operators.joins import (
+        OPEN_ORDER_BACKLOG_SQL,
+        open_order_backlog_by_day,
+    )
+
+    got = {
+        r["day"]: (r["n_open"], r["qty_open"])
+        for r in open_order_backlog_by_day(spark, "/root/testdata/sf0.001").collect()
+    }
+    want = {
+        r.day.to_pydatetime(): (int(r.n_open), int(r.qty_open))
+        for r in duck.sql(OPEN_ORDER_BACKLOG_SQL).df().itertuples()
+    }
+    assert got == want and len(got) > 0
