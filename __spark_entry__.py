@@ -391,6 +391,51 @@ GROUP BY ROLLUP (symbol, date_trunc('day', ts))
 """
 
 
+def _q_w7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.windows_ext import top_volume_days
+
+    return top_volume_days(load_trades(spark, sf_dir), n=3)
+
+
+def _q_w8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        volume_grouping_sets,
+    )
+
+    return volume_grouping_sets(load_trades(spark, sf_dir))
+
+
+def _q_j5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.joins import top_revenue_orders
+
+    return top_revenue_orders(spark, sf_dir)
+
+
+def _q_d6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark) over a
+    deterministic duplicate-injection replay; with an un-evictable
+    watermark the surviving rows must equal batch DISTINCT."""
+    from stock_chart_kafka_streams_spark.streaming.replay import (
+        dup_replay_trades,
+        replay_dedup_stream,
+    )
+
+    tune_session(spark)
+    return replay_dedup_stream(spark, dup_replay_trades(spark, sf_dir, batch_size=1250))
+
+
+_D6_SQL = """
+WITH """ + _TRADES_CTE.strip() + """
+SELECT DISTINCT symbol, price, quantity, ts FROM trades
+"""
+
+
+def _q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.text import language_stats
+
+    return language_stats(_docs(spark, sf_dir))
+
+
 def _q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.joins import revenue_by_nation
 
@@ -595,19 +640,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_daily_price_stats": _q_w4,
         "w5_set_ops": _q_w5,
         "w6_rollup_totals": _q_w6,
+        "w7_top_volume_days": _q_w7,
+        "w8_grouping_sets": _q_w8,
         "j1_revenue_by_nation": _q_j1,
         "j2_pricing_summary": _q_j2,
         "j3_asof_prev_close": _q_j3,
         "j4_backlog_by_day": _q_j4,
+        "j5_top_revenue_orders": _q_j5,
         "d1_dedup_exact": _q_d1,
         "d2_dedup_minhash_lsh": _q_d2,
         "d3_ngram_jaccard_pairs": _q_d3,
         "d4_simhash": _q_d4,
         "d5_embedding_neardup": _q_d5,
+        "d6_streaming_dedup": _q_d6,
         "s1_cosine_topk": _q_s1,
         "s2_lsh_ann_topk": _q_s2,
         "s3_ivf_ann_topk": _q_s3,
         "t1_text_features": _q_t1,
+        "t2_language_stats": _q_t2,
         "mm1_decode_media": _q_mm1,
         "mm2_frame_sample": _q_mm2,
         "mm3_resize": _q_mm3,
@@ -668,15 +718,19 @@ ORDER BY bucket_start
         "w4_daily_price_stats": _wx.daily_price_stats_sql(_TRADES_CTE.strip()),
         "w5_set_ops": _W5_SQL,
         "w6_rollup_totals": _W6_SQL,
+        "w7_top_volume_days": _wx.top_volume_days_sql(_TRADES_CTE.strip(), n=3),
+        "w8_grouping_sets": _wx.volume_grouping_sets_sql(_TRADES_CTE.strip()),
         "j1_revenue_by_nation": _joins.REVENUE_BY_NATION_SQL,
         "j2_pricing_summary": _joins.PRICING_SUMMARY_SQL,
         "j3_asof_prev_close": _joins.prev_close_enrichment_sql(_TRADES_CTE.strip()),
         "j4_backlog_by_day": _joins.OPEN_ORDER_BACKLOG_SQL,
+        "j5_top_revenue_orders": _joins.top_revenue_orders_sql(),
         "d1_dedup_exact": _dd.dedup_exact_sql(),
         "d2_dedup_minhash_lsh": _dd.dedup_minhash_sql(),
         "d3_ngram_jaccard_pairs": _dd.ngram_jaccard_pairs_sql(threshold=0.5),
         "d4_simhash": _dd.simhash_sql(),
         "d5_embedding_neardup": _sim.embedding_neardup_sql(threshold=0.99),
+        "d6_streaming_dedup": _D6_SQL,
         "s1_cosine_topk": _sim.cosine_topk_sql(k=10, query_pred="vec_id < 5"),
         # s2's hyperplanes are md5-derived CONSTANTS, so the approximate
         # LSH result is itself exactly reproducible in SQL; only s3 (IVF,
@@ -691,6 +745,7 @@ SELECT doc_id,
        {_tx.fingerprint_sql('text')} AS fingerprint
 FROM documents
 """,
+        "t2_language_stats": _tx.language_stats_sql(),
         "mm1_decode_media": _mm.decode_media_sql(),
         "mm2_frame_sample": _mm.sample_frames_sql(),
         "mm3_resize": _mm.resize_media_sql(),

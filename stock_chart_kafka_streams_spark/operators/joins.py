@@ -116,6 +116,76 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def top_revenue_orders(
+    spark: SparkSession,
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1995-03-15",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3-shaped top-k: the k highest-revenue orders from one customer
+    segment, ordered before ``cutoff`` with lineitems shipped after it.
+
+    Planning shape this engine wants at 100 TB: the segment filter prunes
+    customer BEFORE the broadcast (semi-join reduction), orders ⋈ lineitem
+    is the one fact-fact shuffle, and the final top-k is a TakeOrdered —
+    per-partition heap + driver merge of k rows, never a global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == segment)
+        .select("c_custkey")
+    )
+    cut = F.lit(cutoff).cast("timestamp")
+    return (
+        li.where(F.col("l_shipdate") > cut)
+        .join(
+            orders.where(F.col("o_orderdate") < cut).join(
+                F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+            ),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents")
+        )
+        .orderBy(
+            F.col("revenue_cents").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(k)
+    )
+
+
+def top_revenue_orders_sql(segment: str = "BUILDING", cutoff: str = "1995-03-15", k: int = 10) -> str:
+    return f"""
+SELECT l.l_orderkey,
+       o.o_orderdate,
+       o.o_orderpriority,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = '{segment}'
+  AND o.o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '{cutoff} 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, o.o_orderdate ASC, l.l_orderkey ASC
+LIMIT {k}
+"""
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -158,6 +228,13 @@ def asof_join(
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
     left_payload = [c for c in left.columns if c not in on]
+    clash = sorted(set(payload) & set(left_payload))
+    if clash:
+        raise ValueError(
+            f"asof_join payload column(s) {clash} already exist on the left "
+            "side; rename them on one side (e.g. right.withColumnRenamed) or "
+            "pass an explicit non-colliding `payload` list"
+        )
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
 

@@ -273,10 +273,12 @@ def ivf_build_centroids(
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
 ) -> list[list[float]]:
-    """Deterministic mini k-means: seed centroids from evenly-spaced corpus
-    vectors (by id order), then run a fixed number of Lloyd iterations as
-    DataFrame jobs. Only the centroids (n_centroids × dim floats) ever
-    reach the driver — assignment and averaging are distributed.
+    """Deterministic mini k-means: seed centroids from the n_centroids
+    corpus vectors that sort first under ``xxhash64(id)`` (a deterministic
+    pseudo-random sample — hash order decorrelates the seeds from id
+    order), then run a fixed number of Lloyd iterations as DataFrame jobs.
+    Only the centroids (n_centroids × dim floats) ever reach the driver —
+    assignment and averaging are distributed.
     """
     c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
     # hash-ordered top-N seeding: orderBy+limit plans as a distributed

@@ -133,6 +133,47 @@ def text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def language_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus rollup per predicted language: doc counts, token totals, and
+    quality mass — the reporting pass a training-data pipeline runs after
+    per-doc feature extraction. Quality (a double in [0,1]) is summed as
+    per-row micro-units (exact integers, order-independent) so the result
+    hash-matches any engine regardless of double accumulation order; the
+    consumer divides by n_docs for the mean."""
+    feats = text_features(docs, text_col)
+    return feats.groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_tokens_bpe").cast("long").alias("total_tokens_bpe"),
+        F.sum(F.round(F.col("quality") * 1_000_000).cast("long")).alias(
+            "sum_quality_micros"
+        ),
+        F.count_distinct("fingerprint").alias("n_unique_fingerprints"),
+    )
+
+
+def language_stats_sql(col: str = "text") -> str:
+    return f"""
+WITH feats AS (
+    SELECT doc_id,
+           {token_count_sql(col)} AS n_tokens,
+           {token_count_bpe_sql(col)} AS n_tokens_bpe,
+           {quality_score_sql(col)} AS quality,
+           {lang_id_sql(col)} AS lang_pred,
+           {fingerprint_sql(col)} AS fingerprint
+    FROM documents
+)
+SELECT lang_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_tokens_bpe) AS BIGINT) AS total_tokens_bpe,
+       CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS sum_quality_micros,
+       CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_unique_fingerprints
+FROM feats
+GROUP BY lang_pred
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL twins (same constants, same arithmetic)
 # ---------------------------------------------------------------------------

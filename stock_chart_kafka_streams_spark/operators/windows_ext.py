@@ -60,7 +60,13 @@ def session_candles(trades: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -
 
 def session_candles_sql(trades_cte: str, gap_minutes: int = SESSION_GAP_MINUTES) -> str:
     """Gaps-and-islands twin: Spark's session start = first event, end =
-    last event + gap."""
+    last event + gap.
+
+    Break comparator is strictly ``> gap``: Spark 4.1 MERGES an event
+    arriving exactly ``gap`` after the previous one into the same session
+    (pinned by tests/test_streaming_sessions.py::
+    test_session_exact_gap_boundary), so only a strictly-greater gap
+    starts a new island."""
     return f"""
 WITH {trades_cte},
 ordered AS (
@@ -160,6 +166,82 @@ SELECT symbol,
        CAST(count(*) AS BIGINT) AS n_trades
 FROM trades
 GROUP BY CUBE (symbol, date_trunc('day', ts))
+"""
+
+
+def top_volume_days(trades: DataFrame, n: int = 3) -> DataFrame:
+    """Top-N trading days per symbol by total volume, with their rank — the
+    ranking/analytic window-function surface the reference lacks entirely
+    (SURVEY §2.6: no rank/lag/top-k anywhere).
+
+    Two-stage plan, both stages JVM-side: a partial-aggregating groupBy to
+    one row per (symbol, day), then row_number over a by-symbol window.
+    The window partitions by symbol AFTER the day-rollup, so each task
+    sorts at most days-per-symbol rows — at 100 TB the heavy input never
+    passes through a window operator, only the ~days×symbols rollup does.
+    Ties break deterministically on earlier day first.
+    """
+    from pyspark.sql.window import Window
+
+    day = F.date_trunc("day", "ts").alias("day")
+    daily = trades.groupBy("symbol", day).agg(
+        F.sum("quantity").alias("volume"),
+        F.count("*").alias("n_trades"),
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("volume").desc(), F.col("day").asc())
+    return daily.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= n)
+
+
+def top_volume_days_sql(trades_cte: str, n: int = 3) -> str:
+    return f"""
+WITH {trades_cte},
+daily AS (
+    SELECT symbol,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(sum(quantity) AS BIGINT) AS volume,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM trades GROUP BY 1, 2
+)
+SELECT * FROM (
+    SELECT daily.*,
+           CAST(row_number() OVER (
+               PARTITION BY symbol ORDER BY volume DESC, day ASC
+           ) AS INT) AS rnk
+    FROM daily
+) WHERE rnk <= {n}
+"""
+
+
+def volume_grouping_sets(trades: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((symbol), (day)) — per-symbol totals and
+    per-day totals in ONE shuffle, without cube's (symbol, day) and ()
+    sets. The third grouping-set shape alongside w3's CUBE and w6's
+    ROLLUP; planned by Spark as a single Expand + hash aggregate."""
+    spark = trades.sparkSession
+    trades.createOrReplaceTempView("__gs_trades")
+    return spark.sql(
+        """
+        SELECT symbol,
+               date_trunc('day', ts) AS day,
+               CAST(grouping(symbol) * 2 + grouping(date_trunc('day', ts)) AS BIGINT) AS grp,
+               sum(quantity) AS volume,
+               count(*) AS n_trades
+        FROM __gs_trades
+        GROUP BY GROUPING SETS ((symbol), (date_trunc('day', ts)))
+        """
+    )
+
+
+def volume_grouping_sets_sql(trades_cte: str) -> str:
+    return f"""
+WITH {trades_cte}
+SELECT symbol,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(GROUPING(symbol) * 2 + GROUPING(date_trunc('day', ts)) AS BIGINT) AS grp,
+       CAST(sum(quantity) AS BIGINT) AS volume,
+       CAST(count(*) AS BIGINT) AS n_trades
+FROM trades
+GROUP BY GROUPING SETS ((symbol), (date_trunc('day', ts)))
 """
 
 

@@ -115,13 +115,20 @@ def decode_kafka_trades(raw: DataFrame) -> DataFrame:
     into trades. Works on both batch and streaming frames, so the parse +
     decode-and-drop semantics (reference P5, ``CandleStickService.kt:77-81``)
     are testable without a broker: ``from_json`` yields null for corrupt
-    payloads and those rows are dropped."""
+    payloads and those rows are dropped. The drop contract is shared with
+    the batch adapter (``trades_from_events``): symbol, price AND ts must
+    all be non-null, so a null-price record can never become a candle's
+    open/close via min_by/max_by on either path."""
     return (
         raw.select(
             F.from_json(F.col("value").cast("string"), KAFKA_TRADE_JSON_SCHEMA).alias("t")
         )
         .select("t.*")
-        .where(F.col("symbol").isNotNull() & F.col("ts").isNotNull())
+        .where(
+            F.col("symbol").isNotNull()
+            & F.col("price").isNotNull()
+            & F.col("ts").isNotNull()
+        )
     )
 
 
@@ -152,12 +159,17 @@ def read_trades_json_stream(
 ) -> DataFrame:
     """Streaming trade source from a directory of JSON files — the
     test/replay stand-in for Kafka (one file ≈ one micro-batch when
-    ``max_files_per_trigger=1``)."""
+    ``max_files_per_trigger=1``). Same decode-and-drop contract as the
+    batch adapter: null symbol/price/ts rows are dropped."""
     tune_session(spark)
     reader = spark.readStream.schema(KAFKA_TRADE_JSON_SCHEMA).format("json")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return (
         reader.load(path)
-        .where(F.col("symbol").isNotNull() & F.col("ts").isNotNull())
+        .where(
+            F.col("symbol").isNotNull()
+            & F.col("price").isNotNull()
+            & F.col("ts").isNotNull()
+        )
     )

@@ -101,6 +101,75 @@ def write_replay_batches(trades_with_batch: DataFrame, replay_dir: str) -> int:
     return len(batches) + len(_SENTINELS)
 
 
+def dup_replay_trades(spark: SparkSession, sf_dir: str, batch_size: int = 1250) -> DataFrame:
+    """Deterministic duplicate-injection replay input for streaming dedup:
+    every 10th-mod-3 event is re-emitted in its own batch (same-batch
+    duplicate) and every 40th-mod-21 event re-emitted one batch later
+    (cross-batch duplicate, exercising dedup state across micro-batches)."""
+    from stock_chart_kafka_streams_spark.sources.trades import (
+        read_events,
+        trades_from_events,
+    )
+
+    ev = read_events(spark, sf_dir)
+    base = ev.withColumn("batch", (F.col("event_id") / batch_size).cast("long"))
+    dup_same = base.where(F.col("event_id") % 10 == 3)
+    dup_next = base.where(F.col("event_id") % 40 == 21).withColumn(
+        "batch", F.col("batch") + 1
+    )
+    return trades_from_events(
+        base.unionByName(dup_same).unionByName(dup_next), extra_cols=("batch",)
+    )
+
+
+def replay_dedup_stream(
+    spark: SparkSession,
+    trades_with_batch: DataFrame,
+    watermark_delay: str = "31 days",
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Run streaming exact dedup (dropDuplicatesWithinWatermark on the full
+    row content) over a deterministic batch replay; returns the surviving
+    trades. With a delay longer than the replay's event-time span, no dedup
+    state is evicted mid-replay, so the result must equal batch DISTINCT —
+    the DuckDB-oracle contract for d6."""
+    from stock_chart_kafka_streams_spark.streaming.dedup import dedup_stream_exact
+
+    own_tmp = work_dir is None
+    work_dir = work_dir or tempfile.mkdtemp(prefix="dedup-replay-")
+    replay_dir = os.path.join(work_dir, "input")
+    out_dir = os.path.join(work_dir, "out")
+    ckpt_dir = os.path.join(work_dir, "checkpoint")
+    try:
+        write_replay_batches(trades_with_batch, replay_dir)
+        stream = read_trades_json_stream(spark, replay_dir, max_files_per_trigger=1)
+        deduped = dedup_stream_exact(
+            stream,
+            key_cols=["symbol", "price", "quantity", "ts"],
+            ts_col="ts",
+            watermark_delay=watermark_delay,
+        )
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(out_dir)
+            .where(F.col("ts") < F.lit(SENTINEL_CUTOFF).cast("timestamp"))
+            .where(F.col("symbol") != "__heartbeat__")
+            .select("symbol", "price", "quantity", "ts")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        if own_tmp:
+            shutil.rmtree(work_dir, ignore_errors=True)
+
+
 def replay_candles(
     spark: SparkSession,
     trades_with_batch: DataFrame,

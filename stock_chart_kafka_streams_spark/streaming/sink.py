@@ -18,14 +18,34 @@ single-job rewrite even at scale.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stock_chart_kafka_streams_spark.schemas import CANDLE_COLUMNS, CANDLE_KEY
 
 PARTITION_COLS = ["time_frame", "bucket_date"]
+
+
+def _table_exists(spark: SparkSession, path: str) -> bool:
+    """Storage-agnostic existence check for the serving table.
+
+    Resolves through the Hadoop FileSystem API so HDFS/S3A/GCS paths work
+    exactly like local ones (a bare ``os.path.exists`` would silently take
+    the full-overwrite branch on any non-local filesystem and drop
+    history). Falls back to a probing read where the JVM gateway is not
+    available (e.g. Spark Connect)."""
+    try:
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        jsc = spark._jsc  # type: ignore[attr-defined]
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+    except Exception:
+        try:
+            spark.read.parquet(path).schema
+            return True
+        except Exception:
+            return False
 
 
 def _with_partition_cols(df: DataFrame) -> DataFrame:
@@ -53,7 +73,7 @@ def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
     overwrite); untouched history is never read or written.
     """
     batch = _with_partition_cols(batch.select(*CANDLE_COLUMNS))
-    if not os.path.exists(path):
+    if not _table_exists(spark, path):
         write_candles(batch.drop("bucket_date"), path, mode="overwrite")
         return
 

@@ -107,6 +107,20 @@ def test_asof_plan_has_no_nested_loop(sides):
     assert "Window" in plan
 
 
+def test_asof_rejects_colliding_payload(sides):
+    """A payload column that already exists on the left would silently
+    produce duplicate/ambiguous output columns — must raise instead."""
+    left, right = sides
+    with pytest.raises(ValueError, match="payload column"):
+        asof_join(
+            left,
+            right.withColumnRenamed("ref", "price"),  # collides with left.price
+            on=["symbol"],
+            left_ts="ts",
+            right_ts="rts",
+        )
+
+
 def test_backlog_matches_duckdb_oracle(spark, duck):
     """j4 vs. the DuckDB unnest(generate_series) oracle at sf0.001."""
     from stock_chart_kafka_streams_spark.operators.joins import (

@@ -18,10 +18,15 @@ def test_decode_kafka_trades_drops_corrupt_payloads(spark):
         {"symbol": "AAPL", "price": 10.5, "quantity": 3, "ts": "2024-01-01T00:00:05"}
     )
     missing_symbol = json.dumps({"price": 1.0, "quantity": 1, "ts": "2024-01-01T00:00:06"})
+    # null price must drop on the streaming decode path too (same contract
+    # as the batch adapter) — otherwise it could become open/close via
+    # min_by/max_by while batch excludes it
+    missing_price = json.dumps({"symbol": "AAPL", "quantity": 1, "ts": "2024-01-01T00:00:07"})
     rows = [
         ("AAPL", good),
         ("AAPL", "{not json at all"),
         ("AAPL", missing_symbol),
+        ("AAPL", missing_price),
         ("MSFT", None),
     ]
     raw = spark.createDataFrame(rows, "key string, value string").select(

@@ -48,3 +48,45 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     g = sorted(map(tuple, got.select(*cols).collect()))
     w = sorted(map(tuple, want.select(*cols).collect()))
     assert g == w
+
+
+def test_session_exact_gap_boundary(spark, duck):
+    """Pin Spark's session merge rule at the exact gap boundary: an event
+    arriving exactly ``gap`` after the previous one MERGES into the same
+    session (measured on Spark 4.1: [0:00] + [0:30] with a 30-min gap →
+    one session ending 1:00). The SQL oracle's break comparator must
+    therefore be strictly ``> gap``, which session_candles_sql uses."""
+    rows = [
+        ("A", 1, "2024-01-01 00:00:00"),  # exactly-at-gap pair -> merge
+        ("A", 2, "2024-01-01 00:30:00"),
+        ("B", 1, "2024-01-01 00:00:00"),  # inside gap -> merge
+        ("B", 2, "2024-01-01 00:29:59"),
+        ("C", 1, "2024-01-01 00:00:00"),  # past gap -> split
+        ("C", 2, "2024-01-01 00:30:01"),
+    ]
+    trades = spark.createDataFrame(
+        rows, "symbol string, quantity long, ts_s string"
+    ).select("symbol", "quantity", F.col("ts_s").cast("timestamp").alias("ts"))
+    cols = ["symbol", "session_start", "session_end", "n_trades", "volume"]
+    got = sorted(map(tuple, session_candles(trades, gap_minutes=30).select(*cols).collect()))
+
+    # exactly-at-gap merges; one second past the gap splits
+    n_sessions = {s: sum(1 for r in got if r[0] == s) for s in "ABC"}
+    assert n_sessions == {"A": 1, "B": 1, "C": 2}
+
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        session_candles_sql,
+    )
+
+    values = ", ".join(f"('{s}', {q}, TIMESTAMP '{t}')" for s, q, t in rows)
+    cte = f"trades AS (SELECT * FROM (VALUES {values}) AS t(symbol, quantity, ts))"
+    want = sorted(
+        map(
+            tuple,
+            duck.sql(
+                "SELECT symbol, session_start, session_end, n_trades, volume "
+                f"FROM ({session_candles_sql(cte)})"
+            ).fetchall(),
+        )
+    )
+    assert got == want
