@@ -436,6 +436,18 @@ def _q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_stats(_docs(spark, sf_dir))
 
 
+def _q_j6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.joins import next_open_enrichment
+
+    return next_open_enrichment(spark, sf_dir)
+
+
+def _q_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.text import training_set_selection
+
+    return training_set_selection(_docs(spark, sf_dir))
+
+
 def _q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.joins import revenue_by_nation
 
@@ -647,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_asof_prev_close": _q_j3,
         "j4_backlog_by_day": _q_j4,
         "j5_top_revenue_orders": _q_j5,
+        "j6_asof_next_open": _q_j6,
         "d1_dedup_exact": _q_d1,
         "d2_dedup_minhash_lsh": _q_d2,
         "d3_ngram_jaccard_pairs": _q_d3,
@@ -658,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_ivf_ann_topk": _q_s3,
         "t1_text_features": _q_t1,
         "t2_language_stats": _q_t2,
+        "p1_training_set": _q_p1,
         "mm1_decode_media": _q_mm1,
         "mm2_frame_sample": _q_mm2,
         "mm3_resize": _q_mm3,
@@ -725,6 +739,7 @@ ORDER BY bucket_start
         "j3_asof_prev_close": _joins.prev_close_enrichment_sql(_TRADES_CTE.strip()),
         "j4_backlog_by_day": _joins.OPEN_ORDER_BACKLOG_SQL,
         "j5_top_revenue_orders": _joins.top_revenue_orders_sql(),
+        "j6_asof_next_open": _joins.next_open_enrichment_sql(_TRADES_CTE.strip()),
         "d1_dedup_exact": _dd.dedup_exact_sql(),
         "d2_dedup_minhash_lsh": _dd.dedup_minhash_sql(),
         "d3_ngram_jaccard_pairs": _dd.ngram_jaccard_pairs_sql(threshold=0.5),
@@ -746,6 +761,7 @@ SELECT doc_id,
 FROM documents
 """,
         "t2_language_stats": _tx.language_stats_sql(),
+        "p1_training_set": _tx.training_set_selection_sql(),
         "mm1_decode_media": _mm.decode_media_sql(),
         "mm2_frame_sample": _mm.sample_frames_sql(),
         "mm3_resize": _mm.resize_media_sql(),

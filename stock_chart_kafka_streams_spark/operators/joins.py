@@ -193,14 +193,18 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     payload: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: enrich each ``left`` row with the payload of the
-    latest ``right`` row whose ``right_ts`` <= ``left_ts``, per ``on`` key.
+    """As-of join: enrich each ``left`` row with the payload of the
+    latest ``right`` row whose ``right_ts`` <= ``left_ts`` per ``on`` key
+    (``direction="backward"``, the default), or the earliest right row
+    whose ``right_ts`` >= ``left_ts`` (``direction="forward"``).
 
     The canonical time-series join the reference's domain implies (price vs.
     last completed candle) but never implements (SURVEY §2.6 — no joins of
     any kind). Matches DuckDB ``ASOF LEFT JOIN .. ON l.key = r.key AND
-    l.ts >= r.ts`` and pandas ``merge_asof(direction="backward")``.
+    l.ts >= r.ts`` (backward) / ``l.ts <= r.ts`` (forward) and pandas
+    ``merge_asof(direction="backward"|"forward")``.
 
     Implementation — union + running ``last(ignorenulls)`` — NOT a range
     join: both sides are tagged and unioned, sorted once per key on
@@ -224,6 +228,8 @@ def asof_join(
     """
     from pyspark.sql.window import Window
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     payload = payload if payload is not None else [
         c for c in right.columns if c not in set(on) | {right_ts}
     ]
@@ -252,11 +258,25 @@ def asof_join(
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_payload],
         *[F.col(c).alias(f"__asof_{c}") for c in payload],
     )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts (side desc) so a
+        # tied right row is inside the running frame: >= semantics.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry = F.last
+    else:
+        # forward: right rows sort AFTER left rows at equal ts (side asc)
+        # and the frame looks ahead; first non-null following payload is
+        # the earliest right_ts >= left_ts.
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        carry = F.first
     return (
         u_left.unionByName(u_right)
         .select(
@@ -264,7 +284,7 @@ def asof_join(
             *left_payload,
             F.col("__asof_side"),
             *[
-                F.last(f"__asof_{c}", ignorenulls=True).over(w).alias(c)
+                carry(f"__asof_{c}", ignorenulls=True).over(w).alias(c)
                 for c in payload
             ],
         )
@@ -315,6 +335,51 @@ SELECT t.symbol, t.ts, t.price,
 FROM trades t
 ASOF LEFT JOIN minute_candles c
   ON t.symbol = c.symbol AND t.ts >= c.bucket_end
+"""
+
+
+def next_open_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of twin of :func:`prev_close_enrichment`: enrich every
+    trade with the open (and bucket) of the next minute candle STARTING at
+    or after the trade — e.g. \"what does the market open at next?\" for
+    event-study alignment. Trades after their symbol's last bucket start
+    get nulls."""
+    from stock_chart_kafka_streams_spark.operators.candles import candles
+    from stock_chart_kafka_streams_spark.sources.trades import load_trades
+
+    trades = load_trades(spark, sf_dir)
+    mc = candles(trades, "MINUTE").select(
+        "symbol",
+        F.col("open").alias("next_open"),
+        F.col("bucket_start").alias("next_bucket_start"),
+    )
+    return asof_join(
+        trades.select("symbol", "ts", "price"),
+        mc,
+        on=["symbol"],
+        left_ts="ts",
+        right_ts="next_bucket_start",
+        payload=["next_open", "next_bucket_start"],
+        direction="forward",
+    )
+
+
+def next_open_enrichment_sql(trades_cte: str) -> str:
+    """DuckDB oracle twin — native forward ``ASOF LEFT JOIN`` (l.ts <= r.ts)
+    against the same minute-candle derivation."""
+    return f"""
+WITH {trades_cte},
+minute_candles AS (
+    SELECT symbol,
+           date_trunc('minute', ts) AS bucket_start,
+           arg_min(price, ts) AS opn
+    FROM trades GROUP BY 1, 2
+)
+SELECT t.symbol, t.ts, t.price,
+       c.opn AS next_open, c.bucket_start AS next_bucket_start
+FROM trades t
+ASOF LEFT JOIN minute_candles c
+  ON t.symbol = c.symbol AND t.ts <= c.bucket_start
 """
 
 

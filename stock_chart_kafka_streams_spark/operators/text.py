@@ -174,6 +174,60 @@ GROUP BY lang_pred
 """
 
 
+def training_set_selection(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """End-to-end training-data selection — the composed pipeline every
+    LLM-corpus build runs: fingerprint dedup (keep the lowest doc_id per
+    normalized-content fingerprint), then language and quality gates.
+
+    Order matters and is part of the contract: dedup BEFORE the quality
+    gate, so a duplicate cluster is represented by its lowest-id member
+    even when members differ in id but not content. All stages are one
+    JVM pass + one shuffle (the dedup window on fingerprint); the filters
+    are pushed below the window by Catalyst where legal (lang/quality are
+    per-row, computed pre-shuffle).
+    """
+    feats = text_features(docs, text_col)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(F.col("doc_id").asc())
+    return (
+        feats.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.col("lang_pred").isin(*langs))
+        .where(F.col("quality") >= min_quality)
+        .select("doc_id", "n_tokens", "n_tokens_bpe", "quality", "lang_pred")
+    )
+
+
+def training_set_selection_sql(
+    col: str = "text", min_quality: float = 0.5, langs: tuple[str, ...] = ("en",)
+) -> str:
+    lang_list = ", ".join(f"'{la}'" for la in langs)
+    return f"""
+WITH feats AS (
+    SELECT doc_id,
+           {token_count_sql(col)} AS n_tokens,
+           {token_count_bpe_sql(col)} AS n_tokens_bpe,
+           {quality_score_sql(col)} AS quality,
+           {lang_id_sql(col)} AS lang_pred,
+           {fingerprint_sql(col)} AS fingerprint
+    FROM documents
+),
+deduped AS (
+    SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+    FROM feats
+)
+SELECT doc_id, n_tokens, n_tokens_bpe, quality, lang_pred
+FROM deduped
+WHERE rn = 1 AND lang_pred IN ({lang_list}) AND quality >= {min_quality}
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL twins (same constants, same arithmetic)
 # ---------------------------------------------------------------------------

@@ -77,6 +77,60 @@ def test_asof_matches_brute_force(sides):
         assert got_rows[k]["ref"] == w["ref"], k
 
 
+def _brute_force_forward(left, right):
+    """Least right_ts >= left_ts per key, via theta-join + min(struct)."""
+    j = left.join(
+        right,
+        (left["symbol"] == right["symbol"]) & (right["rts"] >= left["ts"]),
+        "left",
+    ).select(
+        left["symbol"], left["ts"], left["price"], right["rts"], right["ref"]
+    )
+    return (
+        j.groupBy("symbol", "ts", "price")
+        .agg(F.min(F.struct("rts", "ref")).alias("best"))
+        .select("symbol", "ts", "price", F.col("best.ref").alias("ref"))
+    )
+
+
+def test_asof_forward_matches_brute_force(sides):
+    left, right = sides
+    got = asof_join(
+        left, right, on=["symbol"], left_ts="ts", right_ts="rts",
+        direction="forward",
+    )
+    want = _brute_force_forward(left, right)
+    key = lambda r: (r["symbol"], r["ts"])
+    got_rows = {key(r): r.asDict() for r in got.collect()}
+    want_rows = {key(r): r.asDict() for r in want.collect()}
+    assert set(got_rows) == set(want_rows) and len(got_rows) == left.count()
+    for k, w in want_rows.items():
+        assert got_rows[k]["ref"] == w["ref"], k
+
+
+def test_asof_forward_tie_and_null_semantics(sides):
+    left, right = sides
+    rows = {
+        (r["symbol"], r["ts"]): r
+        for r in asof_join(
+            left, right, on=["symbol"], left_ts="ts", right_ts="rts",
+            payload=["rts", "ref"], direction="forward",
+        ).collect()
+    }
+    assert rows[("A", _ts(0.5))]["ref"] == 100.0         # next right at 1.0
+    assert rows[("A", _ts(2.0))]["ref"] == 101.0         # <= tie matches
+    assert rows[("A", _ts(3.7))]["ref"] is None          # after last right row
+    assert rows[("B", _ts(9.0))]["ref"] is None
+    assert rows[("C", _ts(5.0))]["ref"] is None          # key absent on right
+
+
+def test_asof_rejects_bad_direction(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["symbol"], left_ts="ts", right_ts="rts",
+                  direction="nearest")
+
+
 def test_asof_tie_and_null_semantics(sides):
     left, right = sides
     rows = {

@@ -1,0 +1,66 @@
+"""Round-2 query surface vs. the DuckDB oracle at sf0.001: ranking
+windows (w7), GROUPING SETS (w8), top-k join (j5), language rollup (t2),
+and the streaming dedup replay (d6). Mirrors the driver's canonicalized
+compare (sort columns, 9dp doubles, sorted rows) on the smallest SF so the
+suite stays fast; the driver re-checks everything at sf0.01."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(rows, cols):
+    out = []
+    for row in rows:
+        vals = []
+        for c in sorted(cols):
+            v = row[c] if not isinstance(row, tuple) else row[list(cols).index(c)]
+            if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+                v = "NULL"
+            elif isinstance(v, float):
+                v = f"{round(v, 9):.9f}"
+            vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "w7_top_volume_days",
+        "w8_grouping_sets",
+        "j5_top_revenue_orders",
+        "j6_asof_next_open",
+        "t2_language_stats",
+        "p1_training_set",
+    ],
+)
+def test_new_query_matches_oracle(spark, duck, key):
+    sdf = entry_mod.queries()[key](spark, SF_DIR)
+    cols = sdf.columns
+    got = _canon([r.asDict() for r in sdf.collect()], cols)
+    ddf = duck.sql(entry_mod.oracle_sql()[key]).df()
+    assert sorted(ddf.columns) == sorted(cols)
+    want = _canon(ddf.to_dict("records"), cols)
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_replay_equals_distinct(spark, duck):
+    """d6: streaming dropDuplicatesWithinWatermark over the dup-injection
+    replay must converge to batch DISTINCT when no state is evicted."""
+    sdf = entry_mod.queries()["d6_streaming_dedup"](spark, SF_DIR)
+    got = sorted(
+        (r["symbol"], r["price"], r["quantity"], r["ts"]) for r in sdf.collect()
+    )
+    want = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in duck.sql(entry_mod.oracle_sql()["d6_streaming_dedup"]).fetchall()
+    )
+    assert got == want and len(got) > 0
