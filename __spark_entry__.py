@@ -436,10 +436,36 @@ def _q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_stats(_docs(spark, sf_dir))
 
 
+def _q_w9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (HLL++ distinct, approx percentiles) — rows-only
+    driver check by design: sketches are implementation-defined, so exact
+    cross-engine hashing is impossible; accuracy is bounded against the
+    exact aggregates in tests/test_approx_and_hopping.py."""
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        approx_daily_stats,
+    )
+
+    return approx_daily_stats(load_trades(spark, sf_dir))
+
+
 def _q_j6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.joins import next_open_enrichment
 
     return next_open_enrichment(spark, sf_dir)
+
+
+def _q_j7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.joins import (
+        customers_without_urgent_orders,
+    )
+
+    return customers_without_urgent_orders(spark, sf_dir)
+
+
+def _q_w10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.windows_ext import volume_pivot
+
+    return volume_pivot(load_trades(spark, sf_dir))
 
 
 def _q_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,12 +680,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_rollup_totals": _q_w6,
         "w7_top_volume_days": _q_w7,
         "w8_grouping_sets": _q_w8,
+        "w9_approx_daily_stats": _q_w9,
+        "w10_volume_pivot": _q_w10,
         "j1_revenue_by_nation": _q_j1,
         "j2_pricing_summary": _q_j2,
         "j3_asof_prev_close": _q_j3,
         "j4_backlog_by_day": _q_j4,
         "j5_top_revenue_orders": _q_j5,
         "j6_asof_next_open": _q_j6,
+        "j7_no_urgent_customers": _q_j7,
         "d1_dedup_exact": _q_d1,
         "d2_dedup_minhash_lsh": _q_d2,
         "d3_ngram_jaccard_pairs": _q_d3,
@@ -734,12 +763,14 @@ ORDER BY bucket_start
         "w6_rollup_totals": _W6_SQL,
         "w7_top_volume_days": _wx.top_volume_days_sql(_TRADES_CTE.strip(), n=3),
         "w8_grouping_sets": _wx.volume_grouping_sets_sql(_TRADES_CTE.strip()),
+        "w10_volume_pivot": _wx.volume_pivot_sql(_TRADES_CTE.strip()),
         "j1_revenue_by_nation": _joins.REVENUE_BY_NATION_SQL,
         "j2_pricing_summary": _joins.PRICING_SUMMARY_SQL,
         "j3_asof_prev_close": _joins.prev_close_enrichment_sql(_TRADES_CTE.strip()),
         "j4_backlog_by_day": _joins.OPEN_ORDER_BACKLOG_SQL,
         "j5_top_revenue_orders": _joins.top_revenue_orders_sql(),
         "j6_asof_next_open": _joins.next_open_enrichment_sql(_TRADES_CTE.strip()),
+        "j7_no_urgent_customers": _joins.CUSTOMERS_WITHOUT_URGENT_SQL,
         "d1_dedup_exact": _dd.dedup_exact_sql(),
         "d2_dedup_minhash_lsh": _dd.dedup_minhash_sql(),
         "d3_ngram_jaccard_pairs": _dd.ngram_jaccard_pairs_sql(threshold=0.5),

@@ -26,13 +26,27 @@ from stock_chart_kafka_streams_spark.operators.candles import (
     rollup_candles,
 )
 from stock_chart_kafka_streams_spark.operators.joins import asof_join
+from stock_chart_kafka_streams_spark.operators.text import (
+    language_stats,
+    text_features,
+    training_set_selection,
+)
+from stock_chart_kafka_streams_spark.operators.windows_ext import (
+    top_volume_days,
+    volume_grouping_sets,
+)
 from stock_chart_kafka_streams_spark.plans.query_api import CandleStore
 from stock_chart_kafka_streams_spark.plans.sql_surface import register_views
 from stock_chart_kafka_streams_spark.session import get_spark, tune_session
+from stock_chart_kafka_streams_spark.sources.bucketed import (
+    bucketed_join,
+    write_bucketed,
+)
 from stock_chart_kafka_streams_spark.sources.trades import (
     load_trades,
     trades_from_events,
 )
+from stock_chart_kafka_streams_spark.streaming.pipeline import enrich_trades_with_dim
 
 __all__ = [
     "FRAMES",
@@ -40,15 +54,23 @@ __all__ = [
     "asof_join",
     "bucket_end",
     "bucket_start",
+    "bucketed_join",
     "candles",
     "candles_salted",
+    "enrich_trades_with_dim",
     "get_spark",
+    "language_stats",
     "load_trades",
     "multi_frame_candles",
     "register_views",
     "rollup_candles",
+    "text_features",
+    "top_volume_days",
     "trades_from_events",
+    "training_set_selection",
     "tune_session",
+    "volume_grouping_sets",
+    "write_bucketed",
 ]
 
 __version__ = "0.1.0"

@@ -186,6 +186,46 @@ LIMIT {k}
 """
 
 
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface (NOT EXISTS): customers that never placed an
+    URGENT-priority order, rolled up per market segment.
+
+    LEFT ANTI join is the set-difference plan Spark executes without
+    materializing the non-matching side's payload — the right side reduces
+    to its join key before the shuffle (here further shrunk by the
+    priority filter), which is what makes NOT EXISTS tractable when the
+    right side is a 100 TB fact table."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "acctbal_cents"
+            ),
+        )
+    )
+
+
+CUSTOMERS_WITHOUT_URGENT_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c.c_mktsegment
+"""
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -261,22 +301,22 @@ def asof_join(
     if direction == "backward":
         # right rows sort BEFORE left rows at equal ts (side desc) so a
         # tied right row is inside the running frame: >= semantics.
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").desc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        carry = F.last
+        order = [F.col("__asof_ts").asc(), F.col("__asof_side").desc()]
     else:
-        # forward: right rows sort AFTER left rows at equal ts (side asc)
-        # and the frame looks ahead; first non-null following payload is
-        # the earliest right_ts >= left_ts.
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("__asof_ts").asc(), F.col("__asof_side").asc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        )
-        carry = F.first
+        # forward: sort time DESCENDING (right still first at equal ts for
+        # <= tie semantics); the running last() then carries the SMALLEST
+        # right_ts >= left_ts. Deliberately NOT a currentRow..
+        # unboundedFollowing frame: Spark has no running-frame optimization
+        # for UNBOUNDED FOLLOWING and re-aggregates the suffix per row —
+        # O(rows²) per key, measured as a hang at 5M rows. The reversed
+        # running frame is O(rows), identical cost to backward.
+        order = [F.col("__asof_ts").desc(), F.col("__asof_side").desc()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = F.last
     return (
         u_left.unionByName(u_right)
         .select(

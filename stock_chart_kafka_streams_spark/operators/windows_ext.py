@@ -245,6 +245,42 @@ GROUP BY GROUPING SETS ((symbol), (date_trunc('day', ts)))
 """
 
 
+PIVOT_SYMBOLS = ["click", "error", "purchase", "signup", "view"]
+
+
+def volume_pivot(trades: DataFrame, symbols: list[str] | None = None) -> DataFrame:
+    """PIVOT: one row per day, one volume column per symbol — the
+    wide-format reshape (reporting/ML feature matrices) the reference's
+    key-value store can't express.
+
+    The symbol list is EXPLICIT: with it, Spark plans pivot as a single
+    groupBy with one conditional aggregate per value (one shuffle); without
+    it, Spark first runs a distinct scan to discover values (an extra job
+    over the full input — never acceptable at 100 TB)."""
+    symbols = symbols if symbols is not None else PIVOT_SYMBOLS
+    day = F.date_trunc("day", "ts").alias("day")
+    return (
+        trades.groupBy(day)
+        .pivot("symbol", symbols)
+        .agg(F.sum("quantity"))
+    )
+
+
+def volume_pivot_sql(trades_cte: str, symbols: list[str] | None = None) -> str:
+    symbols = symbols if symbols is not None else PIVOT_SYMBOLS
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN symbol = '{s}' THEN quantity END) AS BIGINT) AS \"{s}\""
+        for s in symbols
+    )
+    return f"""
+WITH {trades_cte}
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       {cols}
+FROM trades
+GROUP BY date_trunc('day', ts)
+"""
+
+
 def approx_daily_stats(trades: DataFrame, rsd: float = 0.02) -> DataFrame:
     """Sketch-based daily statistics: HyperLogLog++ distinct prices and
     approximate percentiles. The constant-memory path for 100 TB cardinality

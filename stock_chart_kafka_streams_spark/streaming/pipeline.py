@@ -126,6 +126,20 @@ def streaming_hopping_candles(
     )
 
 
+def enrich_trades_with_dim(trades: DataFrame, dim: DataFrame, on: str = "symbol") -> DataFrame:
+    """Stream-static join: enrich a (streaming or batch) trade frame with a
+    small static dimension table, broadcast to every task.
+
+    The streaming join shape Spark supports with NO state store and NO
+    watermark — the static side is re-broadcast per micro-batch, the
+    stream side never shuffles. At 100 TB/day of trades and a
+    symbols-sized dim this is the only join plan that doesn't touch the
+    network for the stream. Left join: trades with unknown keys pass
+    through with null dim columns (decode-and-drop only applies to the
+    trade's own fields, reference P5)."""
+    return trades.join(F.broadcast(dim), on=on, how="left")
+
+
 def cascade_upsert(path: str, frames: list[str] | None = None):
     """``foreachBatch`` hook: upsert the batch's closed minute candles,
     then recompute every coarse bucket those minutes touch by rolling up

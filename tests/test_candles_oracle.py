@@ -13,7 +13,9 @@ ORACLES = entry_mod.oracle_sql()
 def test_every_query_has_an_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
     # approximate / non-SQL-expressible ops may be rows-only; explicit list
-    allowed_rows_only = {"s3_ivf_ann_topk"}
+    # s3: iterative k-means centroids; w9: HLL++/GK sketches — both are
+    # implementation-defined, accuracy-bounded against exact twins in tests
+    allowed_rows_only = {"s3_ivf_ann_topk", "w9_approx_daily_stats"}
     assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
 
 

@@ -38,6 +38,8 @@ def _canon(rows, cols):
         "w8_grouping_sets",
         "j5_top_revenue_orders",
         "j6_asof_next_open",
+        "j7_no_urgent_customers",
+        "w10_volume_pivot",
         "t2_language_stats",
         "p1_training_set",
     ],
