@@ -474,6 +474,84 @@ def _q_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_set_selection(_docs(spark, sf_dir))
 
 
+def _q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stock_chart_kafka_streams_spark.operators.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir))
+
+
+def _q_ss1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-interval join (click -> purchase attribution)
+    replayed through Structured Streaming; un-evictable watermark makes the
+    emitted pairs equal the batch interval join (oracle)."""
+    from stock_chart_kafka_streams_spark.streaming.join import (
+        attribution_replay_events,
+        replay_attribution_stream,
+    )
+
+    tune_session(spark)
+    return replay_attribution_stream(
+        spark, attribution_replay_events(spark, sf_dir, batch_size=1250)
+    )
+
+
+_SS1_SQL = """
+WITH ev AS (
+    SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      AND value IS NOT NULL AND ts IS NOT NULL
+),
+clicks AS (SELECT user_id, ts AS click_ts FROM ev WHERE event_type = 'click'),
+purch AS (
+    SELECT user_id, ts AS purchase_ts, value AS purchase_value
+    FROM ev WHERE event_type = 'purchase'
+)
+SELECT p.user_id, c.click_ts, p.purchase_ts, p.purchase_value
+FROM purch p
+JOIN clicks c
+  ON p.user_id = c.user_id
+ AND c.click_ts <= p.purchase_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTE
+"""
+
+
+def _q_sql1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface end-to-end: register the engine's temp views and
+    answer an ad-hoc Spark SQL query over them (top-2 hours by volume per
+    symbol-day via a window function over the hour_candles view)."""
+    from stock_chart_kafka_streams_spark.plans.sql_surface import register_views
+
+    tune_session(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT symbol, bucket_start, volume, rnk FROM (
+            SELECT symbol, bucket_start, volume,
+                   CAST(row_number() OVER (
+                       PARTITION BY symbol, date_trunc('day', bucket_start)
+                       ORDER BY volume DESC, bucket_start
+                   ) AS INT) AS rnk
+            FROM hour_candles
+        ) WHERE rnk <= 2
+        """
+    )
+
+
+def _sql1_sql() -> str:
+    return f"""
+WITH hc AS ({_candle_sql("HOUR")})
+SELECT symbol, bucket_start, volume, rnk FROM (
+    SELECT symbol, bucket_start, volume,
+           CAST(row_number() OVER (
+               PARTITION BY symbol, date_trunc('day', bucket_start)
+               ORDER BY volume DESC, bucket_start
+           ) AS INT) AS rnk
+    FROM hc
+) WHERE rnk <= 2
+"""
+
+
 def _q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.joins import revenue_by_nation
 
@@ -700,7 +778,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s3_ivf_ann_topk": _q_s3,
         "t1_text_features": _q_t1,
         "t2_language_stats": _q_t2,
+        "t3_chunking": _q_t3,
         "p1_training_set": _q_p1,
+        "ss1_click_attribution": _q_ss1,
+        "sql1_sql_surface": _q_sql1,
         "mm1_decode_media": _q_mm1,
         "mm2_frame_sample": _q_mm2,
         "mm3_resize": _q_mm3,
@@ -792,7 +873,10 @@ SELECT doc_id,
 FROM documents
 """,
         "t2_language_stats": _tx.language_stats_sql(),
+        "t3_chunking": _tx.chunk_documents_sql(),
         "p1_training_set": _tx.training_set_selection_sql(),
+        "ss1_click_attribution": _SS1_SQL,
+        "sql1_sql_surface": _sql1_sql(),
         "mm1_decode_media": _mm.decode_media_sql(),
         "mm2_frame_sample": _mm.sample_frames_sql(),
         "mm3_resize": _mm.resize_media_sql(),

@@ -228,6 +228,72 @@ WHERE rn = 1 AND lang_pred IN ({lang_list}) AND quality >= {min_quality}
 """
 
 
+CHUNK_SIZE = 200
+CHUNK_OVERLAP = 50
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap — the
+    context-window prep step between selection and tokenization in a
+    training/RAG pipeline. One output row per chunk.
+
+    Map-side only: ``sequence`` + ``posexplode`` + ``substring`` are all
+    codegen'd JVM expressions and the explode multiplies rows BEFORE any
+    shuffle, so the operator costs zero network at any scale (row fan-out
+    is bounded by doc length / stride). ``sequence`` end is clamped to >= 1
+    because Spark's ANSI ``sequence(1, 0)`` would run DESCENDING.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    stride = size - overlap
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(text_col), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.col(text_col).alias("__txt"),
+            F.posexplode(starts).alias("chunk_id", "chunk_start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "chunk_start",
+            F.col("__txt").substr(F.col("chunk_start"), F.lit(size)).alias(
+                "chunk_text"
+            ),
+        )
+        .withColumn("n_chunk_chars", F.length("chunk_text"))
+    )
+
+
+def chunk_documents_sql(
+    col: str = "text", size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = size - overlap
+    return f"""
+WITH exploded AS (
+    SELECT doc_id,
+           unnest(generate_series(1, greatest(length({col}), 1), {stride})) AS chunk_start,
+           {col} AS txt
+    FROM documents
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY chunk_start) - 1 AS INT) AS chunk_id,
+       CAST(chunk_start AS INT) AS chunk_start,
+       substr(txt, chunk_start, {size}) AS chunk_text,
+       CAST(length(substr(txt, chunk_start, {size})) AS INT) AS n_chunk_chars
+FROM exploded
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL twins (same constants, same arithmetic)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,186 @@
+"""Stream-stream time-interval join (click → purchase attribution).
+
+The canonical Structured Streaming join shape the reference cannot
+express at all (its only dataflow is source → windowed agg → sink):
+two UNBOUNDED streams joined on an equality key plus an event-time
+interval — here, each purchase attributed to every click by the same
+user within the preceding ``horizon``.
+
+Both sides carry watermarks; with the time-range condition Spark bounds
+the join state to (watermark + horizon) of buffered rows per side and
+evicts older state — the streaming-native replacement for an ever-growing
+hash table. Inner-join matches emit in the micro-batch where the second
+side arrives (no flush needed); the watermark delay knob trades state
+size for tolerance to cross-stream arrival skew, exactly like the dedup
+operator (streaming/dedup.py).
+
+Driver query ss1 replays the driver's events table through this join with
+an un-evictable delay, so the result must equal the batch interval join —
+the same exactness contract as d6.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from stock_chart_kafka_streams_spark.session import tune_session
+
+ATTRIBUTION_EVENT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def stream_stream_attribution(
+    events: DataFrame,
+    horizon: str = "60 minutes",
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Join the purchase sub-stream of ``events`` to its click sub-stream:
+    one output row per (click, purchase) pair with the same ``user_id``
+    and ``click_ts <= purchase_ts <= click_ts + horizon``.
+
+    Works on a streaming frame (stream-stream inner join with state
+    eviction driven by the watermarks + time-range condition) and on a
+    batch frame (plans as an ordinary range join) — the parity the tests
+    and the DuckDB oracle rely on."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark_delay)
+        purchases = purchases.withWatermark("purchase_ts", watermark_delay)
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
+def attribution_replay_events(
+    spark: SparkSession, sf_dir: str, batch_size: int = 1250
+) -> DataFrame:
+    """The driver's events table as (user_id, event_type, value, ts) plus a
+    deterministic ``batch`` column (time-ordered micro-batches)."""
+    from stock_chart_kafka_streams_spark.sources.trades import read_events
+
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            "ts",
+            (F.col("event_id") / batch_size).cast("long").alias("batch"),
+        )
+    )
+
+
+def write_attribution_batches(events_with_batch: DataFrame, replay_dir: str) -> int:
+    """One JSON-lines file per batch, mtime-ordered for the file source."""
+    pdf = events_with_batch.select(
+        "user_id", "event_type", "value", "ts", "batch"
+    ).toPandas()
+    os.makedirs(replay_dir, exist_ok=True)
+    batches = sorted(pdf["batch"].unique())
+    mtime = 1_700_000_000
+    for i, b in enumerate(batches):
+        rows = pdf[pdf["batch"] == b]
+        path = os.path.join(replay_dir, f"batch-{i:05d}.json")
+        with open(path, "w") as f:
+            for r in rows.itertuples(index=False):
+                f.write(
+                    json.dumps(
+                        {
+                            "user_id": int(r.user_id),
+                            "event_type": r.event_type,
+                            "value": float(r.value),
+                            "ts": r.ts.isoformat(),
+                        }
+                    )
+                    + "\n"
+                )
+        os.utime(path, (mtime + i, mtime + i))
+    return len(batches)
+
+
+def replay_attribution_stream(
+    spark: SparkSession,
+    events_with_batch: DataFrame,
+    horizon: str = "60 minutes",
+    watermark_delay: str = "31 days",
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Run the stream-stream attribution join over a deterministic batch
+    replay and return the emitted pairs. With an un-evictable watermark the
+    result must equal the batch interval join (the ss1 oracle contract)."""
+    tune_session(spark)
+    own_tmp = work_dir is None
+    work_dir = work_dir or tempfile.mkdtemp(prefix="attr-replay-")
+    replay_dir = os.path.join(work_dir, "input")
+    out_dir = os.path.join(work_dir, "out")
+    ckpt_dir = os.path.join(work_dir, "checkpoint")
+    try:
+        write_attribution_batches(events_with_batch, replay_dir)
+        stream = (
+            spark.readStream.schema(ATTRIBUTION_EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .json(replay_dir)
+        )
+        pairs = stream_stream_attribution(
+            stream, horizon=horizon, watermark_delay=watermark_delay
+        )
+        q = (
+            pairs.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(out_dir).select(
+            "user_id", "click_ts", "purchase_ts", "purchase_value"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        if own_tmp:
+            shutil.rmtree(work_dir, ignore_errors=True)

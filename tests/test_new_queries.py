@@ -41,7 +41,9 @@ def _canon(rows, cols):
         "j7_no_urgent_customers",
         "w10_volume_pivot",
         "t2_language_stats",
+        "t3_chunking",
         "p1_training_set",
+        "sql1_sql_surface",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):
@@ -52,6 +54,41 @@ def test_new_query_matches_oracle(spark, duck, key):
     assert sorted(ddf.columns) == sorted(cols)
     want = _canon(ddf.to_dict("records"), cols)
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_attribution_equals_batch_join(spark, duck):
+    """ss1: the stream-stream interval join's emitted pairs must equal the
+    batch interval join when no state is evicted (31-day watermark)."""
+    sdf = entry_mod.queries()["ss1_click_attribution"](spark, SF_DIR)
+    got = sorted(map(tuple, sdf.collect()))
+    want = sorted(
+        map(tuple, duck.sql(entry_mod.oracle_sql()["ss1_click_attribution"]).fetchall())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_chunking_edges(spark):
+    from stock_chart_kafka_streams_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 450), (2, "short"), (3, "")], "doc_id long, text string"
+    )
+    rows = {
+        (r["doc_id"], r["chunk_id"]): r
+        for r in chunk_documents(docs, size=200, overlap=50).collect()
+    }
+    # stride 150: doc 1 (450 chars) -> starts 1,151,301 -> 3 chunks
+    assert sum(1 for d, _ in rows if d == 1) == 3
+    assert rows[(1, 0)]["n_chunk_chars"] == 200
+    assert rows[(1, 2)]["n_chunk_chars"] == 150  # tail chunk truncated
+    # short and empty docs still produce exactly one chunk
+    assert rows[(2, 0)]["chunk_text"] == "short"
+    assert rows[(3, 0)]["chunk_text"] == ""
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, size=100, overlap=100)
 
 
 def test_streaming_dedup_replay_equals_distinct(spark, duck):
