@@ -516,6 +516,73 @@ JOIN clicks c
 """
 
 
+def _q_ss2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join: unmatched clicks flush with null
+    purchase columns once the watermark passes their eligibility window
+    (sentinel batches drive the final advance)."""
+    from stock_chart_kafka_streams_spark.streaming.join import (
+        attribution_replay_events,
+        replay_attribution_stream,
+    )
+
+    tune_session(spark)
+    return replay_attribution_stream(
+        spark,
+        attribution_replay_events(spark, sf_dir, batch_size=1250),
+        how="left_outer",
+    )
+
+
+_SS2_SQL = """
+WITH ev AS (
+    SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      AND value IS NOT NULL AND ts IS NOT NULL
+),
+clicks AS (SELECT user_id, ts AS click_ts FROM ev WHERE event_type = 'click'),
+purch AS (
+    SELECT user_id, ts AS purchase_ts, value AS purchase_value
+    FROM ev WHERE event_type = 'purchase'
+)
+SELECT c.user_id, c.click_ts, p.purchase_ts, p.purchase_value
+FROM clicks c
+LEFT JOIN purch p
+  ON p.user_id = c.user_id
+ AND c.click_ts <= p.purchase_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 60 MINUTE
+"""
+
+
+def _q_w11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide per-symbol volume matrix of w10 back to
+    long (day, symbol, volume) rows — Spark's unpivot is a zero-shuffle
+    Expand over the pivoted columns."""
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        PIVOT_SYMBOLS,
+        volume_pivot,
+    )
+
+    wide = volume_pivot(load_trades(spark, sf_dir))
+    return wide.unpivot("day", PIVOT_SYMBOLS, "symbol", "volume")
+
+
+def _w11_sql() -> str:
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        PIVOT_SYMBOLS,
+        volume_pivot_sql,
+    )
+
+    arms = "\nUNION ALL\n".join(
+        f"SELECT day, '{s}' AS symbol, \"{s}\" AS volume FROM wide"
+        for s in PIVOT_SYMBOLS
+    )
+    return f"""
+WITH wide AS ({volume_pivot_sql(_TRADES_CTE.strip())})
+{arms}
+"""
+
+
 def _q_sql1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL surface end-to-end: register the engine's temp views and
     answer an ad-hoc Spark SQL query over them (top-2 hours by volume per
@@ -760,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_grouping_sets": _q_w8,
         "w9_approx_daily_stats": _q_w9,
         "w10_volume_pivot": _q_w10,
+        "w11_volume_unpivot": _q_w11,
         "j1_revenue_by_nation": _q_j1,
         "j2_pricing_summary": _q_j2,
         "j3_asof_prev_close": _q_j3,
@@ -781,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_chunking": _q_t3,
         "p1_training_set": _q_p1,
         "ss1_click_attribution": _q_ss1,
+        "ss2_click_attribution_outer": _q_ss2,
         "sql1_sql_surface": _q_sql1,
         "mm1_decode_media": _q_mm1,
         "mm2_frame_sample": _q_mm2,
@@ -845,6 +914,7 @@ ORDER BY bucket_start
         "w7_top_volume_days": _wx.top_volume_days_sql(_TRADES_CTE.strip(), n=3),
         "w8_grouping_sets": _wx.volume_grouping_sets_sql(_TRADES_CTE.strip()),
         "w10_volume_pivot": _wx.volume_pivot_sql(_TRADES_CTE.strip()),
+        "w11_volume_unpivot": _w11_sql(),
         "j1_revenue_by_nation": _joins.REVENUE_BY_NATION_SQL,
         "j2_pricing_summary": _joins.PRICING_SUMMARY_SQL,
         "j3_asof_prev_close": _joins.prev_close_enrichment_sql(_TRADES_CTE.strip()),
@@ -876,6 +946,7 @@ FROM documents
         "t3_chunking": _tx.chunk_documents_sql(),
         "p1_training_set": _tx.training_set_selection_sql(),
         "ss1_click_attribution": _SS1_SQL,
+        "ss2_click_attribution_outer": _SS2_SQL,
         "sql1_sql_surface": _sql1_sql(),
         "mm1_decode_media": _mm.decode_media_sql(),
         "mm2_frame_sample": _mm.sample_frames_sql(),

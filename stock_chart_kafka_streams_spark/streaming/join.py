@@ -53,15 +53,25 @@ def stream_stream_attribution(
     events: DataFrame,
     horizon: str = "60 minutes",
     watermark_delay: str = "0 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Join the purchase sub-stream of ``events`` to its click sub-stream:
-    one output row per (click, purchase) pair with the same ``user_id``
-    and ``click_ts <= purchase_ts <= click_ts + horizon``.
+    """Attribute purchases to clicks by the same ``user_id`` within
+    ``horizon``: one output row per (click, purchase) pair with
+    ``click_ts <= purchase_ts <= click_ts + horizon``.
 
-    Works on a streaming frame (stream-stream inner join with state
-    eviction driven by the watermarks + time-range condition) and on a
-    batch frame (plans as an ordinary range join) — the parity the tests
-    and the DuckDB oracle rely on."""
+    ``how="inner"`` emits pairs as matches arrive. ``how="left_outer"``
+    additionally emits every unmatched click with null purchase columns —
+    but only once the global watermark passes the click's match-eligibility
+    window (``click_ts + horizon``), because until then a matching
+    purchase could still arrive; the replay harness appends sentinel
+    events on BOTH sub-streams to drive that flush (the global watermark
+    is the MIN of the two sides' watermarks).
+
+    Works on a streaming frame (stream-stream join, state evicted by
+    watermark + time-range condition) and on a batch frame (ordinary
+    range join) — the parity the tests and DuckDB oracle rely on."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     clicks = events.where(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("click_ts"),
@@ -74,15 +84,19 @@ def stream_stream_attribution(
     if events.isStreaming:
         clicks = clicks.withWatermark("click_ts", watermark_delay)
         purchases = purchases.withWatermark("purchase_ts", watermark_delay)
-    joined = purchases.join(
-        clicks,
+    cond = (
         (F.col("p_user") == F.col("c_user"))
         & (F.col("click_ts") <= F.col("purchase_ts"))
-        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}"))
     )
+    if how == "inner":
+        joined = purchases.join(clicks, cond, "inner")
+        user = F.col("p_user")
+    else:
+        joined = clicks.join(purchases, cond, "left_outer")
+        user = F.col("c_user")
     return joined.select(
-        F.col("p_user").alias("user_id"),
+        user.alias("user_id"),
         "click_ts",
         "purchase_ts",
         "purchase_value",
@@ -114,8 +128,20 @@ def attribution_replay_events(
     )
 
 
-def write_attribution_batches(events_with_batch: DataFrame, replay_dir: str) -> int:
-    """One JSON-lines file per batch, mtime-ordered for the file source."""
+SENTINEL_USER = -1
+_SENTINEL_TS = ["2099-06-01T00:00:00.000000", "2099-06-01T00:02:00.000000"]
+
+
+def write_attribution_batches(
+    events_with_batch: DataFrame, replay_dir: str, sentinels: bool = False
+) -> int:
+    """One JSON-lines file per batch, mtime-ordered for the file source.
+
+    With ``sentinels=True``, appends two trailing batches containing a
+    far-future click AND purchase for ``SENTINEL_USER`` — both sub-streams'
+    watermarks must advance for the outer join's unmatched-row flush,
+    since the global watermark is their MIN. The sentinel user id never
+    occurs in real data, so the sentinel rows match nothing."""
     pdf = events_with_batch.select(
         "user_id", "event_type", "value", "ts", "batch"
     ).toPandas()
@@ -139,7 +165,26 @@ def write_attribution_batches(events_with_batch: DataFrame, replay_dir: str) -> 
                     + "\n"
                 )
         os.utime(path, (mtime + i, mtime + i))
-    return len(batches)
+    n = len(batches)
+    if sentinels:
+        for j, ts in enumerate(_SENTINEL_TS):
+            path = os.path.join(replay_dir, f"batch-{n + j:05d}.json")
+            with open(path, "w") as f:
+                for et in ("click", "purchase"):
+                    f.write(
+                        json.dumps(
+                            {
+                                "user_id": SENTINEL_USER,
+                                "event_type": et,
+                                "value": 0.0,
+                                "ts": ts,
+                            }
+                        )
+                        + "\n"
+                    )
+            os.utime(path, (mtime + n + j, mtime + n + j))
+        n += len(_SENTINEL_TS)
+    return n
 
 
 def replay_attribution_stream(
@@ -147,11 +192,14 @@ def replay_attribution_stream(
     events_with_batch: DataFrame,
     horizon: str = "60 minutes",
     watermark_delay: str = "31 days",
+    how: str = "inner",
     work_dir: str | None = None,
 ) -> DataFrame:
     """Run the stream-stream attribution join over a deterministic batch
-    replay and return the emitted pairs. With an un-evictable watermark the
-    result must equal the batch interval join (the ss1 oracle contract)."""
+    replay and return the emitted pairs. With an un-evictable watermark
+    the result must equal the batch interval join (ss1/ss2 oracle
+    contract); for ``left_outer``, sentinel batches advance both sides'
+    watermarks so unmatched clicks flush from state."""
     tune_session(spark)
     own_tmp = work_dir is None
     work_dir = work_dir or tempfile.mkdtemp(prefix="attr-replay-")
@@ -159,14 +207,16 @@ def replay_attribution_stream(
     out_dir = os.path.join(work_dir, "out")
     ckpt_dir = os.path.join(work_dir, "checkpoint")
     try:
-        write_attribution_batches(events_with_batch, replay_dir)
+        write_attribution_batches(
+            events_with_batch, replay_dir, sentinels=(how == "left_outer")
+        )
         stream = (
             spark.readStream.schema(ATTRIBUTION_EVENT_SCHEMA)
             .option("maxFilesPerTrigger", "1")
             .json(replay_dir)
         )
         pairs = stream_stream_attribution(
-            stream, horizon=horizon, watermark_delay=watermark_delay
+            stream, horizon=horizon, watermark_delay=watermark_delay, how=how
         )
         q = (
             pairs.writeStream.outputMode("append")
@@ -177,8 +227,10 @@ def replay_attribution_stream(
             .start()
         )
         q.awaitTermination()
-        out = spark.read.parquet(out_dir).select(
-            "user_id", "click_ts", "purchase_ts", "purchase_value"
+        out = (
+            spark.read.parquet(out_dir)
+            .where(F.col("user_id") != SENTINEL_USER)
+            .select("user_id", "click_ts", "purchase_ts", "purchase_value")
         )
         return out.localCheckpoint(eager=True)
     finally:

@@ -40,6 +40,7 @@ def _canon(rows, cols):
         "j6_asof_next_open",
         "j7_no_urgent_customers",
         "w10_volume_pivot",
+        "w11_volume_unpivot",
         "t2_language_stats",
         "t3_chunking",
         "p1_training_set",
@@ -65,6 +66,28 @@ def test_stream_stream_attribution_equals_batch_join(spark, duck):
         map(tuple, duck.sql(entry_mod.oracle_sql()["ss1_click_attribution"]).fetchall())
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_outer_attribution_equals_batch_left_join(spark, duck):
+    """ss2: the LEFT OUTER stream-stream join must emit every click —
+    matched pairs immediately, unmatched clicks with null purchase columns
+    once the sentinel batches advance both sides' watermarks."""
+    sdf = entry_mod.queries()["ss2_click_attribution_outer"](spark, SF_DIR)
+    got = sorted(
+        map(tuple, sdf.collect()),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    want = sorted(
+        map(
+            tuple,
+            duck.sql(
+                entry_mod.oracle_sql()["ss2_click_attribution_outer"]
+            ).fetchall(),
+        ),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+    assert got == want and len(got) > 0
+    assert any(t[2] is None for t in got)  # unmatched clicks flushed
 
 
 def test_chunking_edges(spark):
