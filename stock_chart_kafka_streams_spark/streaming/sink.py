@@ -106,6 +106,51 @@ def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
     )
 
 
+def compact_candles(
+    spark: SparkSession,
+    path: str,
+    partitions: list[tuple] | None = None,
+) -> None:
+    """Compact the serving table's small files: one file per
+    (time_frame, bucket_date) partition.
+
+    An append-mode candle sink accretes one small parquet file per
+    micro-batch per touched partition (and even the MERGE sink produces
+    multiple files where AQE splits a skewed rewrite task); at scale the
+    file count, not the byte count, eventually dominates scan planning
+    and listing cost. The
+    rewrite hash-partitions rows by the partition columns (one task, and
+    therefore one output file, per live partition value) and sorts by the
+    candle key within files so parquet min/max stats let point lookups
+    (reference Q6) prune row groups, not just partitions.
+
+    ``partitions``: optional list of (time_frame, bucket_date) pairs to
+    restrict the rewrite (e.g. yesterday's partitions from a daily
+    housekeeping job — dynamic partition overwrite leaves the rest of the
+    table untouched); None compacts the whole table."""
+    existing = spark.read.parquet(path)
+    df = _with_partition_cols(existing.select(*CANDLE_COLUMNS))
+    if partitions is not None:
+        cond = None
+        for tf, bd in partitions:
+            c = (F.col("time_frame") == tf) & (F.col("bucket_date") == F.lit(bd))
+            cond = c if cond is None else (cond | c)
+        if cond is None:
+            return
+        df = df.where(cond)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    compacted = (
+        df.repartition(*PARTITION_COLS)
+        .sortWithinPartitions("symbol", "bucket_start")
+        .localCheckpoint(eager=True)  # materialize before overwriting source
+    )
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy(*PARTITION_COLS)
+        .parquet(path)
+    )
+
+
 def foreach_batch_upsert(path: str):
     """``foreachBatch`` hook writing each micro-batch of finalized candles
     into the serving table (reference S3 without the per-record blocking
