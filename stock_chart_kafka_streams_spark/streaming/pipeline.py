@@ -66,6 +66,48 @@ def streaming_minute_candles(
     )
 
 
+def streaming_chained_candles(
+    trades: DataFrame, coarse: str = "1 hour", watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """TWO chained stateful window aggregations in ONE streaming query:
+    trades → minute candles → ``coarse`` candles (Spark ≥3.4's
+    multiple-stateful-operator support; SURVEY §4.3.2).
+
+    The second aggregation groups the closed minute candles by
+    ``window(window_time(w), coarse)`` — ``window_time`` marks the minute
+    window's event-time so the downstream operator inherits a watermark.
+    A coarse candle emits once the watermark passes ITS end, exactly like
+    the reference's hour/day cascade closing behavior.
+
+    This is the in-query alternative to the ``foreachBatch`` cascade
+    (``cascade_upsert``): one streaming query, two state stores,
+    emit-on-close at both granularities, but no progressive refinement of
+    coarse rows and fixed-duration frames only (calendar MONTH still needs
+    the sink-side cascade). The replay test pins it equal to the batch
+    rollup."""
+    minute = (
+        trades.withWatermark("ts", watermark_delay)
+        .groupBy("symbol", F.window("ts", "1 minute").alias("w"))
+        .agg(*ohlcv_aggs())
+    )
+    return (
+        minute.groupBy(
+            "symbol", F.window(F.window_time("w"), coarse).alias("cw")
+        )
+        .agg(*merge_aggs(order_col="w"))
+        .select(
+            "symbol",
+            F.col("cw.start").alias("bucket_start"),
+            F.col("cw.end").alias("bucket_end"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
 def streaming_session_candles(
     trades: DataFrame,
     gap: str = "30 minutes",
