@@ -251,6 +251,74 @@ GROUP BY symbol, date_trunc('minute', ts)
 """
 
 
+def _q_c14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming (SURVEY §4.3.2): trades → minute candles
+    → hour candles as TWO windowed aggregations in ONE streaming query
+    (Spark ≥3.4 multiple-stateful-operator support). Replayed with a
+    watermark delay longer than the data's span so nothing is dropped; the
+    emitted hour candles must then equal the batch hour aggregation —
+    which is the DuckDB oracle."""
+    import shutil
+    import tempfile
+
+    from stock_chart_kafka_streams_spark.sources.trades import read_trades_json_stream
+    from stock_chart_kafka_streams_spark.streaming.pipeline import (
+        streaming_chained_candles,
+    )
+    from stock_chart_kafka_streams_spark.streaming.replay import (
+        SENTINEL_CUTOFF,
+        late_replay_trades,
+        write_replay_batches,
+    )
+
+    tune_session(spark)
+    work = tempfile.mkdtemp(prefix="chained-replay-")
+    try:
+        trades = late_replay_trades(spark, sf_dir, batch_size=1250)
+        write_replay_batches(trades, os.path.join(work, "in"))
+        stream = read_trades_json_stream(
+            spark, os.path.join(work, "in"), max_files_per_trigger=1
+        )
+        q = (
+            streaming_chained_candles(stream, coarse="1 hour", watermark_delay="31 days")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", os.path.join(work, "out"))
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(os.path.join(work, "out"))
+            .where(F.col("bucket_start") < F.lit(SENTINEL_CUTOFF).cast("timestamp"))
+            .where(F.col("symbol") != "__heartbeat__")
+            .select(
+                "symbol", "bucket_start", "bucket_end",
+                "open", "high", "low", "close", "volume",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_C14_SQL = """
+WITH """ + _TRADES_CTE.strip() + """
+SELECT
+    symbol,
+    CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_start,
+    CAST(date_trunc('hour', ts) + INTERVAL 1 hour AS TIMESTAMP) AS bucket_end,
+    arg_min(price, ts) AS "open",
+    max(price) AS high,
+    min(price) AS low,
+    arg_max(price, ts) AS "close",
+    CAST(sum(quantity) AS BIGINT) AS volume
+FROM trades
+GROUP BY symbol, date_trunc('hour', ts)
+"""
+
+
 def _q_c13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-format string bucket ids (SURVEY T3): the Redis key suffix
     yyyyMMddHHmm / yyyyMMddHH / yyyyMMdd / yyyyMM per frame, derived from
@@ -714,12 +782,15 @@ def _q_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via the SCALE path: SRP-LSH bucket candidates +
+    exact cosine verify (Σ bucket² work, not corpus²). The all-pairs form
+    (embedding_neardup_pairs) stays as the recall oracle in pytest."""
     from stock_chart_kafka_streams_spark.operators.similarity import (
-        embedding_neardup_pairs,
+        embedding_neardup_lsh,
         planted_neardup_vectors,
     )
 
-    return embedding_neardup_pairs(
+    return embedding_neardup_lsh(
         planted_neardup_vectors(_embs(spark, sf_dir)), threshold=0.99
     )
 
@@ -815,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c11_null_handling": _q_c11,
         "c12_streaming_late_drop": _q_c12,
         "c13_bucket_ids": _q_c13,
+        "c14_chained_hour": _q_c14,
         "i1_indicators": _q_i1,
         "i2_vwap_minute": _q_i2,
         "w1_session_windows": _q_w1,
@@ -903,6 +975,7 @@ ORDER BY bucket_start
         "c11_null_handling": _candle_sql("MINUTE", source_cte=_DIRTY_TRADES_CTE),
         "c12_streaming_late_drop": _C12_SQL,
         "c13_bucket_ids": _c13_sql(),
+        "c14_chained_hour": _C14_SQL,
         "i1_indicators": _i1_sql(),
         "i2_vwap_minute": _I2_SQL,
         "w1_session_windows": _wx.session_candles_sql(_TRADES_CTE.strip()),
@@ -926,7 +999,7 @@ ORDER BY bucket_start
         "d2_dedup_minhash_lsh": _dd.dedup_minhash_sql(),
         "d3_ngram_jaccard_pairs": _dd.ngram_jaccard_pairs_sql(threshold=0.5),
         "d4_simhash": _dd.simhash_sql(),
-        "d5_embedding_neardup": _sim.embedding_neardup_sql(threshold=0.99),
+        "d5_embedding_neardup": _sim.embedding_neardup_lsh_sql(threshold=0.99),
         "d6_streaming_dedup": _D6_SQL,
         "s1_cosine_topk": _sim.cosine_topk_sql(k=10, query_pred="vec_id < 5"),
         # s2's hyperplanes are md5-derived CONSTANTS, so the approximate

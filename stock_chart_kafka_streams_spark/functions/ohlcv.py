@@ -29,7 +29,7 @@ def ohlcv_aggs(
     ]
 
 
-def merge_aggs(order_col: str = "bucket_start") -> list[Column]:
+def merge_aggs(order_col: str | Column = "bucket_start") -> list[Column]:
     """Aggregates merging finer candles into a coarser one (A5/A6/A7):
     open of the earliest sub-bucket, close of the latest, max/min/sum of
     the rest. Candle merge is associative (SURVEY §2.7 Q6), so a rollup of

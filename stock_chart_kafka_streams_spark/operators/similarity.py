@@ -397,6 +397,136 @@ def embedding_neardup_pairs(
     ).where(F.col("cos") >= threshold)
 
 
+def _srp_code_fold(vec: Column, table_idx: int, n_bits: int, dim: int) -> Column:
+    """SRP code like ``_srp_code`` but with the hyperplane as an array
+    LITERAL folded via ``aggregate``/``zip_with`` instead of an unrolled
+    ``dim``-term expression chain: the plan stays small (one higher-order
+    call per bit), avoiding s2's measured ~24 s Catalyst compile overhead
+    for the fully unrolled form, while the left-to-right fold keeps the
+    float addition order identical to DuckDB's ``list_sum``."""
+    bits = []
+    for j in range(n_bits):
+        signs = srp_signs(table_idx, j, dim)
+        sarr = F.array(*[F.lit(s) for s in signs])
+        proj = F.aggregate(
+            F.zip_with(vec, sarr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return code
+
+
+def _srp_code_fold_sql(vec_sql: str, table_idx: int, n_bits: int, dim: int) -> str:
+    parts = []
+    for j in range(n_bits):
+        signs = srp_signs(table_idx, j, dim)
+        lst = "[" + ",".join("1.0" if s > 0 else "-1.0" for s in signs) + "]"
+        proj = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {vec_sql}[i] * ({lst})[i]))"
+        )
+        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def embedding_neardup_lsh(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Near-duplicate pairs via SRP-LSH bucketing + exact verification —
+    the SCALE path for d5 (``embedding_neardup_pairs`` is the quadratic
+    oracle/recall baseline kept for tests).
+
+    Plan: (1) one map-side pass computes ``n_tables`` short codes per
+    vector (constant md5-derived hyperplanes, so the DuckDB twin enumerates
+    the identical buckets); (2) a self-equi-join on (table, code) over
+    id+code ONLY — the 64-double vectors never ride through the bucket
+    shuffle; (3) distinct candidate pairs join the vectors back and exact
+    cosine >= threshold verifies. Work is Σ bucket² instead of corpus²;
+    ``n_bits`` sets the bucket count per table (2^n_bits) and scales up
+    with the corpus to keep buckets small, ``n_tables`` sets recall
+    (for cos >= 0.99 pairs, per-table collision ~0.96^n_bits; misses decay
+    geometrically in n_tables). Recall vs the exact form is pinned by
+    tests/test_similarity recall assertions; the driver oracle reproduces
+    this result exactly, bucket for bucket."""
+    v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    codes = v.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _srp_code_fold(F.col("v"), t, n_bits, dim).alias("code"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tc"),
+    ).select("id", F.col("tc.t"), F.col("tc.code"))
+    a = codes.select(F.col("id").alias("id_a"), "t", "code")
+    b = codes.select(F.col("id").alias("id_b"), "t", "code")
+    cands = (
+        a.join(b, on=["t", "code"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cands.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_neardup_lsh_sql(
+    threshold: float = 0.99,
+    n_bits: int = 8,
+    n_tables: int = 4,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of embedding_neardup_lsh over the planted fixture —
+    same constant hyperplanes, so identical buckets, candidates, result."""
+    dot = "list_sum(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]))".format
+    codes = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id AS id, {t} AS t, "
+        f"{_srp_code_fold_sql('v', t, n_bits, dim)} AS code FROM aug"
+        for t in range(n_tables)
+    )
+    d_ab = dot(n=dim + 1, a="a.v", b="b.v")
+    d_aa = dot(n=dim + 1, a="a.v", b="a.v")
+    d_bb = dot(n=dim + 1, a="b.v", b="b.v")
+    return f"""
+WITH {PLANTED_NEARDUP_CTE.strip()},
+codes AS (
+    {codes}
+),
+cands AS (
+    SELECT DISTINCT ca.id AS id_a, cb.id AS id_b
+    FROM codes ca JOIN codes cb ON ca.t = cb.t AND ca.code = cb.code
+    WHERE ca.id < cb.id
+)
+SELECT c.id_a, c.id_b,
+       {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) AS cos
+FROM cands c
+JOIN aug a ON a.vec_id = c.id_a
+JOIN aug b ON b.vec_id = c.id_b
+WHERE {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) >= {threshold}
+"""
+
+
 def planted_neardup_vectors(vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic near-dup fixture: every 40th vector re-emitted under
     id + 1_000_000 with its first component shifted by +0.05 (cosine with

@@ -217,19 +217,28 @@ def volume_grouping_sets(trades: DataFrame) -> DataFrame:
     per-day totals in ONE shuffle, without cube's (symbol, day) and ()
     sets. The third grouping-set shape alongside w3's CUBE and w6's
     ROLLUP; planned by Spark as a single Expand + hash aggregate."""
+    import uuid
+
     spark = trades.sparkSession
-    trades.createOrReplaceTempView("__gs_trades")
-    return spark.sql(
-        """
-        SELECT symbol,
-               date_trunc('day', ts) AS day,
-               CAST(grouping(symbol) * 2 + grouping(date_trunc('day', ts)) AS BIGINT) AS grp,
-               sum(quantity) AS volume,
-               count(*) AS n_trades
-        FROM __gs_trades
-        GROUP BY GROUPING SETS ((symbol), (date_trunc('day', ts)))
-        """
-    )
+    # Per-call unique view name: a fixed name would let concurrent or
+    # nested calls in one session clobber each other's input. spark.sql
+    # resolves the relation eagerly, so the view can be dropped right away.
+    view = f"__gs_trades_{uuid.uuid4().hex}"
+    trades.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"""
+            SELECT symbol,
+                   date_trunc('day', ts) AS day,
+                   CAST(grouping(symbol) * 2 + grouping(date_trunc('day', ts)) AS BIGINT) AS grp,
+                   sum(quantity) AS volume,
+                   count(*) AS n_trades
+            FROM {view}
+            GROUP BY GROUPING SETS ((symbol), (date_trunc('day', ts)))
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def volume_grouping_sets_sql(trades_cte: str) -> str:

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from stock_chart_kafka_streams_spark.functions.ohlcv import ohlcv_aggs
+from stock_chart_kafka_streams_spark.functions.ohlcv import merge_aggs, ohlcv_aggs
 from stock_chart_kafka_streams_spark.functions.timeframes import (
     FRAME_ORDER,
     bucket_end,
@@ -83,18 +83,23 @@ def streaming_chained_candles(
     (``cascade_upsert``): one streaming query, two state stores,
     emit-on-close at both granularities, but no progressive refinement of
     coarse rows and fixed-duration frames only (calendar MONTH still needs
-    the sink-side cascade). The replay test pins it equal to the batch
-    rollup."""
+    the sink-side cascade). tests/test_streaming.py::
+    test_streaming_chained_matches_batch pins it equal to the batch
+    rollup on a no-late replay."""
     minute = (
         trades.withWatermark("ts", watermark_delay)
         .groupBy("symbol", F.window("ts", "1 minute").alias("w"))
         .agg(*ohlcv_aggs())
     )
+    # Order sub-candles by the minute window's start timestamp — min_by /
+    # max_by over the raw window STRUCT would compare (start, end)
+    # field-wise, which happens to order identically, but a plain timestamp
+    # is unambiguous and survives schema evolution of the struct.
     return (
         minute.groupBy(
             "symbol", F.window(F.window_time("w"), coarse).alias("cw")
         )
-        .agg(*merge_aggs(order_col="w"))
+        .agg(*merge_aggs(order_col=F.col("w.start")))
         .select(
             "symbol",
             F.col("cw.start").alias("bucket_start"),

@@ -18,12 +18,29 @@ single-job rewrite even at scale.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stock_chart_kafka_streams_spark.schemas import CANDLE_COLUMNS, CANDLE_KEY
 
 PARTITION_COLS = ["time_frame", "bucket_date"]
+
+
+@contextmanager
+def _dynamic_partition_overwrite(spark: SparkSession):
+    """Scope ``partitionOverwriteMode=dynamic`` to one write: the setting
+    changes the semantics of EVERY later partitioned overwrite in the
+    session, so leaking it would silently turn a caller's full-table
+    overwrite into a partial one."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
@@ -41,11 +58,19 @@ def _table_exists(spark: SparkSession, path: str) -> bool:
         fs = hpath.getFileSystem(jsc.hadoopConfiguration())
         return bool(fs.exists(hpath))
     except Exception:
+        from pyspark.errors import AnalysisException
+
         try:
             spark.read.parquet(path).schema
             return True
-        except Exception:
-            return False
+        except AnalysisException as exc:
+            # Only a definitive "path does not exist" may route the caller
+            # into the create-from-scratch overwrite branch; a transient
+            # storage/read failure must surface, not silently wipe history.
+            err = str(getattr(exc, "getErrorClass", lambda: "")() or "") + str(exc)
+            if "PATH_NOT_FOUND" in err:
+                return False
+            raise
 
 
 def _with_partition_cols(df: DataFrame) -> DataFrame:
@@ -77,7 +102,6 @@ def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
         write_candles(batch.drop("bucket_date"), path, mode="overwrite")
         return
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     existing = spark.read.parquet(path)
     # Restrict the read to partitions the batch touches (pruned scan), then
     # drop rows whose key is being replaced.
@@ -98,12 +122,13 @@ def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
     merged = _with_partition_cols(merged)
     # Materialize before overwriting the partitions being read.
     merged = merged.localCheckpoint(eager=True)
-    (
-        merged.repartition(*PARTITION_COLS)
-        .write.mode("overwrite")
-        .partitionBy(*PARTITION_COLS)
-        .parquet(path)
-    )
+    with _dynamic_partition_overwrite(spark):
+        (
+            merged.repartition(*PARTITION_COLS)
+            .write.mode("overwrite")
+            .partitionBy(*PARTITION_COLS)
+            .parquet(path)
+        )
 
 
 def compact_candles(
@@ -138,17 +163,17 @@ def compact_candles(
         if cond is None:
             return
         df = df.where(cond)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     compacted = (
         df.repartition(*PARTITION_COLS)
         .sortWithinPartitions("symbol", "bucket_start")
         .localCheckpoint(eager=True)  # materialize before overwriting source
     )
-    (
-        compacted.write.mode("overwrite")
-        .partitionBy(*PARTITION_COLS)
-        .parquet(path)
-    )
+    with _dynamic_partition_overwrite(spark):
+        (
+            compacted.write.mode("overwrite")
+            .partitionBy(*PARTITION_COLS)
+            .parquet(path)
+        )
 
 
 def foreach_batch_upsert(path: str):

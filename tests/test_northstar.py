@@ -159,6 +159,29 @@ def test_embedding_neardup_finds_planted(embs):
     }
 
 
+def test_embedding_neardup_lsh_recall_vs_exact(embs):
+    """The bucketed LSH near-dup path (the d5 driver query) against the
+    exact all-pairs oracle: no false positives (every LSH pair is verified
+    exactly, so it must appear in the exact result) and near-total recall
+    on the planted ~0.999-cosine pairs."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_lsh,
+    )
+
+    aug = planted_neardup_vectors(embs)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(aug, threshold=0.99).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_lsh(aug, threshold=0.99).collect()
+    }
+    assert lsh <= exact  # exact verification ⇒ zero false positives
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.9, f"LSH near-dup recall {recall:.2f} too low"
+
+
 # -- text -----------------------------------------------------------------
 
 

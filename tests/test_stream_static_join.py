@@ -66,4 +66,6 @@ def test_stream_static_join_plan_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
-    assert "ShuffleExchange" not in plan
+    # Spark renders shuffles as "Exchange hashpartitioning(...)"; only the
+    # dim side's BroadcastExchange may appear.
+    assert "Exchange hashpartitioning" not in plan

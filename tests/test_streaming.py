@@ -108,6 +108,45 @@ def test_cascade_frames_consistent_with_streamed_minutes(spark):
         assert rolled.exceptAll(streamed).count() == 0, frame
 
 
+def test_streaming_chained_matches_batch(spark, tmp_path):
+    """Two chained stateful windowed aggregations in one query
+    (trades → minute candles → hour candles) emit exactly the batch hour
+    rollup on a no-late replay — pins streaming_chained_candles'
+    docstring contract."""
+    from stock_chart_kafka_streams_spark.sources.trades import read_trades_json_stream
+    from stock_chart_kafka_streams_spark.streaming.pipeline import (
+        streaming_chained_candles,
+    )
+    from stock_chart_kafka_streams_spark.streaming.replay import (
+        SENTINEL_CUTOFF,
+        write_replay_batches,
+    )
+
+    trades = late_replay_trades(spark, SF_DIR, batch_size=250)
+    write_replay_batches(trades, str(tmp_path / "in"))
+    stream = read_trades_json_stream(spark, str(tmp_path / "in"), max_files_per_trigger=1)
+    q = (
+        streaming_chained_candles(stream, coarse="1 hour", watermark_delay="31 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chained_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("select * from chained_out")
+        .where(F.col("bucket_start") < F.lit(SENTINEL_CUTOFF).cast("timestamp"))
+        .where(F.col("symbol") != "__heartbeat__")
+    )
+    want = candles(load_trades(spark, SF_DIR), "HOUR").select(
+        "symbol", "bucket_start", "bucket_end", "open", "high", "low", "close", "volume"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_upsert_idempotent_and_newer_wins(spark, tmp_path):
     table = str(tmp_path / "serving")
     base = candles(load_trades(spark, SF_DIR), "MINUTE").limit(200).localCheckpoint()
