@@ -1,13 +1,29 @@
-"""Benchmark harness: headline candle queries (SURVEY §2.8 C1-C7) at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+"""Benchmark harness, two tiers:
+
+Tier 1 — headline candle queries (SURVEY §2.8 C1-C7) at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. At sf0.1 these are fixed-overhead-bound
+(~0.3-0.7 s each), so they guard the planning/overhead envelope, not
+throughput.
+
+Tier 2 — data-dominated runs where per-row work is the cost: 25M
+generated trades (50 symbols, deterministic random walk via
+sources/generator.py) for candle aggregation, rollup and both as-of join
+directions, plus the sf documents table replicated 100× for MinHash-LSH
+dedup and training-set selection. Inputs are materialized to parquet in a
+temp dir once (generation excluded from timings) and every query runs
+through the noop sink (full distributed compute, no collect). Disable
+with SPARK_GRAFT_BENCH_TIER2=0; scale with SPARK_GRAFT_BENCH_TICKS /
+SPARK_GRAFT_BENCH_DOC_REPLICAS.
 
 Prints ONE JSON line:
-  {"metric": "candle_c1_c7_total", "value": <total sec>, "unit": "sec",
-   "queries": {"c1_minute_candles": sec, ...}, "sf": 0.1}
+  {"metric": "candle_c1_c7_total", "value": <tier-1 total sec>,
+   "unit": "sec", "queries": {"c1_minute_candles": sec, ...,
+   "t2_c1_minute_25m": sec, ...}, "sf": 0.1,
+   "tier2": {"trades_rows": N, "documents_rows": N}}
 
-Each query materializes through the noop sink (full distributed compute,
-no driver-side collect cost). A small warmup query absorbs JVM/codegen
-startup so per-query numbers reflect steady state.
+"value" stays the tier-1 C1-C7 total so round-over-round headlines stay
+comparable; tier-2 timings appear in "queries" under the t2_ prefix.
 """
 
 from __future__ import annotations
@@ -15,7 +31,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -34,6 +52,115 @@ BENCH_QUERIES = [
 ]
 
 
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _time_best(make_df, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        df = make_df()
+        t0 = time.perf_counter()
+        _noop(df)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _tier2_inputs(spark, sf_dir: str, work: str) -> tuple[str, str, int, int]:
+    """Materialize tier-2 inputs (untimed): 25M generated trades and the
+    documents table replicated with distinct doc_ids."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.sources.generator import generate_trades
+
+    n_ticks = int(os.environ.get("SPARK_GRAFT_BENCH_TICKS", "500000"))
+    replicas = int(os.environ.get("SPARK_GRAFT_BENCH_DOC_REPLICAS", "100"))
+
+    # 50 symbols x n_ticks: enough key cardinality that per-key work
+    # (as-of sort, candle shuffle) spreads across the local cores the way
+    # it would across executors.
+    symbols = {f"S{i:03d}": 10.0 + 7.3 * i for i in range(50)}
+    trades_path = os.path.join(work, "trades")
+    generate_trades(spark, n_ticks, symbols=symbols).write.mode("overwrite").parquet(
+        trades_path
+    )
+
+    docs_path = os.path.join(work, "documents")
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    (
+        docs.crossJoin(spark.range(replicas).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(100_000_000)).alias("doc_id"),
+            "text",
+            "lang",
+        )
+        .write.mode("overwrite")
+        .parquet(docs_path)
+    )
+    n_trades = n_ticks * len(symbols)
+    n_docs = spark.read.parquet(docs_path).count()
+    return trades_path, docs_path, n_trades, n_docs
+
+
+def _tier2_queries(spark, trades_path: str, docs_path: str) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        candles,
+        rollup_candles,
+    )
+    from stock_chart_kafka_streams_spark.operators.dedup import dedup_minhash
+    from stock_chart_kafka_streams_spark.operators.joins import asof_join
+    from stock_chart_kafka_streams_spark.operators.text import training_set_selection
+
+    trades = spark.read.parquet(trades_path)
+    docs = spark.read.parquet(docs_path)
+
+    def j3():
+        mc = candles(trades, "MINUTE").select(
+            "symbol",
+            "bucket_end",
+            F.col("close").alias("prev_close"),
+            F.col("bucket_start").alias("prev_bucket_start"),
+        )
+        return asof_join(
+            trades.select("symbol", "ts", "price"),
+            mc,
+            on=["symbol"],
+            left_ts="ts",
+            right_ts="bucket_end",
+            payload=["prev_close", "prev_bucket_start"],
+        )
+
+    def j6():
+        mc = candles(trades, "MINUTE").select(
+            "symbol",
+            F.col("open").alias("next_open"),
+            F.col("bucket_start").alias("next_bucket_start"),
+        )
+        return asof_join(
+            trades.select("symbol", "ts", "price"),
+            mc,
+            on=["symbol"],
+            left_ts="ts",
+            right_ts="next_bucket_start",
+            payload=["next_open", "next_bucket_start"],
+            direction="forward",
+        )
+
+    makers = {
+        "t2_c1_minute_25m": lambda: candles(trades, "MINUTE"),
+        "t2_c5_rollup_hour_25m": lambda: rollup_candles(
+            candles(trades, "MINUTE"), "HOUR"
+        ),
+        "t2_j3_asof_prev_close_25m": j3,
+        "t2_j6_asof_next_open_25m": j6,
+        "t2_d2_dedup_minhash_100x": lambda: dedup_minhash(docs),
+        "t2_p1_training_set_100x": lambda: training_set_selection(docs),
+    }
+    return {name: _time_best(make) for name, make in makers.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -44,32 +171,37 @@ def main() -> None:
     queries = entry_mod.queries()
 
     # warmup: touch the parquet + exercise codegen once
-    queries["c3_day_candles"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    _noop(queries["c3_day_candles"](spark, sf_dir))
 
     # best of 2 runs per query: JVM JIT and page cache stabilize after the
     # first execution; min is the standard steady-state estimator.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):
-            df = queries[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-
+        timings[name] = _time_best(lambda: queries[name](spark, sf_dir))
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "candle_c1_c7_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+
+    tier2_info = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") != "0":
+        work = tempfile.mkdtemp(prefix="bench-tier2-")
+        try:
+            trades_path, docs_path, n_trades, n_docs = _tier2_inputs(
+                spark, sf_dir, work
+            )
+            timings.update(_tier2_queries(spark, trades_path, docs_path))
+            tier2_info = {"trades_rows": n_trades, "documents_rows": n_docs}
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    out = {
+        "metric": "candle_c1_c7_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if tier2_info:
+        out["tier2"] = tier2_info
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -132,6 +132,23 @@ def decode_kafka_trades(raw: DataFrame) -> DataFrame:
     )
 
 
+def encode_kafka_trades(trades: DataFrame) -> DataFrame:
+    """Inverse of ``decode_kafka_trades``: trades → Kafka-wire-shaped frame
+    (binary key = UTF-8 symbol, binary value = JSON ``StockTransaction``
+    payload with ISO-8601 UTC timestamps, the reference's JsonSerde shape,
+    ``config/KafkaConfig.kt:78-85`` + ``JacksonConfig.kt:20``). Microsecond
+    precision is preserved on the wire so
+    ``decode_kafka_trades(encode_kafka_trades(df)) == df`` exactly — the
+    broker-free round-trip contract pinned by tests/test_kafka_serde.py."""
+    return trades.select(
+        F.col("symbol").cast("binary").alias("key"),
+        F.to_json(
+            F.struct("symbol", "price", "quantity", "ts"),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX", "timeZone": "UTC"},
+        ).cast("binary").alias("value"),
+    )
+
+
 def read_trades_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

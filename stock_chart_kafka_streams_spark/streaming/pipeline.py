@@ -173,6 +173,31 @@ def streaming_hopping_candles(
     )
 
 
+def observed_candles(candles: DataFrame, name: str = "candle_peek"):
+    """Reference P1: the ``peek`` logging hooks in the stream topology
+    (``stream/CandlestickAggregator.kt:85,115`` — log each record passing
+    by, change nothing) become a ``df.observe()`` metrics declaration:
+    accumulator metrics evaluated inline with the plan (no extra pass,
+    no data movement), the honest Spark equivalent of an observability
+    tap. Returns ``(df, observation)``: for batch frames ``observation``
+    is a ``pyspark.sql.Observation`` whose ``.get`` blocks until the
+    first action and yields the metrics; for streaming frames it is None
+    and the metrics surface per micro-batch in
+    ``StreamingQueryProgress.observedMetrics[name]``."""
+    metrics = [
+        F.count(F.lit(1)).alias("n_candles"),
+        F.sum("volume").alias("total_volume"),
+        F.min("bucket_start").alias("earliest_bucket"),
+        F.max("bucket_start").alias("latest_bucket"),
+    ]
+    if candles.isStreaming:
+        return candles.observe(name, *metrics), None
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return candles.observe(obs, *metrics), obs
+
+
 def enrich_trades_with_dim(trades: DataFrame, dim: DataFrame, on: str = "symbol") -> DataFrame:
     """Stream-static join: enrich a (streaming or batch) trade frame with a
     small static dimension table, broadcast to every task.
@@ -248,6 +273,35 @@ def start_candle_pipeline(
     return writer.start()
 
 
+def candle_kafka_payload(candles: DataFrame) -> DataFrame:
+    """Project candles onto the Kafka wire shape of the reference's
+    candle topic: String key = symbol, JSON value matching the
+    ``CandleStick`` JsonSerde (``config/KafkaConfig.kt:88-95``, fields in
+    declaration order ``model/CandleStick.kt:5-14``: symbol, open, high,
+    low, close, volume, startTime, endTime) with ISO-8601 UTC instants
+    (``WRITE_DATES_AS_TIMESTAMPS`` disabled, ``JacksonConfig.kt:20``).
+    Candle bucket boundaries are always whole seconds, so the
+    second-precision ``...'Z'`` format is byte-identical to Jackson's
+    Instant rendering. Pure projection — unit-testable without a broker;
+    the streaming sink below reuses it verbatim."""
+    return candles.select(
+        F.col("symbol").alias("key"),
+        F.to_json(
+            F.struct(
+                "symbol",
+                "open",
+                "high",
+                "low",
+                "close",
+                "volume",
+                F.col("bucket_start").alias("startTime"),
+                F.col("bucket_end").alias("endTime"),
+            ),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss'Z'", "timeZone": "UTC"},
+        ).alias("value"),
+    )
+
+
 def candles_to_kafka(
     candles: DataFrame,
     bootstrap_servers: str,
@@ -257,10 +311,7 @@ def candles_to_kafka(
     """Publish finalized candles to a Kafka topic as JSON, keyed by symbol
     (reference S2: ``.to(candlesTopic, ...)``,
     ``stream/CandlestickAggregator.kt:190-193``)."""
-    payload = candles.select(
-        F.col("symbol").alias("key"),
-        F.to_json(F.struct(*CANDLE_COLUMNS)).alias("value"),
-    )
+    payload = candle_kafka_payload(candles)
     return (
         payload.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -108,6 +108,28 @@ def test_cascade_frames_consistent_with_streamed_minutes(spark):
         assert rolled.exceptAll(streamed).count() == 0, frame
 
 
+def test_streaming_month_cascade_matches_batch(spark):
+    """Calendar MONTH can't be a fixed-duration streaming window (SURVEY
+    §4.3.1): the foreachBatch cascade recomputes it from stored minutes.
+    On a no-late replay the streamed MONTH rows must equal the batch
+    calendar-month aggregation (c4) exactly — true month boundaries, not
+    the reference's 30-day approximation."""
+    trades = late_replay_trades(spark, SF_DIR, batch_size=250)
+    out = replay_candles(
+        spark, trades, frames=["MINUTE", "MONTH"], watermark_delay="31 days"
+    )
+    streamed = out.where(F.col("time_frame") == "MONTH")
+    want = candles(load_trades(spark, SF_DIR), "MONTH")
+    assert streamed.exceptAll(want).count() == 0
+    assert want.exceptAll(streamed).count() == 0
+    # the buckets are true calendar months (month-start to month-start)
+    rows = streamed.select("bucket_start", "bucket_end").distinct().collect()
+    assert rows
+    for r in rows:
+        assert r["bucket_start"].day == 1 and r["bucket_end"].day == 1
+        assert r["bucket_start"].hour == 0 and r["bucket_end"].hour == 0
+
+
 def test_streaming_chained_matches_batch(spark, tmp_path):
     """Two chained stateful windowed aggregations in one query
     (trades → minute candles → hour candles) emit exactly the batch hour
