@@ -87,6 +87,11 @@ def _tier2_inputs(spark, sf_dir: str, work: str) -> tuple[str, str, int, int]:
 
     docs_path = os.path.join(work, "documents")
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    # Replication via crossJoin(range) inherits the source file's split
+    # count (1-2 for a few-MB parquet), which would serialize every
+    # downstream text stage onto 1-2 cores. Repartition to a
+    # cluster-representative split count — text work is CPU-bound at
+    # ~kB/row, so far below the 128 MB scan-split heuristic.
     (
         docs.crossJoin(spark.range(replicas).withColumnRenamed("id", "rep"))
         .select(
@@ -94,6 +99,7 @@ def _tier2_inputs(spark, sf_dir: str, work: str) -> tuple[str, str, int, int]:
             "text",
             "lang",
         )
+        .repartition(8 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
         .write.mode("overwrite")
         .parquet(docs_path)
     )
@@ -104,6 +110,13 @@ def _tier2_inputs(spark, sf_dir: str, work: str) -> tuple[str, str, int, int]:
 
 def _tier2_queries(spark, trades_path: str, docs_path: str) -> dict[str, float]:
     from pyspark.sql import functions as F
+
+    # The tier-2 tables are a few hundred MB; with the 128 MB scan-split
+    # default Spark packs them into a handful of read partitions, and the
+    # CPU-bound text stages (md5/shingle per row) serialize onto those few
+    # cores. 4 MB splits model the many-splits layout a 100 TB corpus has
+    # naturally. (Tier 1 timings are done before this conf is set.)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
 
     from stock_chart_kafka_streams_spark.operators.candles import (
         candles,

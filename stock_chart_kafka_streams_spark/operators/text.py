@@ -66,10 +66,12 @@ def _stop_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
 
 
-def quality_score(text: Column | str = "text") -> Column:
+def quality_score(text: Column | str = "text", toks: Column | None = None) -> Column:
     """Deterministic [0,1] quality heuristic: length, stopword density,
-    digit noise. Same closed-form arithmetic as the SQL twin."""
-    toks = tokens(text)
+    digit noise. Same closed-form arithmetic as the SQL twin. Pass a
+    pre-materialized token column via ``toks`` to share tokenization with
+    other features (see ``text_features``)."""
+    toks = tokens(text) if toks is None else toks
     n_tok = F.size(toks).cast("double")
     stop_ratio = F.when(
         n_tok > 0, _stop_hits(toks, EN_STOPWORDS).cast("double") / n_tok
@@ -84,10 +86,12 @@ def quality_score(text: Column | str = "text") -> Column:
     )
 
 
-def lang_scores(text: Column | str = "text") -> dict[str, Column]:
+def lang_scores(
+    text: Column | str = "text", toks: Column | None = None
+) -> dict[str, Column]:
     """Per-language evidence scores: stopword hit counts for latin-script
     languages, CJK character count for zh."""
-    toks = tokens(text)
+    toks = tokens(text) if toks is None else toks
     scores = {
         lang: _stop_hits(toks, words).cast("double")
         for lang, words in LANG_PROFILES.items()
@@ -98,10 +102,10 @@ def lang_scores(text: Column | str = "text") -> dict[str, Column]:
     return scores
 
 
-def lang_id(text: Column | str = "text") -> Column:
+def lang_id(text: Column | str = "text", toks: Column | None = None) -> Column:
     """Deterministic argmax over lang_scores; ties resolve to the first
     language in (de, en, es, fr, zh) order; all-zero evidence -> 'und'."""
-    scores = lang_scores(text)
+    scores = lang_scores(text, toks)
     ordered = ["de", "en", "es", "fr", "zh"]
     g = F.greatest(*[scores[la] for la in ordered])
     result = None
@@ -122,14 +126,26 @@ def fingerprint(text: Column | str = "text") -> Column:
 
 
 def text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """All text-analysis columns at once (single pass over the corpus)."""
-    return docs.select(
+    """All text-analysis columns at once (single pass over the corpus).
+
+    The token array is materialized once in a lower projection and every
+    feature references that column — one higher-order tokenize per
+    document instead of seven. Catalyst keeps the two projections separate
+    (CollapseProject never inlines a non-cheap expression referenced more
+    than once), so the sharing survives optimization."""
+    base = docs.select(
         "doc_id",
-        token_count(text_col).alias("n_tokens"),
-        token_count_bpe(text_col).alias("n_tokens_bpe"),
-        quality_score(text_col).alias("quality"),
-        lang_id(text_col).alias("lang_pred"),
-        fingerprint(text_col).alias("fingerprint"),
+        F.col(text_col).alias("__txt"),
+        tokens(text_col).alias("__toks"),
+    )
+    t = F.col("__toks")
+    return base.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        token_count_bpe("__txt").alias("n_tokens_bpe"),
+        quality_score("__txt", toks=t).alias("quality"),
+        lang_id("__txt", toks=t).alias("lang_pred"),
+        fingerprint("__txt").alias("fingerprint"),
     )
 
 
@@ -225,6 +241,70 @@ deduped AS (
 SELECT doc_id, n_tokens, n_tokens_bpe, quality, lang_pred
 FROM deduped
 WHERE rn = 1 AND lang_pred IN ({lang_list}) AND quality >= {min_quality}
+"""
+
+
+WINNOW_K = 8  # character k-gram length
+WINNOW_W = 4  # winnowing window: fingerprints = min hash of each w-run
+
+
+def winnow_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer /
+    Wilkerson / Aiken, the MOSS algorithm): hash every ``WINNOW_K``-char
+    k-gram of the normalized text, slide a window of ``WINNOW_W``
+    consecutive hashes, keep the minimum of each window, emit the distinct
+    selected hashes as (doc_id, fp) rows. Any two documents sharing a long
+    enough substring are guaranteed to share a fingerprint — the classic
+    substring-plagiarism / near-dup primitive, complementary to MinHash
+    (which fingerprints the bag of shingles, not contiguous runs).
+
+    All map-side array expressions, one output explode, no shuffle. The
+    k-gram hash here is md5-derived (32-bit) rather than an incremental
+    Rabin-Karp update — semantics are identical (winnowing only needs SOME
+    uniform hash per k-gram) and every value is bit-for-bit reproducible
+    in the DuckDB oracle; an incremental-rolling variant would need a
+    Pandas UDF and would not be oracle-checkable.
+    """
+    norm = normalized(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (WINNOW_K - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(WINNOW_K)),
+    )
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+    )
+    fps = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hashes) - (WINNOW_W - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(hashes, j, WINNOW_W)),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
+    )
+
+
+def winnow_fingerprints_sql(table: str = "documents", col: str = "text") -> str:
+    norm = f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    k, w = WINNOW_K, WINNOW_W
+    return f"""
+WITH normed AS (
+    SELECT doc_id, {norm} AS norm FROM {table}
+),
+hashed AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(length(norm) - {k - 1}, 1) + 1),
+               i -> ('0x' || substr(md5(substr(norm, i, {k})), 1, 8))::BIGINT
+           ) AS hl
+    FROM normed
+)
+SELECT doc_id,
+       unnest(list_distinct(list_transform(
+           range(1, greatest(len(hl) - {w - 1}, 1) + 1),
+           j -> list_min(hl[j:j + {w - 1}])
+       ))) AS fp
+FROM hashed
 """
 
 
