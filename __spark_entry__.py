@@ -983,12 +983,19 @@ def oracle_sql() -> dict[str, str]:
         "c3_day_candles": _candle_sql("DAY"),
         "c4_month_candles": _candle_sql("MONTH"),
         "c5_rollup_hour": hour_candles,
+        # Twin of _q_c6: hour range UNION ALL the legacy minute path
+        # re-widened (its time_frame literal is already 'MINUTE' in
+        # _candle_sql). Compare is order-insensitive, so no ORDER BY.
         "c6_range_query": f"""
 SELECT * FROM ({hour_candles})
 WHERE symbol = 'click'
   AND bucket_start >= TIMESTAMP '2024-01-05 00:00:00'
   AND bucket_start <= TIMESTAMP '2024-01-12 00:00:00'
-ORDER BY bucket_start
+UNION ALL
+SELECT * FROM ({_candle_sql("MINUTE")})
+WHERE symbol = 'click'
+  AND bucket_start >= TIMESTAMP '2024-01-05 00:00:00'
+  AND bucket_start <= TIMESTAMP '2024-01-06 00:00:00'
 """,
         "c7_recent_n": f"""
 SELECT * FROM ({_candle_sql("DAY")})
@@ -999,10 +1006,16 @@ ORDER BY bucket_start DESC LIMIT 10
 SELECT * FROM ({_candle_sql("DAY")})
 WHERE symbol = 'click' AND bucket_start = TIMESTAMP '2024-01-05 00:00:00'
 """,
+        # Twin of _q_c9_catalog: DAY-frame key triples UNION ALL the symbol
+        # catalog as (symbol, NULL, NULL) rows.
         "c9_catalog": f"""
-SELECT DISTINCT symbol, time_frame, bucket_start
-FROM ({_candle_sql("DAY")})
-ORDER BY symbol, time_frame, bucket_start
+WITH d AS ({_candle_sql("DAY")})
+SELECT DISTINCT symbol, time_frame, bucket_start FROM d
+UNION ALL
+SELECT DISTINCT symbol,
+       CAST(NULL AS VARCHAR) AS time_frame,
+       CAST(NULL AS TIMESTAMP) AS bucket_start
+FROM d
 """,
         "c9_symbols": """
 WITH """ + _TRADES_CTE.strip() + """
@@ -1031,7 +1044,7 @@ ORDER BY bucket_start
         "w7_top_volume_days": _wx.top_volume_days_sql(_TRADES_CTE.strip(), n=3),
         "w8_grouping_sets": _wx.volume_grouping_sets_sql(_TRADES_CTE.strip()),
         "w10_volume_pivot": _wx.volume_pivot_sql(_TRADES_CTE.strip()),
-        "w11_volume_unpivot": _w11_sql(),
+        "w10_pivot_unpivot": _w11_sql(),
         "j1_revenue_by_nation": _joins.REVENUE_BY_NATION_SQL,
         "j2_pricing_summary": _joins.PRICING_SUMMARY_SQL,
         "j3_asof_prev_close": _joins.prev_close_enrichment_sql(_TRADES_CTE.strip()),
@@ -1061,6 +1074,7 @@ FROM documents
 """,
         "t2_language_stats": _tx.language_stats_sql(),
         "t3_chunking": _tx.chunk_documents_sql(),
+        "t4_winnow_fingerprints": _tx.winnow_fingerprints_sql(),
         "p1_training_set": _tx.training_set_selection_sql(),
         "ss1_click_attribution": _SS1_SQL,
         "ss2_click_attribution_outer": _SS2_SQL,
