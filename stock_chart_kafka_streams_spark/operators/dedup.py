@@ -141,8 +141,8 @@ def _mh_col(h: Column, i: int) -> Column:
 
 def minhash_signature(text_col: str = "text", k: int = MINHASH_K) -> list[Column]:
     """k minhashes as per-row array expressions: one md5 per shingle, then
-    k universal-hash permutations ``(a_i*h + b_i) mod (2^61-1)`` of the
-    48-bit base hash.
+    k universal-hash permutations ``(a_i*h + b_i) mod MINHASH_P`` (p ~
+    2^31, see the modulus note above) of the 32-bit base hash.
 
     NOTE: higher-order array functions fall out of whole-stage codegen;
     for corpus-scale signatures prefer ``minhash_signature_df`` which
@@ -332,7 +332,12 @@ def ngram_jaccard_pairs(
             F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
         )
         .distinct()
+        # materialize the (tiny) candidate set now so the persisted bucket
+        # frame can be released immediately instead of pinning executor
+        # storage for the caller's whole job lifetime
+        .localCheckpoint(eager=True)
     )
+    buckets.unpersist()
     cand_ids = (
         cands.select(F.col("id_a").alias(id_col))
         .unionByName(cands.select(F.col("id_b").alias(id_col)))

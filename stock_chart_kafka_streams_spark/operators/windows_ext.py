@@ -306,6 +306,157 @@ def approx_daily_stats(trades: DataFrame, rsd: float = 0.02) -> DataFrame:
     )
 
 
+# KMV (k-minimum-values) sketch parameters: k controls the distinct-count
+# estimator's error (~1/sqrt(k-2) ≈ 12.7% at k=64); sample_mod=10 keeps a
+# deterministic ~10% row sample for the sampled median.
+KMV_K = 64
+KMV_SAMPLE_MOD = 10
+
+
+def _hash32(col) -> F.Column:
+    """First 32 bits of md5 as BIGINT — same construction as the dedup
+    base hash, reproducible verbatim in DuckDB as
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def kmv_daily_stats(
+    trades: DataFrame, k: int = KMV_K, sample_mod: int = KMV_SAMPLE_MOD
+) -> DataFrame:
+    """Sketch-based daily statistics with DETERMINISTIC, SQL-expressible
+    sketches, so the full result is oracle-checkable cross-engine (unlike
+    ``approx_daily_stats``'s implementation-defined HLL++/GK sketches):
+
+    - **KMV distinct estimate** of price ticks (``floor(price*100)`` —
+      integral so both engines hash identical strings): per (symbol, day),
+      hash each distinct tick to 32 bits, keep the k smallest, estimate
+      ``(k-1) * 2^32 / h_k``; exact count when under k. Same constant-
+      memory-per-group scaling argument as HLL (state is k longs however
+      many distinct values stream past), with ~1/sqrt(k-2) relative error.
+    - **deterministic sample median**: rows whose (symbol, epoch-micros)
+      hash lands in 1/sample_mod of the space form the sample; exact
+      median over it. The sample is a function of the data, not an RNG, so
+      Spark and DuckDB select identical rows.
+
+    Plan shape: three hash-aggregations plus one thin window over the
+    per-group distinct ticks, all partitioned on (symbol, day); the joins
+    are between already-aggregated frames (AQE broadcasts them).
+    Accuracy vs the exact aggregates is bounded in
+    tests/test_approx_and_hopping.py."""
+    from pyspark.sql.window import Window
+
+    base = trades.select(
+        "symbol",
+        F.date_trunc("day", "ts").alias("day"),
+        F.floor(F.col("price") * F.lit(100.0)).cast("long").alias("tick"),
+        "price",
+        F.unix_micros("ts").alias("eus"),
+    )
+    dh = (
+        base.select("symbol", "day", "tick")
+        .distinct()
+        .withColumn("h", _hash32(F.col("tick").cast("string")))
+    )
+    w = Window.partitionBy("symbol", "day").orderBy("h")
+    kmv = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .groupBy("symbol", "day")
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.max(F.when(F.col("rn") <= k, F.col("h"))).alias("kth"),
+        )
+        .select(
+            "symbol",
+            "day",
+            F.when(F.col("n_ticks") < k, F.col("n_ticks").cast("double"))
+            .otherwise(
+                F.lit(float(k - 1)) * F.lit(4294967296.0)
+                / F.col("kth").cast("double")
+            )
+            .alias("kmv_distinct_ticks"),
+        )
+    )
+    samp = (
+        base.where(
+            _hash32(F.concat_ws("|", F.col("symbol"), F.col("eus").cast("string")))
+            % sample_mod
+            == 0
+        )
+        .groupBy("symbol", "day")
+        .agg(
+            F.median("price").alias("sample_median_price"),
+            F.count("*").alias("sample_n"),
+        )
+    )
+    counts = base.groupBy("symbol", "day").agg(F.count("*").alias("n_trades"))
+    return (
+        counts.join(kmv, ["symbol", "day"], "left")
+        .join(samp, ["symbol", "day"], "left")
+        .select(
+            "symbol",
+            "day",
+            "n_trades",
+            "kmv_distinct_ticks",
+            F.coalesce("sample_n", F.lit(0).cast("long")).alias("sample_n"),
+            "sample_median_price",
+        )
+    )
+
+
+def kmv_daily_stats_sql(
+    trades_cte: str, k: int = KMV_K, sample_mod: int = KMV_SAMPLE_MOD
+) -> str:
+    """DuckDB twin of ``kmv_daily_stats`` — identical hashes, identical
+    arithmetic shape (constant product then divide), identical sample."""
+    return f"""
+WITH {trades_cte},
+base AS (
+    SELECT symbol,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(floor(price * 100.0) AS BIGINT) AS tick,
+           price,
+           epoch_us(ts) AS eus
+    FROM trades
+),
+dh AS (
+    SELECT symbol, day,
+           ('0x' || substr(md5(CAST(tick AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM (SELECT DISTINCT symbol, day, tick FROM base)
+),
+kmv AS (
+    SELECT symbol, day,
+           CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                ELSE {float(k - 1)!r} * 4294967296.0
+                     / CAST(max(CASE WHEN rn <= {k} THEN h END) AS DOUBLE)
+           END AS kmv_distinct_ticks
+    FROM (
+        SELECT symbol, day, h,
+               row_number() OVER (PARTITION BY symbol, day ORDER BY h) AS rn
+        FROM dh
+    )
+    GROUP BY symbol, day
+),
+samp AS (
+    SELECT symbol, day,
+           median(price::DOUBLE) AS sample_median_price,
+           CAST(count(*) AS BIGINT) AS sample_n
+    FROM base
+    WHERE ('0x' || substr(md5(symbol || '|' || CAST(eus AS VARCHAR)), 1, 8))::BIGINT
+          % {sample_mod} = 0
+    GROUP BY symbol, day
+),
+counts AS (
+    SELECT symbol, day, CAST(count(*) AS BIGINT) AS n_trades
+    FROM base GROUP BY symbol, day
+)
+SELECT c.symbol, c.day, c.n_trades, kmv.kmv_distinct_ticks,
+       COALESCE(s.sample_n, 0) AS sample_n, s.sample_median_price
+FROM counts c
+LEFT JOIN kmv ON kmv.symbol = c.symbol AND kmv.day = c.day
+LEFT JOIN samp s ON s.symbol = c.symbol AND s.day = c.day
+"""
+
+
 def daily_price_stats(trades: DataFrame) -> DataFrame:
     """Exact order statistics per (symbol, day): median price plus exact
     p10/p90 (interpolated continuous percentiles — matches DuckDB's

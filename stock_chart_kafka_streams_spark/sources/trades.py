@@ -32,17 +32,24 @@ TRADES_FROM_EVENTS_SQL = """
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the driver's events table with ``ts`` as a proper timestamp.
+    """Read the driver's events table with ``ts`` as TimestampType.
 
-    The driver parquet stores TIMESTAMP(NANOS), which Spark reads as a
-    nanosecond-epoch long under ``spark.sql.legacy.parquet.nanosAsLong``
-    (session.py); ``ts div 1000`` floors to microseconds, preserving event
-    order for all sub-microsecond-distinct data.
+    The driver parquet stores TIMESTAMP(NANOS). Depending on the Spark
+    build/confs that arrives as a nanosecond-epoch long (under
+    ``spark.sql.legacy.parquet.nanosAsLong``) or as TIMESTAMP_NTZ with
+    microsecond truncation; both are normalized here to the engine's ONE
+    timestamp type (``TimestampType``, matching ``TRADE_SCHEMA``), so
+    every downstream path — including the Kafka serde round-trip — sees
+    identical types. The session timezone is pinned UTC (session.py), so
+    the NTZ→LTZ cast does not move the instant.
     """
     tune_session(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif ts_type != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -5,9 +5,11 @@ from pyspark.sql import functions as F
 
 from stock_chart_kafka_streams_spark import load_trades
 from stock_chart_kafka_streams_spark.operators.windows_ext import (
+    KMV_K,
     approx_daily_stats,
     daily_price_stats,
     hopping_candles,
+    kmv_daily_stats,
 )
 from stock_chart_kafka_streams_spark.sources.trades import read_trades_json_stream
 from stock_chart_kafka_streams_spark.streaming.pipeline import (
@@ -42,6 +44,43 @@ def test_approx_stats_bounded_error(spark):
         ), r
         # approx percentile is an actual data value within the day's range
         assert r["pmin"] <= r["approx_median_price"] <= r["pmax"], r
+
+
+def test_kmv_stats_bounded_error(spark):
+    """The deterministic KMV sketch (driver w9) must be exact below k and
+    within the estimator's theoretical error above it; the deterministic
+    sample median must land inside the day's price range."""
+    trades = load_trades(spark, SF_DIR).cache()
+    sk = kmv_daily_stats(trades)
+    exact = trades.groupBy(
+        "symbol", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.countDistinct(
+            F.floor(F.col("price") * F.lit(100.0)).cast("long")
+        ).alias("exact_ticks"),
+        F.min("price").alias("pmin"),
+        F.max("price").alias("pmax"),
+        F.count("*").alias("n"),
+    )
+    joined = sk.join(exact, on=["symbol", "day"]).collect()
+    assert joined
+    rel_errs = []
+    for r in joined:
+        assert r["n_trades"] == r["n"], r
+        if r["exact_ticks"] < KMV_K:
+            assert r["kmv_distinct_ticks"] == float(r["exact_ticks"]), r
+        else:
+            rel_errs.append(
+                abs(r["kmv_distinct_ticks"] - r["exact_ticks"]) / r["exact_ticks"]
+            )
+        if r["sample_median_price"] is not None:
+            assert r["pmin"] <= r["sample_median_price"] <= r["pmax"], r
+        # ~10% deterministic sample: loose two-sided bound per group
+        assert r["sample_n"] <= r["n"]
+    if rel_errs:
+        # KMV std error ~ 1/sqrt(k-2) = 12.7% at k=64; individual groups can
+        # wander a few sigma, the mean must not
+        assert sum(rel_errs) / len(rel_errs) < 0.25, rel_errs
 
 
 def test_streaming_hopping_matches_batch(spark, tmp_path):
