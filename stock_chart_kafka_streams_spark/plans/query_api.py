@@ -66,10 +66,22 @@ class CandleStore:
         out = self._df.where(
             (F.col("symbol") == symbol) & (F.col("time_frame") == frame)
         )
+        # Disk serving tables are partitioned by (time_frame, bucket_date)
+        # (streaming/sink.py); to_date is monotone in bucket_start, so the
+        # range maps to an equivalent bucket_date range. Adding it turns
+        # the bucket_start bounds into DIRECTORY-level partition pruning
+        # (listing skips other days entirely) instead of relying only on
+        # parquet footer min/max stats — the difference between listing 3
+        # directories and listing the whole table at 100 TB.
+        has_bd = "bucket_date" in self._df.columns
         if start is not None:
             out = out.where(F.col("bucket_start") >= F.lit(_ts(start)))
+            if has_bd:
+                out = out.where(F.col("bucket_date") >= F.lit(_ts(start).date()))
         if end is not None:
             out = out.where(F.col("bucket_start") <= F.lit(_ts(end)))
+            if has_bd:
+                out = out.where(F.col("bucket_date") <= F.lit(_ts(end).date()))
         return out.orderBy("bucket_start")
 
     # -- Q3: legacy minute range (frame column dropped, P4) ----------------
@@ -133,11 +145,18 @@ class CandleStore:
         key = F.make_timestamp(
             F.lit(year), F.lit(month), F.lit(day), F.lit(hour), F.lit(minute), F.lit(0)
         )
-        return self._df.where(
+        out = self._df.where(
             (F.col("symbol") == symbol)
             & (F.col("time_frame") == frame)
             & (F.col("bucket_start") == key)
         )
+        if "bucket_date" in self._df.columns:
+            # point lookup on a disk table touches exactly one
+            # (time_frame, bucket_date) directory — see get_candles
+            out = out.where(
+                F.col("bucket_date") == F.lit(_dt.date(year, month, day))
+            )
+        return out
 
     # -- Q7/Q8: catalogs ----------------------------------------------------
     def catalog(

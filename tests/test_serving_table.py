@@ -47,3 +47,60 @@ def test_disk_store_recent_and_catalog(spark, tmp_path):
     assert store.recent("click", "HOUR", n=5).count() == 5
     assert store.symbols().count() == 5
     assert store.catalog(frame="MONTH").count() == 5
+
+
+def _scan_stats(df):
+    """(selected partition dirs, selected files, metadata map) of the
+    first file scan in the pre-AQE physical plan. selectedPartitions IS
+    the post-partition-pruning directory listing — the ground truth for
+    'did the filter actually prune', not just plan text."""
+    scan = df._jdf.queryExecution().sparkPlan().collectLeaves().apply(0)
+    listing = scan.selectedPartitions()  # ScanFileListing, post-pruning
+    n_parts = listing.partitionCount()
+    n_files = listing.totalNumberOfFiles()
+    meta = scan.metadata()
+    md = {
+        "PushedFilters": str(meta.get("PushedFilters").get())
+        if meta.contains("PushedFilters")
+        else "",
+        "PartitionFilters": str(meta.get("PartitionFilters").get())
+        if meta.contains("PartitionFilters")
+        else "",
+    }
+    return n_parts, n_files, md
+
+
+def test_range_and_point_scans_actually_prune(spark, tmp_path):
+    """100 TB serving-path contract (SURVEY §3.3): range/point reads must
+    prune to the addressed (time_frame, bucket_date) directories — counted
+    from the scan's selected partitions, not inferred from the plan text —
+    and the bucket_start bounds must reach the parquet reader as pushed
+    filters for footer min/max skipping within those directories."""
+    table = str(tmp_path / "serving_prune")
+    mf = multi_frame_candles(load_trades(spark, SF_DIR)).localCheckpoint()
+    write_candles(mf, table)
+    store = CandleStore.from_path(spark, table)
+
+    full_parts, full_files, _ = _scan_stats(spark.read.parquet(table))
+    # sf0.001 spans ~31 days x 4 frames -> well over 30 directories
+    assert full_parts > 30
+
+    # 3-day DAY range: exactly the 3 bucket_date dirs under time_frame=DAY
+    rng = store.get_candles("click", "DAY", "2024-01-05", "2024-01-07")
+    rng_parts, rng_files, rng_md = _scan_stats(rng)
+    assert rng_parts == 3, (rng_parts, full_parts)
+    assert rng_files < full_files
+    assert "bucket_start" in rng_md["PushedFilters"]  # footer min/max skipping
+    assert "time_frame" in rng_md["PartitionFilters"]
+    assert "bucket_date" in rng_md["PartitionFilters"]
+    # and the pruned scan still returns exactly the right rows
+    days = {r["bucket_start"].day for r in rng.collect()}
+    assert days == {5, 6, 7}
+
+    # point lookup: exactly ONE directory (the reference's Redis GET parity)
+    pt = store.point("click", "DAY", 2024, 1, 5)
+    pt_parts, pt_files, pt_md = _scan_stats(pt)
+    assert pt_parts == 1, pt_parts
+    assert "time_frame" in pt_md["PartitionFilters"]
+    assert "bucket_date" in pt_md["PartitionFilters"]
+    assert pt.count() == 1
