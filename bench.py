@@ -186,11 +186,13 @@ def main() -> None:
     # warmup: touch the parquet + exercise codegen once
     _noop(queries["c3_day_candles"](spark, sf_dir))
 
-    # best of 2 runs per query: JVM JIT and page cache stabilize after the
-    # first execution; min is the standard steady-state estimator.
+    # best of 3 runs per query (tier 1 is sub-second fixed-overhead work,
+    # so the extra run is cheap): JVM JIT and page cache stabilize after
+    # the first execution; min is the standard steady-state estimator and
+    # a single GC pause can no longer masquerade as a regression.
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        timings[name] = _time_best(lambda: queries[name](spark, sf_dir))
+        timings[name] = _time_best(lambda: queries[name](spark, sf_dir), runs=3)
     total = round(sum(timings.values()), 3)
 
     tier2_info = {}
