@@ -33,6 +33,7 @@ from stock_chart_kafka_streams_spark import (
 from stock_chart_kafka_streams_spark.operators import dedup as _dd
 from stock_chart_kafka_streams_spark.operators import joins as _joins
 from stock_chart_kafka_streams_spark.operators import multimodal as _mm
+from stock_chart_kafka_streams_spark.operators import sampling as _sampling
 from stock_chart_kafka_streams_spark.operators import similarity as _sim
 from stock_chart_kafka_streams_spark.operators import text as _tx
 from stock_chart_kafka_streams_spark.operators import windows_ext as _wx
@@ -570,6 +571,26 @@ def _q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
 
 
+def _q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test hash split — dataset membership as a
+    pure map-side md5 expression (operators/sampling.py), reproducible
+    bit-for-bit cross-engine and across cluster topologies."""
+    from stock_chart_kafka_streams_spark.operators.sampling import hash_split
+
+    return hash_split(_docs(spark, sf_dir))
+
+
+_P3_FRACTIONS = {"en": 0.5, "fr": 1.0, "zh": 0.25}
+
+
+def _q_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified (per-language) sampling for corpus
+    rebalancing; strata not listed are dropped."""
+    from stock_chart_kafka_streams_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), _P3_FRACTIONS)
+
+
 def _q_ss1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream time-interval join (click -> purchase attribution)
     replayed through Structured Streaming; un-evictable watermark makes the
@@ -974,6 +995,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_rollup_totals": _q_w6,
         "w10_volume_pivot": _q_w10,
         "ss1_click_attribution": _q_ss1,
+        "p2_hash_split": _q_p2,
+        "p3_stratified_sample": _q_p3,
     }
 
 
@@ -1080,6 +1103,8 @@ FROM documents
         "t3_chunking": _tx.chunk_documents_sql(),
         "t4_winnow_fingerprints": _tx.winnow_fingerprints_sql(),
         "p1_training_set": _tx.training_set_selection_sql(),
+        "p2_hash_split": _sampling.hash_split_sql(),
+        "p3_stratified_sample": _sampling.stratified_sample_sql(_P3_FRACTIONS),
         "ss1_click_attribution": _SS1_SQL,
         "ss2_click_attribution_outer": _SS2_SQL,
         "sql1_sql_surface": _sql1_sql(),

@@ -117,6 +117,13 @@ class CandleStore:
             base = base.where(
                 (F.col("bucket_start") > lo) & (F.col("bucket_start") <= F.lit(_ts(now)))
             )
+            if "bucket_date" in self._df.columns:
+                # constant-foldable bounds -> directory pruning on disk
+                # serving tables, same as get_candles
+                base = base.where(
+                    (F.col("bucket_date") >= F.to_date(lo))
+                    & (F.col("bucket_date") <= F.lit(_ts(now).date()))
+                )
             return base.orderBy("bucket_start")
         # data-anchored: top-N buckets by time, re-sorted ascending
         return (

@@ -72,6 +72,8 @@ def _canon(rows, cols):
         "w3_volume_cube",
         "w6_rollup_totals",
         "w10_volume_pivot",
+        "p2_hash_split",
+        "p3_stratified_sample",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):

@@ -1,0 +1,61 @@
+"""Deterministic sampling/splitting operators (operators/sampling.py):
+exact oracle parity is covered by tests/test_new_queries.py (p2/p3);
+here the semantic properties — partition completeness, determinism,
+fraction accuracy, salt independence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_hash_split_partitions_every_row_once(spark, docs):
+    out = hash_split(docs).cache()
+    n = docs.count()
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n
+    # 90/5/5 within binomial noise on 500 docs
+    assert abs(counts["train"] / n - 0.9) < 0.06
+    # deterministic: same rows land in the same split on a re-run
+    again = hash_split(docs)
+    assert out.select("doc_id", "split").exceptAll(again.select("doc_id", "split")).count() == 0
+
+
+def test_hash_split_salt_draws_independent_split(spark, docs):
+    a = hash_split(docs, salt="split-v1").select("doc_id", F.col("split").alias("a"))
+    b = hash_split(docs, salt="split-v2").select("doc_id", F.col("split").alias("b"))
+    moved = a.join(b, "doc_id").where(F.col("a") != F.col("b")).count()
+    assert moved > 0  # a different salt is a genuinely different draw
+
+
+def test_hash_split_rejects_bad_weights(docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, weights={"train": 0.5, "test": 0.2})
+
+
+def test_stratified_sample_respects_fractions_and_drops_unlisted(spark, docs):
+    frac = {"en": 0.5, "de": 1.0}
+    out = stratified_sample(docs, frac).cache()
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(by_lang) <= set(frac)  # es/fr/zh dropped
+    assert by_lang["de"] == totals["de"]  # fraction 1.0 keeps everything
+    assert abs(by_lang["en"] / totals["en"] - 0.5) < 0.15
+    # survivors are a subset of the input rows
+    assert out.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0
+
+
+def test_stratified_sample_rejects_bad_fraction(docs):
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, {"en": 1.5})
