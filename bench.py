@@ -125,6 +125,7 @@ def _tier2_queries(spark, trades_path: str, docs_path: str) -> dict[str, float]:
     from stock_chart_kafka_streams_spark.operators.dedup import dedup_minhash
     from stock_chart_kafka_streams_spark.operators.joins import asof_join
     from stock_chart_kafka_streams_spark.operators.text import training_set_selection
+    from stock_chart_kafka_streams_spark.operators.windows_ext import kmv_daily_stats
 
     trades = spark.read.parquet(trades_path)
     docs = spark.read.parquet(docs_path)
@@ -170,6 +171,7 @@ def _tier2_queries(spark, trades_path: str, docs_path: str) -> dict[str, float]:
         "t2_j6_asof_next_open_25m": j6,
         "t2_d2_dedup_minhash_100x": lambda: dedup_minhash(docs),
         "t2_p1_training_set_100x": lambda: training_set_selection(docs),
+        "t2_w9_kmv_sketch_25m": lambda: kmv_daily_stats(trades),
     }
     return {name: _time_best(make) for name, make in makers.items()}
 

@@ -376,30 +376,27 @@ def kmv_daily_stats(
             .alias("kmv_distinct_ticks"),
         )
     )
-    samp = (
-        base.where(
-            _hash32(F.concat_ws("|", F.col("symbol"), F.col("eus").cast("string")))
-            % sample_mod
-            == 0
-        )
-        .groupBy("symbol", "day")
-        .agg(
-            F.median("price").alias("sample_median_price"),
-            F.count("*").alias("sample_n"),
-        )
+    # counts + deterministic sample fused into ONE aggregation (aggregate
+    # functions skip nulls in both engines, so the conditional median IS
+    # the sample median): the whole operator is two scans of the source —
+    # this full-row pass plus the distinct-tick pass for KMV — not three.
+    in_sample = (
+        _hash32(F.concat_ws("|", F.col("symbol"), F.col("eus").cast("string")))
+        % sample_mod
+        == 0
     )
-    counts = base.groupBy("symbol", "day").agg(F.count("*").alias("n_trades"))
-    return (
-        counts.join(kmv, ["symbol", "day"], "left")
-        .join(samp, ["symbol", "day"], "left")
-        .select(
-            "symbol",
-            "day",
-            "n_trades",
-            "kmv_distinct_ticks",
-            F.coalesce("sample_n", F.lit(0).cast("long")).alias("sample_n"),
-            "sample_median_price",
-        )
+    stats = base.groupBy("symbol", "day").agg(
+        F.count("*").alias("n_trades"),
+        F.median(F.when(in_sample, F.col("price"))).alias("sample_median_price"),
+        F.count(F.when(in_sample, F.lit(1))).alias("sample_n"),
+    )
+    return stats.join(kmv, ["symbol", "day"], "left").select(
+        "symbol",
+        "day",
+        "n_trades",
+        "kmv_distinct_ticks",
+        "sample_n",
+        "sample_median_price",
     )
 
 
@@ -436,24 +433,21 @@ kmv AS (
     )
     GROUP BY symbol, day
 ),
-samp AS (
+stats AS (
     SELECT symbol, day,
-           median(price::DOUBLE) AS sample_median_price,
-           CAST(count(*) AS BIGINT) AS sample_n
-    FROM base
-    WHERE ('0x' || substr(md5(symbol || '|' || CAST(eus AS VARCHAR)), 1, 8))::BIGINT
-          % {sample_mod} = 0
-    GROUP BY symbol, day
-),
-counts AS (
-    SELECT symbol, day, CAST(count(*) AS BIGINT) AS n_trades
+           CAST(count(*) AS BIGINT) AS n_trades,
+           median(CASE WHEN ('0x' || substr(md5(symbol || '|' || CAST(eus AS VARCHAR)), 1, 8))::BIGINT
+                            % {sample_mod} = 0
+                       THEN price::DOUBLE END) AS sample_median_price,
+           CAST(count(CASE WHEN ('0x' || substr(md5(symbol || '|' || CAST(eus AS VARCHAR)), 1, 8))::BIGINT
+                                % {sample_mod} = 0
+                            THEN 1 END) AS BIGINT) AS sample_n
     FROM base GROUP BY symbol, day
 )
-SELECT c.symbol, c.day, c.n_trades, kmv.kmv_distinct_ticks,
-       COALESCE(s.sample_n, 0) AS sample_n, s.sample_median_price
-FROM counts c
-LEFT JOIN kmv ON kmv.symbol = c.symbol AND kmv.day = c.day
-LEFT JOIN samp s ON s.symbol = c.symbol AND s.day = c.day
+SELECT s.symbol, s.day, s.n_trades, kmv.kmv_distinct_ticks,
+       s.sample_n, s.sample_median_price
+FROM stats s
+LEFT JOIN kmv ON kmv.symbol = s.symbol AND kmv.day = s.day
 """
 
 
