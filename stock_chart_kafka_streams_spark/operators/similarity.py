@@ -118,34 +118,12 @@ def srp_signs(table_idx: int, bit: int, dim: int = EMBED_DIM) -> list[float]:
     ]
 
 
-def _srp_code(vec: Column, table_idx: int, n_bits: int, dim: int) -> Column:
-    """SRP code: bit j = [Σ_i sign_ji · v_i > 0], signs from srp_signs.
-    The projection is a left-associated chain of +, matching the SQL twin
-    term-for-term."""
-    bits = []
-    for j in range(n_bits):
-        signs = srp_signs(table_idx, j, dim)
-        proj = None
-        for i, s in enumerate(signs):
-            term = F.element_at(vec, i + 1) * F.lit(s)
-            proj = term if proj is None else proj + term
-        bits.append(F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    code = bits[0]
-    for b in bits[1:]:
-        code = code + b
-    return code
-
-
-def _srp_code_sql(vec_sql: str, table_idx: int, n_bits: int, dim: int) -> str:
-    parts = []
-    for j in range(n_bits):
-        signs = srp_signs(table_idx, j, dim)
-        proj = " + ".join(
-            f"{vec_sql}[{i + 1}]*{'1.0' if s > 0 else '-1.0'}"
-            for i, s in enumerate(signs)
-        )
-        parts.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
-    return "(" + " + ".join(parts) + ")"
+# NOTE: an earlier fully-unrolled dim-term projection chain (one +/* node
+# per vector element) was replaced everywhere by ``_srp_code_fold`` below:
+# at n_tables*n_bits*dim terms the generated janino method exceeded the
+# JVM's 64 KB bytecode limit and the whole stage silently fell back to
+# interpreted execution (observed in the sf0.01 driver run), on top of the
+# ~24 s Catalyst compile overhead the unrolled tree already cost.
 
 
 def lsh_topk_sql(
@@ -159,11 +137,11 @@ def lsh_topk_sql(
     """DuckDB twin of lsh_topk with the same constant hyperplanes."""
     dot = "list_sum(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]))".format
     c_codes = "\n    UNION ALL\n    ".join(
-        f"SELECT vec_id, {t} AS t, {_srp_code_sql('v', t, n_bits, dim)} AS code FROM e"
+        f"SELECT vec_id, {t} AS t, {_srp_code_fold_sql('v', t, n_bits, dim)} AS code FROM e"
         for t in range(n_tables)
     )
     q_codes = "\n    UNION ALL\n    ".join(
-        f"SELECT query_id, {t} AS t, {_srp_code_sql('v', t, n_bits, dim)} AS code FROM q"
+        f"SELECT query_id, {t} AS t, {_srp_code_fold_sql('v', t, n_bits, dim)} AS code FROM q"
         for t in range(n_tables)
     )
     d_qc = dot(n=dim + 1, a="qe.v", b="ce.v")
@@ -225,7 +203,7 @@ def lsh_topk(
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        _srp_code(F.col("cv"), t, n_bits, dim).alias("code"),
+                        _srp_code_fold(F.col("cv"), t, n_bits, dim).alias("code"),
                     )
                     for t in range(n_tables)
                 ]
@@ -240,7 +218,7 @@ def lsh_topk(
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        _srp_code(F.col("qv"), t, n_bits, dim).alias("code"),
+                        _srp_code_fold(F.col("qv"), t, n_bits, dim).alias("code"),
                     )
                     for t in range(n_tables)
                 ]
@@ -398,12 +376,15 @@ def embedding_neardup_pairs(
 
 
 def _srp_code_fold(vec: Column, table_idx: int, n_bits: int, dim: int) -> Column:
-    """SRP code like ``_srp_code`` but with the hyperplane as an array
-    LITERAL folded via ``aggregate``/``zip_with`` instead of an unrolled
-    ``dim``-term expression chain: the plan stays small (one higher-order
-    call per bit), avoiding s2's measured ~24 s Catalyst compile overhead
-    for the fully unrolled form, while the left-to-right fold keeps the
-    float addition order identical to DuckDB's ``list_sum``."""
+    """SRP code: bit j = [Σ_i sign_ji · v_i > 0], signs from srp_signs,
+    with the hyperplane as an array LITERAL folded via
+    ``aggregate``/``zip_with`` rather than an unrolled ``dim``-term
+    expression chain: the plan stays small (one higher-order call per
+    bit), avoiding both the ~24 s Catalyst compile overhead and the
+    64 KB janino bytecode overflow the unrolled form hit (see note at
+    the former ``_srp_code`` site), while the left-to-right fold keeps
+    the float addition order identical to DuckDB's ``list_sum``
+    (leading ``0.0 + x`` is exact in IEEE)."""
     bits = []
     for j in range(n_bits):
         signs = srp_signs(table_idx, j, dim)
