@@ -571,6 +571,15 @@ def _q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
 
 
+def _q_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: verified Jaccard pairs -> connected components
+    (iterative min-label propagation) with a recursive-CTE oracle — the
+    transitive-closure end of the dedup pipeline (operators/dedup.py)."""
+    from stock_chart_kafka_streams_spark.operators.dedup import neardup_clusters
+
+    return neardup_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+
 def _q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test hash split — dataset membership as a
     pure map-side md5 expression (operators/sampling.py), reproducible
@@ -995,6 +1004,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_rollup_totals": _q_w6,
         "w10_volume_pivot": _q_w10,
         "ss1_click_attribution": _q_ss1,
+        "d7_neardup_clusters": _q_d7,
         "p2_hash_split": _q_p2,
         "p3_stratified_sample": _q_p3,
     }
@@ -1085,6 +1095,7 @@ ORDER BY bucket_start
         "d4_simhash": _dd.simhash_sql(),
         "d5_embedding_neardup": _sim.embedding_neardup_lsh_sql(threshold=0.99),
         "d6_streaming_dedup": _D6_SQL,
+        "d7_neardup_clusters": _dd.neardup_clusters_sql(threshold=0.5),
         "s1_cosine_topk": _sim.cosine_topk_sql(k=10, query_pred="vec_id < 5"),
         # s2's hyperplanes are md5-derived CONSTANTS, so the approximate
         # LSH result is itself exactly reproducible in SQL; only s3 (IVF,

@@ -23,12 +23,14 @@ Four families, all deterministic and cluster-scalable:
 - **SimHash**: 32-bit signature from per-token md5 bit votes — explode +
   32 conditional sums + bit assembly, all JVM expressions.
 
-Duplicate-group resolution uses a deterministic 1-hop rule: a document's
-representative is the smallest doc_id over every bucket/pair-neighborhood
-it belongs to; a document survives iff it is its own representative. (Full
-transitive closure needs iterative connected components — out of SQL's
-reach and rarely worth it for dedup; the 1-hop rule is stable, idempotent
-on its output, and oracle-checkable.)
+Duplicate-group resolution offers two tiers: the deterministic 1-hop rule
+used inside ``dedup_minhash`` (a document's representative is the smallest
+doc_id over every bucket/pair-neighborhood it belongs to; stable,
+idempotent on its output, single-pass) and FULL transitive closure via
+``connected_components``/``neardup_clusters`` (min-label propagation,
+O(component diameter) rounds) whose fixpoint is reproduced exactly by a
+recursive-CTE oracle — so even the iterative operator is value-checked
+cross-engine.
 """
 
 from __future__ import annotations
@@ -453,4 +455,118 @@ sig AS (
 )
 SELECT d.doc_id, COALESCE(s.simhash, CAST(-1 AS BIGINT)) AS simhash
 FROM {table} d LEFT JOIN sig s USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# near-dup clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) where cluster_id = min node id in the connected
+    component; singletons map to themselves. ``edges`` is undirected
+    (id_a, id_b) pairs.
+
+    Algorithm: min-label propagation — each round every node takes the
+    minimum of its own label and its neighbors' labels; converges in
+    O(component diameter) rounds. Near-dup clusters have tiny diameters
+    (they are quasi-cliques out of LSH buckets), so the loop runs 2-4
+    rounds in practice; ``max_iter`` bounds pathological chains. Each
+    round is two shuffles (neighbor-min aggregate + label join) over
+    (id, label) pairs ONLY — document payloads never enter the loop —
+    and labels are localCheckpointed per round so the plan does not grow
+    with iterations. Convergence detection: labels only ever decrease,
+    so the label sum strictly decreases until fixpoint — one cheap agg
+    per round instead of a change-count join. (At 100 TB scale with
+    billion-node graphs, swap in the alternating small-star/large-star
+    algorithm; for dedup-shaped components this propagation is already
+    shuffle-minimal.)
+
+    Exactly reproducible in SQL: min-over-reachable-set via a recursive
+    CTE (``connected_components_sql``) — label propagation computes the
+    same fixpoint, so this iterative operator carries a full value oracle
+    (rare for graph ops; worth it for dedup auditability).
+    """
+    e = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    e = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nmin = (
+            e.join(labels.withColumnRenamed("id", "src"), on="src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+            .withColumnRenamed("dst", "id")
+        )
+        labels = (
+            labels.join(nmin, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def neardup_clusters(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End of the dedup pipeline: LSH candidates -> verified Jaccard pairs
+    (``ngram_jaccard_pairs``) -> connected components. Returns every
+    document with its cluster id and a canonical flag (keep the minimum
+    doc_id per cluster — the distributed version of 'keep first')."""
+    pairs = ngram_jaccard_pairs(docs, threshold, id_col, text_col).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    cc = connected_components(docs.select(id_col), pairs, id_col=id_col)
+    return cc.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def neardup_clusters_sql(table: str = "documents", threshold: float = 0.5) -> str:
+    """DuckDB twin of ``neardup_clusters``: the same verified pairs, then
+    min-reachable-id per node via a recursive CTE."""
+    pairs_sql = ngram_jaccard_pairs_sql(table, threshold)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+    SELECT doc_id, CAST(doc_id AS BIGINT) FROM {table}
+    UNION
+    SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id,
+       (id = min(r)) AS is_canonical
+FROM reach GROUP BY id
 """

@@ -72,6 +72,7 @@ def _canon(rows, cols):
         "w3_volume_cube",
         "w6_rollup_totals",
         "w10_volume_pivot",
+        "d7_neardup_clusters",
         "p2_hash_split",
         "p3_stratified_sample",
     ],

@@ -53,3 +53,20 @@ def test_duplicates_within_watermark_dropped(spark, tmp_path):
         ("AAPL", 11.0, 3),
         ("MSFT", 5.0, 2),
     ]
+
+
+def test_connected_components_multi_hop_chain(spark):
+    """A 5-node path graph forces label propagation past one round: node 4
+    only reaches label 0 after ~4 rounds. Also: two components + an
+    isolated node."""
+    from stock_chart_kafka_streams_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
