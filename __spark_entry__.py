@@ -571,6 +571,14 @@ def _q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir))
 
 
+def _q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 TF-IDF terms (rational scoring — see
+    operators/text.py::top_terms for why no logarithm)."""
+    from stock_chart_kafka_streams_spark.operators.text import top_terms
+
+    return top_terms(_docs(spark, sf_dir), k=5)
+
+
 def _q_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: verified Jaccard pairs -> connected components
     (iterative min-label propagation) with a recursive-CTE oracle — the
@@ -1005,6 +1013,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_volume_pivot": _q_w10,
         "ss1_click_attribution": _q_ss1,
         "d7_neardup_clusters": _q_d7,
+        "t5_top_terms": _q_t5,
         "p2_hash_split": _q_p2,
         "p3_stratified_sample": _q_p3,
     }
@@ -1113,6 +1122,7 @@ FROM documents
         "t2_language_stats": _tx.language_stats_sql(),
         "t3_chunking": _tx.chunk_documents_sql(),
         "t4_winnow_fingerprints": _tx.winnow_fingerprints_sql(),
+        "t5_top_terms": _tx.top_terms_sql(k=5),
         "p1_training_set": _tx.training_set_selection_sql(),
         "p2_hash_split": _sampling.hash_split_sql(),
         "p3_stratified_sample": _sampling.stratified_sample_sql(_P3_FRACTIONS),

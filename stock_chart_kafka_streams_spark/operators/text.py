@@ -431,3 +431,72 @@ def lang_id_sql(col: str = "text") -> str:
 
 def fingerprint_sql(col: str = "text") -> str:
     return f"md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"
+
+
+def top_terms(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF, scored as the
+    RATIONAL form ``tf * n_docs / df`` (no logarithm): log-idf ranks
+    identically because log is monotone in df, and avoiding libm keeps
+    the score bit-identical cross-engine (libm ``log`` may differ by an
+    ulp between implementations). Ties break on term ascending, so the
+    top-k set is fully deterministic.
+
+    Plan shape: explode -> (doc, term) count -> term doc-frequency
+    aggregate -> broadcast 1-row corpus count -> per-doc top-k window.
+    All shuffles are on reduced key spaces ((doc,term) pairs, then terms);
+    the raw text never re-shuffles. At 100 TB the df table is the only
+    corpus-wide aggregate and it is ~vocabulary-sized."""
+    toks = docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def top_terms_sql(table: str = "documents", k: int = 5, col: str = "text") -> str:
+    """DuckDB twin of ``top_terms``."""
+    toks = TOKENS_SQL.format(col=col)
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({toks}) AS term FROM {table}
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+),
+dfreq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM {table})
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rank FROM (
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           CAST(tf.tf * nd.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS tfidf,
+           row_number() OVER (
+               PARTITION BY tf.doc_id ORDER BY
+               CAST(tf.tf * nd.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) DESC,
+               tf.term ASC
+           ) AS rnk
+    FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+) WHERE rnk <= {k}
+"""

@@ -105,6 +105,18 @@ def read_trades_csv(spark: SparkSession, path: str, header: bool = True) -> Data
     )
 
 
+def read_trades_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Trade-shaped ORC table (columnar alternative to parquet; same
+    declared-schema, no-inference contract as the CSV/JSON readers)."""
+    tune_session(spark)
+    df = spark.read.schema(KAFKA_TRADE_JSON_SCHEMA).orc(path)
+    return df.where(
+        F.col("symbol").isNotNull()
+        & F.col("price").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+
+
 def read_trades_json(spark: SparkSession, path: str) -> DataFrame:
     """Trade-shaped JSON-lines files (batch twin of the streaming JSON
     source); corrupt lines decode to nulls and are dropped (P5)."""

@@ -73,6 +73,7 @@ def _canon(rows, cols):
         "w6_rollup_totals",
         "w10_volume_pivot",
         "d7_neardup_clusters",
+        "t5_top_terms",
         "p2_hash_split",
         "p3_stratified_sample",
     ],

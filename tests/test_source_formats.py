@@ -11,28 +11,36 @@ from stock_chart_kafka_streams_spark.sources.generator import generate_trades_st
 from stock_chart_kafka_streams_spark.sources.trades import (
     read_trades_csv,
     read_trades_json,
+    read_trades_orc,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def test_csv_and_json_roundtrip(spark, tmp_path):
+def test_csv_json_orc_roundtrip(spark, tmp_path):
     trades = load_trades(spark, SF_DIR).localCheckpoint()
     csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    orc_dir = str(tmp_path / "orc")
     trades.write.option("header", "true").csv(csv_dir)
     trades.write.json(json_dir)
+    trades.write.orc(orc_dir)
 
     via_csv = read_trades_csv(spark, csv_dir)
     via_json = read_trades_json(spark, json_dir)
+    via_orc = read_trades_orc(spark, orc_dir)
     n = trades.count()
     assert via_csv.count() == n
     assert via_json.count() == n
-    # identical aggregates through either format
+    assert via_orc.count() == n
+    # identical aggregates through any format
     agg = lambda df: df.agg(
         F.sum("quantity").alias("q"), F.round(F.sum("price"), 6).alias("p")
     ).collect()[0]
     assert agg(via_csv) == agg(trades)
     assert agg(via_json) == agg(trades)
+    assert agg(via_orc) == agg(trades)
+    # ORC is columnar + typed: the exact rows survive, not just aggregates
+    assert via_orc.exceptAll(trades).count() == 0
 
 
 def test_json_source_drops_corrupt_lines(spark, tmp_path):
