@@ -66,6 +66,10 @@ def canon_hash(pdf: pd.DataFrame):
 
 
 qs, os_ = e.queries(), e.oracle_sql()
+# SIM_EXTRA=1: also check the pytest-oracled extra_queries() (the driver
+# itself never runs these; this is the sf0.01 double-check).
+if os.environ.get("SIM_EXTRA") == "1":
+    qs = {**qs, **e.extra_queries()}
 fails = []
 for name, fn in qs.items():
     if ONLY and name not in ONLY:
