@@ -103,12 +103,38 @@ def _tier2_inputs(spark, sf_dir: str, work: str) -> tuple[str, str, int, int]:
         .write.mode("overwrite")
         .parquet(docs_path)
     )
+    # 100x embeddings with a deterministic per-replica perturbation (NOT
+    # exact duplicates — exact copies would make every LSH bucket a
+    # 100-clique and measure the pathological-duplicate corpus instead of
+    # the typical one). rep-indexed affine + index ramp keeps vectors
+    # spread while staying reproducible run-to-run.
+    vec_replicas = int(os.environ.get("SPARK_GRAFT_BENCH_VEC_REPLICAS", "100"))
+    embs_path = os.path.join(work, "embeddings")
+    embs = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    (
+        embs.crossJoin(spark.range(vec_replicas).withColumnRenamed("id", "rep"))
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(100_000_000)).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: x
+                + (F.col("rep") % 17 + 1).cast("double")
+                * (i % 7 + 1).cast("double")
+                * F.lit(0.003),
+            ).alias("embedding"),
+        )
+        .repartition(4 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .write.mode("overwrite")
+        .parquet(embs_path)
+    )
     n_trades = n_ticks * len(symbols)
     n_docs = spark.read.parquet(docs_path).count()
-    return trades_path, docs_path, n_trades, n_docs
+    return trades_path, docs_path, embs_path, n_trades, n_docs
 
 
-def _tier2_queries(spark, trades_path: str, docs_path: str) -> dict[str, float]:
+def _tier2_queries(
+    spark, trades_path: str, docs_path: str, embs_path: str
+) -> dict[str, float]:
     from pyspark.sql import functions as F
 
     # The tier-2 tables are a few hundred MB; with the 128 MB scan-split
@@ -125,10 +151,15 @@ def _tier2_queries(spark, trades_path: str, docs_path: str) -> dict[str, float]:
     from stock_chart_kafka_streams_spark.operators.dedup import dedup_minhash
     from stock_chart_kafka_streams_spark.operators.joins import asof_join
     from stock_chart_kafka_streams_spark.operators.text import training_set_selection
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_lsh,
+        lsh_topk,
+    )
     from stock_chart_kafka_streams_spark.operators.windows_ext import kmv_daily_stats
 
     trades = spark.read.parquet(trades_path)
     docs = spark.read.parquet(docs_path)
+    embs = spark.read.parquet(embs_path)
 
     def j3():
         mc = candles(trades, "MINUTE").select(
@@ -172,6 +203,17 @@ def _tier2_queries(spark, trades_path: str, docs_path: str) -> dict[str, float]:
         "t2_d2_dedup_minhash_100x": lambda: dedup_minhash(docs),
         "t2_p1_training_set_100x": lambda: training_set_selection(docs),
         "t2_w9_kmv_sketch_25m": lambda: kmv_daily_stats(trades),
+        # ANN over the perturbed 200k-vector corpus. n_bits scales with
+        # the corpus exactly as the operator docs prescribe: 8 bits (256
+        # buckets/table) for the 5-query top-k, 12 bits (4096
+        # buckets/table, ~50-vector buckets) for the all-pairs near-dup so
+        # Σ bucket² stays ~linear in the corpus.
+        "t2_s2_lsh_topk_200k": lambda: lsh_topk(
+            embs, embs.where(F.col("vec_id") < 5), k=10, n_bits=8
+        ),
+        "t2_d5_neardup_200k": lambda: embedding_neardup_lsh(
+            embs, threshold=0.99, n_bits=12
+        ),
     }
     return {name: _time_best(make) for name, make in makers.items()}
 
@@ -181,6 +223,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # Headroom so allocation spikes (wide aggregates, candidate joins)
+    # never trigger JVM GC warnings on stdout — the driver parses our ONE
+    # JSON line from stdout, so JVM log noise is a contract hazard, not
+    # just cosmetic.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark(app_name="candle-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
@@ -201,11 +248,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") != "0":
         work = tempfile.mkdtemp(prefix="bench-tier2-")
         try:
-            trades_path, docs_path, n_trades, n_docs = _tier2_inputs(
+            trades_path, docs_path, embs_path, n_trades, n_docs = _tier2_inputs(
                 spark, sf_dir, work
             )
-            timings.update(_tier2_queries(spark, trades_path, docs_path))
-            tier2_info = {"trades_rows": n_trades, "documents_rows": n_docs}
+            timings.update(_tier2_queries(spark, trades_path, docs_path, embs_path))
+            n_vecs = spark.read.parquet(embs_path).count()
+            tier2_info = {
+                "trades_rows": n_trades,
+                "documents_rows": n_docs,
+                "embedding_rows": n_vecs,
+            }
         finally:
             shutil.rmtree(work, ignore_errors=True)
 

@@ -14,8 +14,10 @@
   exact quadratic form for oracle checking; production path would bucket
   through ``lsh_topk``'s codes first.
 
-All dot products are double-precision fold-left sums over the element
-order (``aggregate`` over ``zip_with``), matching the DuckDB twin's
+All dot products are double-precision left-to-right sums over the
+element order — an unrolled, whole-stage-codegen'd chain for the known
+EMBED_DIM (``_dot_unrolled``; the interpreted higher-order fold ``_dot``
+remains for dynamic lengths) — matching the DuckDB twin's
 ``list_sum(list_transform(...))`` so values agree bit-for-bit within the
 oracle's 9-decimal rounding.
 """
@@ -30,6 +32,9 @@ EMBED_DIM = 64
 
 
 def _dot(a: Column, b: Column) -> Column:
+    """Fold-left dot via higher-order functions — works for any length,
+    but HOFs evaluate interpreted (closure call per element). Use only
+    where the dimension is not statically known."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -37,12 +42,31 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _dot_unrolled(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
+    """Codegen'd dot product for a statically-known dimension: a
+    left-associated chain of ``get(a,i)*get(b,i)`` additions. Float order
+    is identical to ``_dot``'s fold (the fold's leading ``0.0 + x`` is
+    exact in IEEE) and to DuckDB's ``list_sum(list_transform(...))``, so
+    every oracle stays bit-for-bit. Unlike the interpreted HOF eval this
+    stays inside whole-stage codegen — the exact-verify stage of the ANN
+    operators is dot-product-bound, so this is the hot path at scale. At
+    dim=64 one dot is ~190 arithmetic nodes, far under the 64 KB janino
+    method limit (contrast the former 16-projection SRP unroll). ``get``
+    (0-based) null-safes short arrays instead of throwing under ANSI."""
+    t: Column | None = None
+    for i in range(dim):
+        term = F.get(a, i) * F.get(b, i)
+        t = term if t is None else t + term
+    assert t is not None
+    return t
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _norm(a: Column, dim: int = EMBED_DIM) -> Column:
+    return F.sqrt(_dot_unrolled(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
+    return _dot_unrolled(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def _as_double(col: str | Column) -> Column:
@@ -279,7 +303,7 @@ def ivf_build_centroids(
         )
         assigned = (
             c.crossJoin(cent_df)
-            .withColumn("d", _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv"))))
+            .withColumn("d", cosine(F.col("v"), F.col("cv")))
             .withColumn(
                 "rk",
                 F.row_number().over(
@@ -330,7 +354,7 @@ def ivf_topk(
 
     def nearest(df: DataFrame, key: str, topn: int) -> DataFrame:
         scored = df.crossJoin(cent_df).withColumn(
-            "cd", _dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))
+            "cd", cosine(F.col("v"), F.col("cv"))
         )
         w = Window.partitionBy(key).orderBy(F.col("cd").desc(), F.col("cid"))
         return (
