@@ -103,25 +103,31 @@ def _tier2_inputs(spark, sf_dir: str, work: str) -> tuple[str, str, int, int]:
         .write.mode("overwrite")
         .parquet(docs_path)
     )
-    # 100x embeddings with a deterministic per-replica perturbation (NOT
-    # exact duplicates — exact copies would make every LSH bucket a
-    # 100-clique and measure the pathological-duplicate corpus instead of
-    # the typical one). rep-indexed affine + index ramp keeps vectors
-    # spread while staying reproducible run-to-run.
+    # 100x embeddings with deterministic hash-directed noise per
+    # (replica, element). The noise direction must be ~random per replica:
+    # a shared perturbation direction leaves every replica of a base
+    # vector co-bucketing under SRP, which turns the near-dup candidate
+    # set into 100-cliques and the verify join into an ~80 GB
+    # vector-payload shuffle (measured: filled the disk). Hash noise
+    # decorrelates the replicas so buckets spread like a real corpus.
     vec_replicas = int(os.environ.get("SPARK_GRAFT_BENCH_VEC_REPLICAS", "100"))
     embs_path = os.path.join(work, "embeddings")
     embs = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    noise = lambda x, i: x + (
+        (
+            F.pmod(
+                F.xxhash64(F.concat_ws(":", F.col("rep"), i)), F.lit(1000)
+            ).cast("double")
+            / F.lit(1000.0)
+            - F.lit(0.5)
+        )
+        * F.lit(0.2)
+    )
     (
         embs.crossJoin(spark.range(vec_replicas).withColumnRenamed("id", "rep"))
         .select(
             (F.col("vec_id") + F.col("rep") * F.lit(100_000_000)).alias("vec_id"),
-            F.transform(
-                F.col("embedding"),
-                lambda x, i: x
-                + (F.col("rep") % 17 + 1).cast("double")
-                * (i % 7 + 1).cast("double")
-                * F.lit(0.003),
-            ).alias("embedding"),
+            F.transform(F.col("embedding"), noise).alias("embedding"),
         )
         .repartition(4 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
         .write.mode("overwrite")
@@ -203,16 +209,19 @@ def _tier2_queries(
         "t2_d2_dedup_minhash_100x": lambda: dedup_minhash(docs),
         "t2_p1_training_set_100x": lambda: training_set_selection(docs),
         "t2_w9_kmv_sketch_25m": lambda: kmv_daily_stats(trades),
-        # ANN over the perturbed 200k-vector corpus. n_bits scales with
-        # the corpus exactly as the operator docs prescribe: 8 bits (256
-        # buckets/table) for the 5-query top-k, 12 bits (4096
-        # buckets/table, ~50-vector buckets) for the all-pairs near-dup so
-        # Σ bucket² stays ~linear in the corpus.
+        # ANN over the perturbed corpus. n_bits scales with corpus size
+        # exactly as the operator docs prescribe (keep mean bucket size
+        # O(1) so Σ bucket² stays ~linear): 8 bits for the 5-query top-k
+        # over all 200k, 14 bits (16k buckets/table) for the all-pairs
+        # near-dup over a 50k slice — the verify join ships both vectors
+        # per candidate pair, so candidate volume IS the cost.
         "t2_s2_lsh_topk_200k": lambda: lsh_topk(
             embs, embs.where(F.col("vec_id") < 5), k=10, n_bits=8
         ),
-        "t2_d5_neardup_200k": lambda: embedding_neardup_lsh(
-            embs, threshold=0.99, n_bits=12
+        "t2_d5_neardup_50k": lambda: embedding_neardup_lsh(
+            embs.where(F.col("vec_id") < 2_500_000_000),
+            threshold=0.99,
+            n_bits=14,
         ),
     }
     return {name: _time_best(make) for name, make in makers.items()}
