@@ -588,6 +588,23 @@ def _q_d7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter stats (duplicate-trigram and
+    top-token fractions, operators/text.py::repetition_stats)."""
+    from stock_chart_kafka_streams_spark.operators.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via winnow-fingerprint overlap; the
+    deterministic doc_id % 97 subset stands in for the held-out set."""
+    from stock_chart_kafka_streams_spark.operators.text import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(docs, docs.where(F.col("doc_id") % 97 == 0))
+
+
 def _q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test hash split — dataset membership as a
     pure map-side md5 expression (operators/sampling.py), reproducible
@@ -1014,8 +1031,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ss1_click_attribution": _q_ss1,
         "d7_neardup_clusters": _q_d7,
         "t5_top_terms": _q_t5,
+        "t6_repetition_stats": _q_t6,
         "p2_hash_split": _q_p2,
         "p3_stratified_sample": _q_p3,
+        "p4_decontaminate": _q_p4,
     }
 
 
@@ -1123,6 +1142,8 @@ FROM documents
         "t3_chunking": _tx.chunk_documents_sql(),
         "t4_winnow_fingerprints": _tx.winnow_fingerprints_sql(),
         "t5_top_terms": _tx.top_terms_sql(k=5),
+        "t6_repetition_stats": _tx.repetition_stats_sql(),
+        "p4_decontaminate": _tx.decontaminate_sql(),
         "p1_training_set": _tx.training_set_selection_sql(),
         "p2_hash_split": _sampling.hash_split_sql(),
         "p3_stratified_sample": _sampling.stratified_sample_sql(_P3_FRACTIONS),

@@ -500,3 +500,175 @@ SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rank FROM (
     FROM tf JOIN dfreq USING (term) CROSS JOIN nd
 ) WHERE rnk <= {k}
 """
+
+
+# Gopher/MassiveText-style repetition thresholds: documents above either
+# are dominated by repeated content and excluded from training sets.
+REP_MAX_DUP_TRIGRAM_FRAC = 0.30
+REP_MAX_TOP_TOKEN_FRAC = 0.20
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition metrics for pretraining-corpus filtering
+    (the Gopher-rules family): fraction of duplicate word trigrams and
+    the share of the single most frequent token. Both are exact ratios of
+    counts (no libm), so the whole result is cross-engine hashable.
+
+    Plan: trigram stats are pure map-side array expressions; the top-token
+    share needs one explode + two hash aggregations on (doc, token) —
+    reduced key space, text never re-shuffles."""
+    toks = tokens(text_col)
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(2), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, F.lit(3)), " "),
+    )
+    # NOT distinct — repetition is exactly what dedupe would erase
+    trig = F.when(F.size(toks) >= 3, tri).otherwise(F.array(normalized(text_col)))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(trig).cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct(trig)).cast("long").alias("n_distinct_trigrams"),
+        toks.alias("__toks"),
+    )
+    top = (
+        base.select("doc_id", F.explode("__toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_cnt"))
+    )
+    dup_frac = (
+        (F.col("n_trigrams") - F.col("n_distinct_trigrams")).cast("double")
+        / F.col("n_trigrams").cast("double")
+    )
+    top_frac = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.coalesce(F.col("top_cnt"), F.lit(0)).cast("double")
+        / F.col("n_tokens").cast("double")
+    )
+    return (
+        base.drop("__toks")
+        .join(top, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_trigrams",
+            "n_distinct_trigrams",
+            dup_frac.alias("dup_trigram_frac"),
+            top_frac.alias("top_token_frac"),
+            (
+                (dup_frac > REP_MAX_DUP_TRIGRAM_FRAC)
+                | (top_frac > REP_MAX_TOP_TOKEN_FRAC)
+            ).alias("is_repetitive"),
+        )
+    )
+
+
+def repetition_stats_sql(table: str = "documents", col: str = "text") -> str:
+    toks = TOKENS_SQL.format(col=col)
+    norm = f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+    tri = (
+        f"list_transform(range(1, greatest(len({toks}) - 2, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+2], ' '))"
+    )
+    trig = f"(CASE WHEN len({toks}) >= 3 THEN {tri} ELSE [{norm}] END)"
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(len({toks}) AS BIGINT) AS n_tokens,
+           CAST(len({trig}) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct({trig})) AS BIGINT) AS n_distinct_trigrams
+    FROM {table}
+),
+top AS (
+    SELECT doc_id, max(cnt) AS top_cnt FROM (
+        SELECT doc_id, tok, count(*) AS cnt FROM (
+            SELECT doc_id, unnest({toks}) AS tok FROM {table}
+        ) GROUP BY doc_id, tok
+    ) GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens, b.n_trigrams, b.n_distinct_trigrams,
+       CAST(b.n_trigrams - b.n_distinct_trigrams AS DOUBLE)
+           / CAST(b.n_trigrams AS DOUBLE) AS dup_trigram_frac,
+       CASE WHEN b.n_tokens = 0 THEN 0.0
+            ELSE CAST(COALESCE(t.top_cnt, 0) AS DOUBLE)
+                 / CAST(b.n_tokens AS DOUBLE) END AS top_token_frac,
+       (CAST(b.n_trigrams - b.n_distinct_trigrams AS DOUBLE)
+            / CAST(b.n_trigrams AS DOUBLE) > {REP_MAX_DUP_TRIGRAM_FRAC}
+        OR (CASE WHEN b.n_tokens = 0 THEN 0.0
+                 ELSE CAST(COALESCE(t.top_cnt, 0) AS DOUBLE)
+                      / CAST(b.n_tokens AS DOUBLE) END) > {REP_MAX_TOP_TOKEN_FRAC}
+       ) AS is_repetitive
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+DECONTAM_THRESHOLD = 0.2
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = DECONTAM_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share too
+    many winnowing fingerprints with a held-out evaluation set — the
+    standard test-set-overlap removal step before pretraining. A document
+    is ``contaminated`` when >= ``threshold`` of its fingerprints appear
+    in the benchmark's fingerprint set.
+
+    Scale posture: benchmark sets are tiny relative to the corpus, so the
+    distinct benchmark-fingerprint set BROADCASTS; the corpus side is the
+    map-side winnowing pass (t4) plus one aggregation keyed by doc — the
+    training corpus is never shuffled by fingerprint."""
+    doc_fps = winnow_fingerprints(docs, id_col, text_col)
+    bench_fps = (
+        winnow_fingerprints(benchmark, id_col, text_col).select("fp").distinct()
+    )
+    tot = doc_fps.groupBy(id_col).agg(F.count("*").alias("n_fps"))
+    hits = (
+        doc_fps.join(F.broadcast(bench_fps), on="fp", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    frac = (
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+        / F.col("n_fps").cast("double")
+    )
+    return tot.join(hits, on=id_col, how="left").select(
+        id_col,
+        "n_fps",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        frac.alias("overlap_frac"),
+        (frac >= threshold).alias("contaminated"),
+    )
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    bench_pred: str = "doc_id % 97 = 0",
+    threshold: float = DECONTAM_THRESHOLD,
+) -> str:
+    """DuckDB twin of ``decontaminate`` for a benchmark that is a
+    predicate-selected subset of the corpus (the driver fixture): the
+    benchmark fingerprints are exactly the doc fingerprints of the
+    selected ids."""
+    wf = winnow_fingerprints_sql(table)
+    return f"""
+WITH doc_fps AS ({wf}),
+bench AS (SELECT DISTINCT fp FROM doc_fps WHERE {bench_pred}),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM doc_fps GROUP BY 1),
+hits AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM doc_fps JOIN bench USING (fp) GROUP BY 1
+)
+SELECT t.doc_id, t.n_fps,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_fps AS DOUBLE)
+           AS overlap_frac,
+       (CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_fps AS DOUBLE))
+           >= {threshold} AS contaminated
+FROM tot t LEFT JOIN hits h USING (doc_id)
+"""

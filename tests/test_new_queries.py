@@ -74,8 +74,10 @@ def _canon(rows, cols):
         "w10_volume_pivot",
         "d7_neardup_clusters",
         "t5_top_terms",
+        "t6_repetition_stats",
         "p2_hash_split",
         "p3_stratified_sample",
+        "p4_decontaminate",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):
