@@ -104,3 +104,18 @@ def test_range_and_point_scans_actually_prune(spark, tmp_path):
     assert "time_frame" in pt_md["PartitionFilters"]
     assert "bucket_date" in pt_md["PartitionFilters"]
     assert pt.count() == 1
+
+
+def test_recent_now_anchored_prunes(spark, tmp_path):
+    """recent(now=...) derives bucket_date bounds too: only the
+    directories inside the lookback window are listed."""
+    table = str(tmp_path / "serving_recent")
+    mf = multi_frame_candles(load_trades(spark, SF_DIR)).localCheckpoint()
+    write_candles(mf, table)
+    store = CandleStore.from_path(spark, table)
+    q = store.recent("click", "DAY", n=3, now="2024-01-10 00:00:00")
+    parts, _, md = _scan_stats(q)
+    assert parts <= 4  # 3-day lookback spans at most 4 bucket_date dirs
+    assert "bucket_date" in md["PartitionFilters"]
+    days = [r["bucket_start"].day for r in q.collect()]
+    assert days == [8, 9, 10]
