@@ -1,0 +1,105 @@
+"""Physical-plan audit across the query surface.
+
+Explains every BATCH query (building the DataFrame only — queries whose
+construction executes jobs, i.e. streaming replays and iterative
+operators, are skipped) and reports per query:
+
+- exchanges (shuffles), broadcast vs sort-merge joins, cartesian joins
+- parquet scans lacking PushedFilters when the plan filters rows
+- whole-stage-codegen span count (a proxy for interpreted gaps)
+
+Usage:  python tools/plan_audit.py [sf_dir]
+
+This is a review tool, not a gate: some patterns are intended (documented
+broadcast crossJoins, global sorts for ordered range outputs). Its value
+is the diff round-over-round — a new cartesian or a vanished pushdown is
+a regression worth reading.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as e  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+# Building these executes work (streaming replays, iterative k-means /
+# label propagation, eager localCheckpoints) — explain after the fact
+# would audit a trivial post-materialization plan anyway.
+SKIP = {
+    "c12_streaming_late_drop",
+    "c14_chained_hour",
+    "d6_streaming_dedup",
+    "ss1_click_attribution",
+    "ss2_click_attribution_outer",
+    "s3_ivf_ann_topk",
+    "d7_neardup_clusters",
+    "d3_ngram_jaccard_pairs",  # eager candidate checkpoint by design
+}
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .appName("plan-audit")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+
+
+def audit(name: str, df) -> dict:
+    try:
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    except Exception:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "query": name,
+        "exchanges": len(re.findall(r"\bExchange\b|\(\d+\) Exchange", plan)) // 2,
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "cartesian": plan.count("CartesianProduct")
+        + plan.count("BroadcastNestedLoopJoin"),
+        # NOTE: no codegen-span metric here — under AQE the pre-execution
+        # plan carries no [codegen id] annotations, so it cannot be read
+        # without running the query. Codegen regressions surface instead
+        # as janino errors in the driver-sim stderr (how the s2 64 KB
+        # overflow was caught).
+        "scans": plan.count("Scan parquet"),
+        "pushed": plan.count("PushedFilters: ["),
+        "empty_pushed": plan.count("PushedFilters: []"),
+    }
+
+
+rows = []
+for name, fn in {**e.queries(), **e.extra_queries()}.items():
+    if name in SKIP:
+        continue
+    try:
+        rows.append(audit(name, fn(spark, SF)))
+    except Exception as ex:  # pragma: no cover - audit robustness
+        rows.append({"query": name, "error": str(ex)[:80]})
+
+hdr = ["query", "exchanges", "bhj", "smj", "cartesian", "scans", "pushed", "empty_pushed"]
+print("\t".join(hdr))
+for r in rows:
+    if "error" in r:
+        print(f"{r['query']}\tERROR: {r['error']}")
+        continue
+    print("\t".join(str(r.get(h, "")) for h in hdr))
+
+flags = [
+    r["query"]
+    for r in rows
+    if "error" not in r and r["cartesian"] > 0 and not r["query"].startswith(("s1", "s2"))
+]
+# Reviewed flags (see PERF.md round 5): t5's BroadcastNestedLoopJoin is
+# the 1-row corpus-count broadcast — constant build side, intended.
+print("\ncartesian to review (1-row count broadcasts are fine):", flags or "none")
