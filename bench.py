@@ -253,6 +253,36 @@ def main() -> None:
         timings[name] = _time_best(lambda: queries[name](spark, sf_dir), runs=3)
     total = round(sum(timings.values()), 3)
 
+    # Streaming throughput (same numbers tools/bench_streaming.py prints,
+    # folded into the driver-recorded JSON): 2M generated events drained
+    # through the real stateful pipeline with trigger(availableNow) in 4
+    # micro-batches; *_sec is the drain wall-clock. Disable with
+    # SPARK_GRAFT_BENCH_STREAM=0.
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") != "0":
+        import tools.bench_streaming as _bs
+
+        work = tempfile.mkdtemp(prefix="bench-stream-")
+        try:
+            n_ticks = int(os.environ.get("SPARK_GRAFT_BENCH_TICKS_STREAM", "40000"))
+            symbols = {f"S{i:03d}": 10.0 + 7.3 * i for i in range(50)}
+            from stock_chart_kafka_streams_spark.sources.generator import (
+                generate_trades,
+            )
+
+            spool = os.path.join(work, "spool")
+            (
+                generate_trades(spark, n_ticks, symbols=symbols)
+                .repartition(64)
+                .write.mode("overwrite")
+                .parquet(spool)
+            )
+            for shape in ("single", "chained"):
+                timings[f"t2_stream_{shape}_2m_events"] = round(
+                    _bs._drain(spark, spool, work, shape), 3
+                )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     tier2_info = {}
     if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") != "0":
         work = tempfile.mkdtemp(prefix="bench-tier2-")

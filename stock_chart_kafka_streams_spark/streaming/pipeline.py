@@ -302,6 +302,50 @@ def candle_kafka_payload(candles: DataFrame) -> DataFrame:
     )
 
 
+def decode_candle_payload(wire: DataFrame) -> DataFrame:
+    """Inverse of ``candle_kafka_payload``: parse the reference-shaped
+    JSON candle payload back into the engine's candle schema. The
+    reference never consumes its own candle topic (Redis serves reads),
+    but a downstream Kafka consumer would — and the broker-free
+    round-trip ``decode(encode(candles)) == candles`` is the only
+    wire-evidence for the sink shape this sandbox can produce
+    (tests/test_kafka_serde.py)."""
+    from pyspark.sql import types as T
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("symbol", T.StringType()),
+            T.StructField("open", T.DoubleType()),
+            T.StructField("high", T.DoubleType()),
+            T.StructField("low", T.DoubleType()),
+            T.StructField("close", T.DoubleType()),
+            T.StructField("volume", T.LongType()),
+            T.StructField("startTime", T.TimestampType()),
+            T.StructField("endTime", T.TimestampType()),
+        ]
+    )
+    return (
+        wire.select(
+            F.from_json(
+                F.col("value").cast("string"),
+                payload_schema,
+                {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss'Z'", "timeZone": "UTC"},
+            ).alias("c")
+        )
+        .select(
+            F.col("c.symbol").alias("symbol"),
+            F.col("c.startTime").alias("bucket_start"),
+            F.col("c.endTime").alias("bucket_end"),
+            "c.open",
+            "c.high",
+            "c.low",
+            "c.close",
+            "c.volume",
+        )
+        .where(F.col("symbol").isNotNull())
+    )
+
+
 def candles_to_kafka(
     candles: DataFrame,
     bootstrap_servers: str,

@@ -83,3 +83,22 @@ def test_decode_drops_corrupt_and_null_field_payloads(spark):
     out = decode_kafka_trades(raw).collect()
     assert len(out) == 1
     assert out[0]["symbol"] == "AAPL" and out[0]["price"] == 1.0
+
+
+def test_candle_payload_round_trip_exact(spark):
+    """S2 wire symmetry: the reference-shaped candle payload decodes back
+    to exactly the candles that were encoded (whole-second buckets, so
+    the second-precision ISO format loses nothing)."""
+    from stock_chart_kafka_streams_spark.streaming.pipeline import (
+        decode_candle_payload,
+    )
+
+    base = candles(load_trades(spark, SF_DIR), "MINUTE")
+    wire = candle_kafka_payload(base)
+    back = decode_candle_payload(wire)
+    want = base.select(
+        "symbol", "bucket_start", "bucket_end",
+        "open", "high", "low", "close", "volume",
+    )
+    assert back.exceptAll(want).count() == 0
+    assert want.exceptAll(back).count() == 0
