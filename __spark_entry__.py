@@ -605,6 +605,22 @@ def _q_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, docs.where(F.col("doc_id") % 97 == 0))
 
 
+def _q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with exact-integer cumulative coverage
+    (operators/text.py::vocabulary_stats) — tokenizer-training prep."""
+    from stock_chart_kafka_streams_spark.operators.text import vocabulary_stats
+
+    return vocabulary_stats(_docs(spark, sf_dir), top_n=1000)
+
+
+def _q_p5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup (doc/token/quality/lang mix per
+    source column) — sampling-weight inputs for corpus mixing."""
+    from stock_chart_kafka_streams_spark.operators.text import source_quality_rollup
+
+    return source_quality_rollup(_docs(spark, sf_dir))
+
+
 def _q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test hash split — dataset membership as a
     pure map-side md5 expression (operators/sampling.py), reproducible
@@ -1032,9 +1048,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_neardup_clusters": _q_d7,
         "t5_top_terms": _q_t5,
         "t6_repetition_stats": _q_t6,
+        "t7_vocabulary": _q_t7,
         "p2_hash_split": _q_p2,
         "p3_stratified_sample": _q_p3,
         "p4_decontaminate": _q_p4,
+        "p5_source_quality": _q_p5,
     }
 
 
@@ -1143,7 +1161,9 @@ FROM documents
         "t4_winnow_fingerprints": _tx.winnow_fingerprints_sql(),
         "t5_top_terms": _tx.top_terms_sql(k=5),
         "t6_repetition_stats": _tx.repetition_stats_sql(),
+        "t7_vocabulary": _tx.vocabulary_stats_sql(top_n=1000),
         "p4_decontaminate": _tx.decontaminate_sql(),
+        "p5_source_quality": _tx.source_quality_rollup_sql(),
         "p1_training_set": _tx.training_set_selection_sql(),
         "p2_hash_split": _sampling.hash_split_sql(),
         "p3_stratified_sample": _sampling.stratified_sample_sql(_P3_FRACTIONS),

@@ -672,3 +672,120 @@ SELECT t.doc_id, t.n_fps,
            >= {threshold} AS contaminated
 FROM tot t LEFT JOIN hits h USING (doc_id)
 """
+
+
+def vocabulary_stats(
+    docs: DataFrame, top_n: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Corpus vocabulary table for tokenizer training / coverage analysis:
+    the ``top_n`` tokens by corpus frequency with rank, document
+    frequency, and CUMULATIVE corpus coverage. The running total is
+    accumulated over exact BIGINT counts (one double division at the
+    end), so the coverage column is order-of-summation-proof and
+    hash-matches cross-engine — a windowed running sum over doubles would
+    not be (segment-tree vs sequential accumulation).
+
+    Plan: explode -> (token) count + doc-frequency aggregates -> a
+    top_n-bounded window over the vocabulary (vocab-sized, tiny relative
+    to the corpus) -> broadcast 1-row total."""
+    toks = docs.select(F.col("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("cnt"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    total = toks.agg(F.count("*").alias("total_tokens"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    cum = (
+        Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        vocab.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("cum_cnt", F.sum("cnt").over(cum).cast("long"))
+        .where(F.col("rank") <= top_n)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "cnt",
+            "doc_freq",
+            (F.col("cum_cnt").cast("double") / F.col("total_tokens").cast("double")).alias(
+                "cum_coverage"
+            ),
+        )
+    )
+
+
+def vocabulary_stats_sql(
+    table: str = "documents", top_n: int = 1000, col: str = "text"
+) -> str:
+    toks = TOKENS_SQL.format(col=col)
+    return f"""
+WITH tok AS (
+    SELECT doc_id, unnest({toks}) AS tok FROM {table}
+),
+vocab AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok GROUP BY tok
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM tok)
+SELECT CAST(rank AS INT) AS rank, tok, cnt, doc_freq,
+       CAST(cum_cnt AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS cum_coverage
+FROM (
+    SELECT tok, cnt, doc_freq,
+           row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+           sum(cnt) OVER (
+               ORDER BY cnt DESC, tok ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_cnt
+    FROM vocab
+) CROSS JOIN total
+WHERE rank <= {top_n}
+"""
+
+
+def source_quality_rollup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source curation dashboard: doc counts, token totals, quality
+    mass and language mix per ``source`` — the rollup a data-curation
+    pipeline uses to decide per-source sampling weights. Quality doubles
+    are summed as exact integer micro-units (the ``language_stats``
+    pattern) so the rollup is accumulation-order-proof."""
+    feats = text_features(docs, text_col)
+    src = docs.select("doc_id", "source")
+    return (
+        feats.join(src, on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.round(F.col("quality") * 1_000_000).cast("long")).alias(
+                "sum_quality_micros"
+            ),
+            F.count_distinct("lang_pred").alias("n_langs"),
+            F.count_distinct("fingerprint").alias("n_unique_fingerprints"),
+        )
+    )
+
+
+def source_quality_rollup_sql(table: str = "documents", col: str = "text") -> str:
+    return f"""
+WITH feats AS (
+    SELECT doc_id, source,
+           {token_count_sql(col)} AS n_tokens,
+           {quality_score_sql(col)} AS quality,
+           {lang_id_sql(col)} AS lang_pred,
+           {fingerprint_sql(col)} AS fingerprint
+    FROM {table}
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT) AS sum_quality_micros,
+       CAST(count(DISTINCT lang_pred) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_unique_fingerprints
+FROM feats
+GROUP BY source
+"""

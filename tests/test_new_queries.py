@@ -75,9 +75,11 @@ def _canon(rows, cols):
         "d7_neardup_clusters",
         "t5_top_terms",
         "t6_repetition_stats",
+        "t7_vocabulary",
         "p2_hash_split",
         "p3_stratified_sample",
         "p4_decontaminate",
+        "p5_source_quality",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):
