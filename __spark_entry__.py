@@ -231,9 +231,10 @@ def _q_c12(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contributes iff its minute-window end > max(ts over batches <= k-2)
 # (zero watermark delay). batch_max has one row per non-empty batch, in the
 # same order the file source replays them, so ROWS ... 2 PRECEDING is
-# exactly "batches <= k-2".
-_C12_SQL = """
-WITH batched AS (
+# exactly "batches <= k-2". Shared by c12 (minute candles over the kept
+# subset) and c15 (calendar-month cascade over the same kept subset).
+_KEPT_CTE = """
+batched AS (
     SELECT
         event_type AS symbol,
         value AS price,
@@ -258,19 +259,110 @@ kept AS (
     WHERE wm.wm_eff IS NULL
        OR date_trunc('minute', t.ts) + INTERVAL 1 MINUTE > wm.wm_eff
 )
+"""
+
+
+def _kept_candle_sql(frame: str) -> str:
+    """Candle aggregation at ``frame`` over the replay-kept subset — valid
+    for coarse frames because the sink cascade recomputes them from the
+    stored minutes and OHLCV is associative (open/close = arg_min/arg_max
+    by ts through any grouping refinement)."""
+    unit = {"MINUTE": "minute", "HOUR": "hour", "DAY": "day", "MONTH": "month"}[frame]
+    return f"""
+WITH {_KEPT_CTE.strip()}
 SELECT
     symbol,
-    'MINUTE' AS time_frame,
-    CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
-    CAST(date_trunc('minute', ts) + INTERVAL 1 MINUTE AS TIMESTAMP) AS bucket_end,
+    '{frame}' AS time_frame,
+    CAST(date_trunc('{unit}', ts) AS TIMESTAMP) AS bucket_start,
+    CAST(date_trunc('{unit}', ts) + INTERVAL 1 {unit} AS TIMESTAMP) AS bucket_end,
     arg_min(price, ts) AS "open",
     max(price) AS high,
     min(price) AS low,
     arg_max(price, ts) AS "close",
     CAST(sum(quantity) AS BIGINT) AS volume
 FROM kept
-GROUP BY symbol, date_trunc('minute', ts)
+GROUP BY symbol, date_trunc('{unit}', ts)
 """
+
+
+_C12_SQL = _kept_candle_sql("MINUTE")
+_C15_SQL = _kept_candle_sql("MONTH")
+
+
+def _q_c15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month streaming cascade (SURVEY §4.3.1's acknowledged hard
+    part): replay the zero-grace late-data stream exactly like c12, but
+    let the foreachBatch sink cascade the stored minutes up to TRUE
+    calendar-month rows (no fixed-duration window can express months).
+    The oracle is the month candle aggregation over the same replay-kept
+    subset — valid because the cascade recomputes months from the kept
+    minutes and OHLCV is associative."""
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.streaming.replay import (
+        late_replay_trades,
+        replay_candles,
+    )
+
+    tune_session(spark)
+    trades = late_replay_trades(spark, sf_dir, batch_size=1250)
+    out = replay_candles(spark, trades, frames=["MINUTE", "MONTH"])
+    return out.where(_F.col("time_frame") == "MONTH")
+
+
+def _q_ws1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SESSION windows (dynamic, state-merging — the window kind
+    the reference's fixed tumbling topology cannot express): replay the
+    events table through ``session_window`` with an un-evictable watermark
+    delay, so the emitted sessions must equal the batch gaps-and-islands
+    computation — which is w1's SQL oracle. Sessions merge ACROSS
+    micro-batches (the delayed replay rows land in later batches), so this
+    exercises session-state merge, not just single-batch grouping."""
+    import shutil
+    import tempfile
+
+    from stock_chart_kafka_streams_spark.sources.trades import read_trades_json_stream
+    from stock_chart_kafka_streams_spark.streaming.pipeline import (
+        streaming_session_candles,
+    )
+    from stock_chart_kafka_streams_spark.streaming.replay import (
+        SENTINEL_CUTOFF,
+        late_replay_trades,
+        write_replay_batches,
+    )
+
+    tune_session(spark)
+    work = tempfile.mkdtemp(prefix="session-replay-")
+    try:
+        trades = late_replay_trades(spark, sf_dir, batch_size=1250)
+        write_replay_batches(trades, os.path.join(work, "in"))
+        stream = read_trades_json_stream(
+            spark, os.path.join(work, "in"), max_files_per_trigger=1
+        )
+        q = (
+            streaming_session_candles(
+                stream, gap="30 minutes", watermark_delay="31 days"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", os.path.join(work, "out"))
+            .option("checkpointLocation", os.path.join(work, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(os.path.join(work, "out"))
+            .where(F.col("session_start") < F.lit(SENTINEL_CUTOFF).cast("timestamp"))
+            .where(F.col("symbol") != "__heartbeat__")
+            .select(
+                "symbol", "session_start", "session_end",
+                "n_trades", "volume", "first_ts", "last_ts",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _q_c14(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -628,6 +720,28 @@ def _q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.sampling import hash_split
 
     return hash_split(_docs(spark, sf_dir))
+
+
+def _q_p6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concatenate-and-chop): every document
+    gets a (shard, seq_id, offset) under a deterministic hash order —
+    one shuffle into hash shards + a per-shard running sum, all-BIGINT
+    arithmetic so the assignment is cross-engine exact."""
+    from stock_chart_kafka_streams_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=16)
+
+
+def _q_p7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality quantile filter (Gopher-style curation): keep
+    the top half per stratum by quality score; the cut is an integer
+    rational comparison (rank*den <= num*n), no float percentile
+    boundary."""
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        quality_quantile_filter,
+    )
+
+    return quality_quantile_filter(_docs(spark, sf_dir), keep_num=1, keep_den=2)
 
 
 _P3_FRACTIONS = {"en": 0.5, "fr": 1.0, "zh": 0.25}
@@ -1045,6 +1159,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w6_rollup_totals": _q_w6,
         "w10_volume_pivot": _q_w10,
         "ss1_click_attribution": _q_ss1,
+        "c15_streaming_month": _q_c15,
+        "ws1_streaming_sessions": _q_ws1,
         "d7_neardup_clusters": _q_d7,
         "t5_top_terms": _q_t5,
         "t6_repetition_stats": _q_t6,
@@ -1053,6 +1169,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_stratified_sample": _q_p3,
         "p4_decontaminate": _q_p4,
         "p5_source_quality": _q_p5,
+        "p6_pack_sequences": _q_p6,
+        "p7_quality_quantile": _q_p7,
     }
 
 
@@ -1118,6 +1236,12 @@ ORDER BY bucket_start
         "i1_indicators": _i1_sql(),
         "i2_vwap_minute": _I2_SQL,
         "w1_session_windows": _wx.session_candles_sql(_TRADES_CTE.strip()),
+        # ws1 replays the same trades through streaming session_window with
+        # an un-evictable watermark — the result contract IS the batch
+        # gaps-and-islands computation, so the oracle is w1's twin.
+        "ws1_streaming_sessions": _wx.session_candles_sql(_TRADES_CTE.strip()),
+        # c15: month cascade over the c12 replay-kept subset.
+        "c15_streaming_month": _C15_SQL,
         "w2_hopping_windows": _wx.hopping_candles_sql(_TRADES_CTE.strip()),
         "w3_volume_cube": _wx.volume_cube_sql(_TRADES_CTE.strip()),
         "w4_daily_price_stats": _wx.daily_price_stats_sql(_TRADES_CTE.strip()),
@@ -1144,9 +1268,14 @@ ORDER BY bucket_start
         "d7_neardup_clusters": _dd.neardup_clusters_sql(threshold=0.5),
         "s1_cosine_topk": _sim.cosine_topk_sql(k=10, query_pred="vec_id < 5"),
         # s2's hyperplanes are md5-derived CONSTANTS, so the approximate
-        # LSH result is itself exactly reproducible in SQL; only s3 (IVF,
-        # iterative k-means) stays rows-only.
+        # LSH result is itself exactly reproducible in SQL.
         "s2_lsh_ann_topk": _sim.lsh_topk_sql(k=10, query_pred="vec_id < 5"),
+        # s3's k-means is deterministic AND cross-engine exact (md5-ordered
+        # seeding, quantized-BIGINT centroid averaging, identical IEEE
+        # expression shapes), so the twin replays seeding + 2 Lloyd rounds
+        # + probe + re-rank entirely in SQL — the last rows-only driver
+        # entry is gone.
+        "s3_ivf_ann_topk": _sim.ivf_topk_sql(k=10, query_pred="vec_id < 5"),
         "t1_text_features": f"""
 SELECT doc_id,
        {_tx.token_count_sql('text')} AS n_tokens,
@@ -1167,6 +1296,10 @@ FROM documents
         "p1_training_set": _tx.training_set_selection_sql(),
         "p2_hash_split": _sampling.hash_split_sql(),
         "p3_stratified_sample": _sampling.stratified_sample_sql(_P3_FRACTIONS),
+        "p6_pack_sequences": _sampling.pack_sequences_sql(budget=512, n_shards=16),
+        "p7_quality_quantile": _sampling.quality_quantile_filter_sql(
+            keep_num=1, keep_den=2
+        ),
         "ss1_click_attribution": _SS1_SQL,
         "ss2_click_attribution_outer": _SS2_SQL,
         "sql1_sql_surface": _sql1_sql(),

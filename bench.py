@@ -66,9 +66,11 @@ def _time_best(make_df, runs: int = 2) -> float:
     return round(best, 3)
 
 
-def _tier2_inputs(spark, sf_dir: str, work: str) -> tuple[str, str, int, int]:
-    """Materialize tier-2 inputs (untimed): 25M generated trades and the
-    documents table replicated with distinct doc_ids."""
+def _tier2_inputs(spark, sf_dir: str, work: str) -> tuple[str, str, str, int, int]:
+    """Materialize tier-2 inputs (untimed): 25M generated trades, the
+    documents table replicated with distinct doc_ids, and the embeddings
+    table replicated with deterministic perturbations. Returns
+    (trades_path, docs_path, embs_path, n_trades, n_docs)."""
     from pyspark.sql import functions as F
 
     from stock_chart_kafka_streams_spark.sources.generator import generate_trades
@@ -140,7 +142,7 @@ def _tier2_inputs(spark, sf_dir: str, work: str) -> tuple[str, str, int, int]:
 
 def _tier2_queries(
     spark, trades_path: str, docs_path: str, embs_path: str
-) -> dict[str, float]:
+) -> tuple[dict[str, float], dict[str, int]]:
     from pyspark.sql import functions as F
 
     # The tier-2 tables are a few hundred MB; with the 128 MB scan-split
@@ -224,7 +226,28 @@ def _tier2_queries(
             n_bits=14,
         ),
     }
-    return {name: _time_best(make) for name, make in makers.items()}
+    timings = {name: _time_best(make) for name, make in makers.items()}
+
+    # d7 connected components at scale: a 100k-doc slice (20 exact-dup
+    # replicas per source doc, so the verified-pair graph is ~5k
+    # 20-cliques — the quasi-clique shape LSH dedup actually produces).
+    # The CC loop runs Spark ACTIONS inside the operator call (per-round
+    # convergence aggregates), so the whole call is timed inclusively
+    # rather than through _time_best's build/execute split; rounds-to-
+    # convergence is recorded alongside (O(diameter) claim: cliques have
+    # diameter 1, so expect 1 propagation round + 1 confirm round).
+    from stock_chart_kafka_streams_spark.operators.dedup import neardup_clusters
+
+    d7_stats: dict[str, int] = {}
+    t0 = time.perf_counter()
+    _noop(
+        neardup_clusters(
+            docs.where(F.col("doc_id") < 2_000_000_000), stats=d7_stats
+        )
+    )
+    timings["t2_d7_clusters_100k"] = round(time.perf_counter() - t0, 3)
+    extra = {"d7_cc_rounds": d7_stats.get("rounds", -1)}
+    return timings, extra
 
 
 def main() -> None:
@@ -283,6 +306,61 @@ def main() -> None:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+        # Full-pipeline REPLAY (not a noop drain): JSON micro-batch files
+        # written by the distributed spool writer (streaming/replay.py),
+        # drained through file source → watermark → minute candles →
+        # foreachBatch cascade → MERGE serving sink. This is the c12/c15
+        # correctness harness at tier-2 scale — possible since round 6
+        # because the spool writer no longer materializes rows on the
+        # driver. Spool construction is untimed; the drain (including
+        # every per-batch MERGE) is timed.
+        from pyspark.sql import functions as F_
+
+        from stock_chart_kafka_streams_spark.sources.generator import generate_trades
+        from stock_chart_kafka_streams_spark.sources.trades import (
+            read_trades_json_stream,
+        )
+        from stock_chart_kafka_streams_spark.streaming.pipeline import (
+            start_candle_pipeline,
+        )
+        from stock_chart_kafka_streams_spark.streaming.replay import (
+            write_replay_batches,
+        )
+
+        work = tempfile.mkdtemp(prefix="bench-replay-")
+        try:
+            n_ticks_r = int(os.environ.get("SPARK_GRAFT_BENCH_TICKS_REPLAY", "20000"))
+            symbols = {f"S{i:03d}": 10.0 + 7.3 * i for i in range(50)}
+            trades = generate_trades(spark, n_ticks_r, symbols=symbols)
+            lo, hi = trades.agg(F_.min("ts"), F_.max("ts")).collect()[0]
+            span = max((hi - lo).total_seconds(), 1.0)
+            width = max(int(span // 12) + 1, 1)
+            tb = trades.withColumn(
+                "batch",
+                ((F_.col("ts").cast("long") - int(lo.timestamp())) / width).cast(
+                    "long"
+                ),
+            )
+            write_replay_batches(tb, os.path.join(work, "in"))
+            stream = read_trades_json_stream(
+                spark, os.path.join(work, "in"), max_files_per_trigger=2
+            )
+            t0 = time.perf_counter()
+            q = start_candle_pipeline(
+                stream,
+                os.path.join(work, "serving"),
+                os.path.join(work, "ck"),
+                frames=["MINUTE", "HOUR"],
+                watermark_delay="0 seconds",
+                available_now=True,
+            )
+            q.awaitTermination()
+            timings["t2_stream_replay_full_1m"] = round(
+                time.perf_counter() - t0, 3
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
     tier2_info = {}
     if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") != "0":
         work = tempfile.mkdtemp(prefix="bench-tier2-")
@@ -290,12 +368,16 @@ def main() -> None:
             trades_path, docs_path, embs_path, n_trades, n_docs = _tier2_inputs(
                 spark, sf_dir, work
             )
-            timings.update(_tier2_queries(spark, trades_path, docs_path, embs_path))
+            t2_timings, t2_extra = _tier2_queries(
+                spark, trades_path, docs_path, embs_path
+            )
+            timings.update(t2_timings)
             n_vecs = spark.read.parquet(embs_path).count()
             tier2_info = {
                 "trades_rows": n_trades,
                 "documents_rows": n_docs,
                 "embedding_rows": n_vecs,
+                **t2_extra,
             }
         finally:
             shutil.rmtree(work, ignore_errors=True)

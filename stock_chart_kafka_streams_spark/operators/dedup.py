@@ -189,15 +189,34 @@ def _minhash_sql_exprs(k: int = MINHASH_K) -> list[str]:
 
 
 def lsh_bands(k: int = MINHASH_K, bands: int = LSH_BANDS) -> list[Column]:
-    """Band values: md5 over each run of k/bands signature components
-    (explicitly cast to string so Spark and DuckDB hash identical text)."""
+    """Band values: the first 60 bits of md5 over each run of k/bands
+    signature components, as BIGINT. Hashing the band slice map-side
+    (before any exchange) means the bucket shuffle carries ``bands x 8``
+    bytes per document instead of a 32-char hex string (or the k x 8-byte
+    raw slice) — at 100 TB the bucket exchange is the dedup pipeline's
+    dominant shuffle, so its row width matters. 60 bits (not 64: 15 hex
+    digits keeps the unsigned value inside BIGINT in both engines, no
+    overflow-to-NULL edge) makes a cross-band collision ~n²/2⁶¹ —
+    negligible false-merge risk at any realistic corpus, and identical in
+    the DuckDB twin so the oracle reproduces the same buckets."""
     r = k // bands
     return [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]
-            )
-        ).alias(f"band_{b}")
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)],
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias(f"band_{b}")
         for b in range(bands)
     ]
 
@@ -205,9 +224,9 @@ def lsh_bands(k: int = MINHASH_K, bands: int = LSH_BANDS) -> list[Column]:
 def _bands_sql_exprs(k: int = MINHASH_K, bands: int = LSH_BANDS) -> list[str]:
     r = k // bands
     return [
-        "md5(concat_ws('|', "
+        "('0x' || substr(md5(concat_ws('|', "
         + ", ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
-        + f")) AS band_{b}"
+        + f")), 1, 15))::BIGINT AS band_{b}"
         for b in range(bands)
     ]
 
@@ -468,6 +487,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, cluster_id) where cluster_id = min node id in the connected
     component; singletons map to themselves. ``edges`` is undirected
@@ -492,7 +512,21 @@ def connected_components(
     CTE (``connected_components_sql``) — label propagation computes the
     same fixpoint, so this iterative operator carries a full value oracle
     (rare for graph ops; worth it for dedup auditability).
+
+    CONTRACT: ``id_col`` must be an integral type (labels are the ids
+    themselves). Non-numeric ids (e.g. string UUIDs) would silently cast
+    to NULL and corrupt every cluster — hash them first
+    (``xxhash64(id)`` has a ~n²/2⁶⁴ collision risk; fine for dedup) or
+    pass a surrogate key; this function raises on a non-integral column
+    or NULL ids rather than guessing.
     """
+    integral = {"tinyint", "smallint", "int", "bigint"}
+    id_type = dict(nodes.dtypes).get(id_col)
+    if id_type not in integral:
+        raise TypeError(
+            f"connected_components requires an integral {id_col!r} "
+            f"(got {id_type}); hash string ids to long first"
+        )
     e = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     e = (
         e.unionByName(
@@ -504,8 +538,19 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).cast("long").alias("label")
     ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    first = labels.agg(
+        F.sum("label"), F.count(F.lit(1)), F.count("label")
+    ).collect()[0]
+    prev_sum, n_rows, n_labels = first[0], first[1], first[2]
+    if n_labels != n_rows:
+        raise ValueError(
+            f"connected_components: {id_col!r} contains NULLs "
+            f"({n_rows - n_labels} of {n_rows}) — labels would be NULL "
+            "and convergence undetectable"
+        )
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nmin = (
             e.join(labels.withColumnRenamed("id", "src"), on="src")
             .groupBy("dst")
@@ -526,6 +571,8 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 
@@ -534,15 +581,17 @@ def neardup_clusters(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    stats: dict | None = None,
 ) -> DataFrame:
     """End of the dedup pipeline: LSH candidates -> verified Jaccard pairs
     (``ngram_jaccard_pairs``) -> connected components. Returns every
     document with its cluster id and a canonical flag (keep the minimum
-    doc_id per cluster — the distributed version of 'keep first')."""
+    doc_id per cluster — the distributed version of 'keep first').
+    ``stats`` (optional dict) receives the CC round count."""
     pairs = ngram_jaccard_pairs(docs, threshold, id_col, text_col).select(
         F.col("id_a"), F.col("id_b")
     )
-    cc = connected_components(docs.select(id_col), pairs, id_col=id_col)
+    cc = connected_components(docs.select(id_col), pairs, id_col=id_col, stats=stats)
     return cc.select(
         id_col,
         "cluster_id",

@@ -25,10 +25,34 @@ from pyspark.sql import functions as F
 _HASH_SPACE = 4294967296
 
 
+# Sentinel standing in for a NULL document id in the membership hash.
+# Spark's concat_ws SKIPS nulls while SQL `||` PROPAGATES them, so without
+# an explicit coalesce the two engines disagree on NULL-id rows (Spark
+# hashes just the salt; DuckDB drops the row / falls to ELSE). Both twins
+# coalesce to this sentinel instead, so NULL ids get one well-defined,
+# cross-engine-identical split/sample decision.
+_NULL_ID_SENTINEL = "~null~"
+
+
 def _hash_unit(col: Column) -> Column:
     """md5-derived value in [0, 2^32) as BIGINT; DuckDB twin:
     ``('0x' || substr(md5(x), 1, 8))::BIGINT``."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _salted_id(id_col: str, salt: str) -> Column:
+    return F.concat_ws(
+        "|",
+        F.lit(salt),
+        F.coalesce(F.col(id_col).cast("string"), F.lit(_NULL_ID_SENTINEL)),
+    )
+
+
+def _salted_id_sql(id_col: str, salt: str) -> str:
+    return (
+        f"'{salt}' || '|' || "
+        f"COALESCE(CAST({id_col} AS VARCHAR), '{_NULL_ID_SENTINEL}')"
+    )
 
 
 def hash_split(
@@ -43,13 +67,15 @@ def hash_split(
     cumulative fractions of the 32-bit hash space, so membership depends
     only on (salt, id) — stable across runs, clusters, and row order.
     Change ``salt`` to draw an independent split without touching ids.
+    NULL ids hash via the ``_NULL_ID_SENTINEL`` coalesce (identically in
+    the SQL twin), so dirty data still gets a deterministic label.
     """
     if weights is None:
         weights = {"train": 0.9, "val": 0.05, "test": 0.05}
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    h = _hash_unit(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    h = _hash_unit(_salted_id(id_col, salt))
     expr: Column | None = None
     acc = 0.0
     # deterministic label order = insertion order of the dict
@@ -70,13 +96,11 @@ def hash_split_sql(
     id_col: str = "doc_id",
     salt: str = "split-v1",
 ) -> str:
-    """DuckDB twin of ``hash_split`` (same boundaries, same hash)."""
+    """DuckDB twin of ``hash_split`` (same boundaries, same hash, same
+    NULL-id sentinel)."""
     if weights is None:
         weights = {"train": 0.9, "val": 0.05, "test": 0.05}
-    h = (
-        f"('0x' || substr(md5('{salt}' || '|' || CAST({id_col} AS VARCHAR)), 1, 8))"
-        "::BIGINT"
-    )
+    h = f"('0x' || substr(md5({_salted_id_sql(id_col, salt)}), 1, 8))::BIGINT"
     labels = list(weights.items())
     acc = 0.0
     whens = []
@@ -97,11 +121,12 @@ def stratified_sample(
     """Keep a deterministic per-stratum fraction of rows (e.g. language
     rebalancing before training). A row survives iff its hash falls under
     its stratum's threshold; strata absent from ``fractions`` are dropped
-    (explicit is better than silently keeping 100%)."""
+    (explicit is better than silently keeping 100%). NULL ids hash via
+    the ``_NULL_ID_SENTINEL`` coalesce, matching the SQL twin."""
     for k, f_ in fractions.items():
         if not 0.0 <= f_ <= 1.0:
             raise ValueError(f"fraction for {k!r} must be in [0,1], got {f_}")
-    h = _hash_unit(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    h = _hash_unit(_salted_id(id_col, salt))
     thresh = F.create_map(
         *[x for k, f_ in fractions.items() for x in (F.lit(k), F.lit(int(f_ * _HASH_SPACE)))]
     )[F.col(strata_col)]
@@ -115,15 +140,183 @@ def stratified_sample_sql(
     id_col: str = "doc_id",
     salt: str = "sample-v1",
 ) -> str:
-    """DuckDB twin of ``stratified_sample``."""
-    h = (
-        f"('0x' || substr(md5('{salt}' || '|' || CAST({id_col} AS VARCHAR)), 1, 8))"
-        "::BIGINT"
-    )
+    """DuckDB twin of ``stratified_sample`` (same hash, same NULL-id
+    sentinel)."""
+    h = f"('0x' || substr(md5({_salted_id_sql(id_col, salt)}), 1, 8))::BIGINT"
     whens = " ".join(
         f"WHEN '{k}' THEN {int(f_ * _HASH_SPACE)}" for k, f_ in fractions.items()
     )
     return f"""
 SELECT * FROM {table}
 WHERE {h} < (CASE {strata_col} {whens} ELSE NULL END)
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concatenate-and-chop) — dataset assembly for training
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Assign every document a (shard, seq_id, offset) for GPT-style
+    sequence packing: concatenate documents in a deterministic
+    pseudo-random order and chop the stream into ``budget``-token
+    training sequences (a doc belongs to the sequence its first token
+    falls in).
+
+    Scale posture: ONE shuffle into ``n_shards`` hash shards, then a
+    per-shard window running sum — each shard sorts independently, so
+    parallelism is ``n_shards`` regardless of corpus size (size it ~4x
+    executor count at 100 TB). The order inside a shard is
+    ``(md5-hash, id)`` — reproducible across runs/clusters/engines, no
+    RNG state, and hash order doubles as the shuffle of documents that
+    packing wants anyway (decorrelates neighboring source docs). All
+    arithmetic is BIGINT (token counts, running sums, integer division),
+    so the DuckDB twin is bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    from stock_chart_kafka_streams_spark.operators.text import token_count
+
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError("budget and n_shards must be positive")
+    h = _hash_unit(_salted_id(id_col, salt))
+    base = docs.select(
+        F.col(id_col),
+        token_count(text_col).cast("long").alias("n_tokens"),
+        h.alias("h"),
+    ).withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = base.withColumn(
+        "offset_in_shard", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "offset_in_shard",
+        F.expr(f"offset_in_shard div {int(budget)}").alias("seq_id"),
+    )
+
+
+def pack_sequences_sql(
+    table: str = "documents",
+    budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "pack-v1",
+) -> str:
+    """DuckDB twin of ``pack_sequences`` (same hash, order, integer math)."""
+    from stock_chart_kafka_streams_spark.operators.text import token_count_sql
+
+    h = f"('0x' || substr(md5({_salted_id_sql(id_col, salt)}), 1, 8))::BIGINT"
+    return f"""
+WITH base AS (
+    SELECT {id_col},
+           CAST({token_count_sql(text_col)} AS BIGINT) AS n_tokens,
+           {h} AS h
+    FROM {table}
+),
+sharded AS (SELECT *, CAST(h % {n_shards} AS INT) AS shard FROM base),
+packed AS (
+    SELECT {id_col}, shard, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY h, {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) - n_tokens AS offset_in_shard
+    FROM sharded
+)
+SELECT {id_col}, shard, n_tokens, offset_in_shard,
+       CAST(offset_in_shard // {int(budget)} AS BIGINT) AS seq_id
+FROM packed
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-stratum quality quantile filter (Gopher-style curation)
+# ---------------------------------------------------------------------------
+
+
+def quality_quantile_filter(
+    docs: DataFrame,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep the top ``keep_num/keep_den`` fraction of documents per
+    stratum by quality score (deterministic ties: id ascending). The
+    fraction is a RATIONAL and the membership test is pure integer
+    arithmetic (``rank * den <= num * n``), so the cut is exact and
+    cross-engine identical — no float percentile boundary ambiguity.
+
+    Scale posture: one shuffle on the stratum key, two window passes
+    (rank + count) over it. For very hot strata (one language dominating
+    a 100 TB corpus) swap the window rank for the two-phase approximate
+    threshold: sample the stratum, take the quality value at the target
+    rank, then filter map-side — same result modulo boundary ties.
+    """
+    from pyspark.sql.window import Window
+
+    from stock_chart_kafka_streams_spark.operators.text import quality_score
+
+    if keep_num < 0 or keep_den <= 0:
+        raise ValueError("keep fraction must be a non-negative rational")
+    d = docs.select(
+        F.col(id_col), F.col(strata_col), quality_score(text_col).alias("quality")
+    )
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    w_all = Window.partitionBy(strata_col)
+    d = d.withColumn("rn", F.row_number().over(w_rank).cast("long")).withColumn(
+        "n_in_stratum", F.count("*").over(w_all)
+    )
+    return d.where(
+        F.col("rn") * F.lit(int(keep_den)) <= F.col("n_in_stratum") * F.lit(int(keep_num))
+    ).select(id_col, strata_col, "quality", "rn", "n_in_stratum")
+
+
+def quality_quantile_filter_sql(
+    table: str = "documents",
+    keep_num: int = 1,
+    keep_den: int = 2,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``quality_quantile_filter``."""
+    from stock_chart_kafka_streams_spark.operators.text import quality_score_sql
+
+    return f"""
+WITH scored AS (
+    SELECT {id_col}, {strata_col},
+           {quality_score_sql(text_col)} AS quality
+    FROM {table}
+),
+ranked AS (
+    SELECT *,
+           CAST(row_number() OVER (
+               PARTITION BY {strata_col} ORDER BY quality DESC, {id_col}
+           ) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY {strata_col}) AS BIGINT)
+               AS n_in_stratum
+    FROM scored
+)
+SELECT {id_col}, {strata_col}, quality, rn, n_in_stratum
+FROM ranked
+WHERE rn * {int(keep_den)} <= n_in_stratum * {int(keep_num)}
 """

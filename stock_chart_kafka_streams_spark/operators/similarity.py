@@ -74,6 +74,21 @@ def _as_double(col: str | Column) -> Column:
     return c.cast("array<double>")
 
 
+# NORM PRECOMPUTE PATTERN (round 6): every pairwise stage below computes
+# ``dot(a,b) / (na * nb)`` with the norms projected PER VECTOR before the
+# join instead of re-deriving sqrt(dot(v,v)) per PAIR. Two effects:
+# (1) norm work drops from O(pairs) to O(vectors) — the ANN verify stage
+# is dot-bound, so this cuts its arithmetic ~3x; (2) the fused codegen
+# stage shrinks from three unrolled dot chains per pair to one, which is
+# what kept d5's verify stage under janino's 64 KB method limit once the
+# candidate join + filter fused into a single whole-stage method (the
+# n_bits=14 bench config overflowed and silently fell back to
+# interpreted execution — same failure class the round-5 s2 fix covered).
+# Values are bit-identical to the old form: na is the SAME sqrt(dot)
+# subexpression, just evaluated once — so every oracle hash is unchanged
+# (re-verified via tools/driver_sim.py after the swap).
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -84,13 +99,18 @@ def cosine_topk(
     """Exact top-k by cosine for every query vector (ties broken by corpus
     id ascending). Returns (query_id, vec_id, cos, rank)."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("cv")).withColumn(
+        "cn", _norm(F.col("cv"))
     )
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("cv"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         id_col,
-        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        (
+            _dot_unrolled(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
@@ -215,13 +235,16 @@ def lsh_topk(
     ``n_tables`` tables; exact cosine re-ranks candidates. Returns
     (query_id, vec_id, cos, rank) like cosine_topk (may return < k rows
     per query if the buckets are sparse)."""
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("cv"))
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("cv")).withColumn(
+        "cn", _norm(F.col("cv"))
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn", _norm(F.col("qv")))
     c_codes = c.select(
         id_col,
         "cv",
+        "cn",
         F.explode(
             F.array(
                 *[
@@ -233,10 +256,11 @@ def lsh_topk(
                 ]
             )
         ).alias("tc"),
-    ).select(id_col, "cv", F.col("tc.t"), F.col("tc.code"))
+    ).select(id_col, "cv", "cn", F.col("tc.t"), F.col("tc.code"))
     q_codes = q.select(
         "query_id",
         "qv",
+        "qn",
         F.explode(
             F.array(
                 *[
@@ -248,15 +272,19 @@ def lsh_topk(
                 ]
             )
         ).alias("tc"),
-    ).select("query_id", "qv", F.col("tc.t"), F.col("tc.code"))
+    ).select("query_id", "qv", "qn", F.col("tc.t"), F.col("tc.code"))
 
     cands = (
         c_codes.join(F.broadcast(q_codes), on=["t", "code"])
-        .select("query_id", "qv", id_col, "cv")
+        .select("query_id", "qv", "qn", id_col, "cv", "cn")
         .dropDuplicates(["query_id", id_col])
     )
     scored = cands.select(
-        "query_id", id_col, cosine(F.col("qv"), F.col("cv")).alias("cos")
+        "query_id",
+        id_col,
+        (
+            _dot_unrolled(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -267,6 +295,16 @@ def lsh_topk(
 # ---------------------------------------------------------------------------
 
 
+# Quantization scale for centroid averaging: vector components are
+# snapped to 1e-6 grid integers BEFORE summation, so the per-dimension
+# sums are exact BIGINTs — associative and therefore independent of both
+# Spark's partition order and DuckDB's scan order. The centroid mean is
+# then the identical double `CAST(sum AS DOUBLE)/CAST(n AS DOUBLE)/1e6`
+# in both engines, which makes every downstream assignment comparison
+# bit-for-bit reproducible cross-engine (see ivf_topk_sql).
+_IVF_QUANT = 1_000_000.0
+
+
 def ivf_build_centroids(
     corpus: DataFrame,
     n_centroids: int = 8,
@@ -275,35 +313,51 @@ def ivf_build_centroids(
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
 ) -> list[list[float]]:
-    """Deterministic mini k-means: seed centroids from the n_centroids
-    corpus vectors that sort first under ``xxhash64(id)`` (a deterministic
-    pseudo-random sample — hash order decorrelates the seeds from id
-    order), then run a fixed number of Lloyd iterations as DataFrame jobs.
-    Only the centroids (n_centroids × dim floats) ever reach the driver —
-    assignment and averaging are distributed.
+    """Deterministic, CROSS-ENGINE-EXACT mini k-means.
+
+    - Seeding: the ``n_centroids`` corpus vectors that sort first under
+      ``(md5(cast(id as string)), id)`` — a deterministic pseudo-random
+      sample expressible identically in DuckDB (``xxhash64`` is not).
+    - Fixed ``iterations`` Lloyd rounds; assignment = argmax cosine with
+      ties broken by centroid id.
+    - Averaging: components are quantized to integers
+      (``floor(v*1e6 + 0.5)`` — plain double arithmetic, no engine
+      rounding-mode semantics) and summed as BIGINT, so the sum is exact
+      and order-independent; the mean double is then identical in Spark,
+      Python and DuckDB. This is what lets ``ivf_topk_sql`` replay the
+      whole procedure and hash-match (the earlier float-sum version was
+      partition-order-sensitive and oracle-proof).
+
+    Only centroid-sized aggregates (n_centroids × dim longs) reach the
+    driver — assignment and summation are distributed.
     """
     c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
     # hash-ordered top-N seeding: orderBy+limit plans as a distributed
     # TakeOrdered (per-partition top-N then driver merge), unlike a global
     # row_number window which funnels the corpus through one partition.
     seeds = (
-        c.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        c.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_centroids)
         .select("v")
         .collect()
     )
     centroids = [list(r["v"]) for r in seeds]
 
+    c = c.withColumn("nv", _norm(F.col("v")))
     for _ in range(iterations):
         cent_df = F.broadcast(
             c.sparkSession.createDataFrame(
                 [(i, v) for i, v in enumerate(centroids)],
                 "cid int, cv array<double>",
-            )
+            ).withColumn("ncv", _norm(F.col("cv")))
         )
         assigned = (
             c.crossJoin(cent_df)
-            .withColumn("d", cosine(F.col("v"), F.col("cv")))
+            .withColumn(
+                "d",
+                _dot_unrolled(F.col("v"), F.col("cv"))
+                / (F.col("nv") * F.col("ncv")),
+            )
             .withColumn(
                 "rk",
                 F.row_number().over(
@@ -314,7 +368,11 @@ def ivf_build_centroids(
         )
         sums = (
             assigned.select(
-                "cid", *[F.element_at("v", i + 1).alias(f"x{i}") for i in range(dim)]
+                "cid",
+                *[
+                    F.floor(F.element_at("v", i + 1) * _IVF_QUANT + 0.5).alias(f"x{i}")
+                    for i in range(dim)
+                ],
             )
             .groupBy("cid")
             .agg(
@@ -325,7 +383,9 @@ def ivf_build_centroids(
         )
         new = dict()
         for r in sums:
-            new[r["cid"]] = [r[f"s{i}"] / r["n"] for i in range(dim)]
+            new[r["cid"]] = [
+                float(r[f"s{i}"]) / float(r["n"]) / _IVF_QUANT for i in range(dim)
+            ]
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
     return centroids
 
@@ -349,33 +409,159 @@ def ivf_topk(
     cent_df = F.broadcast(
         spark.createDataFrame(
             [(i, v) for i, v in enumerate(centroids)], "cid int, cv array<double>"
-        )
+        ).withColumn("ncv", _norm(F.col("cv")))
     )
 
     def nearest(df: DataFrame, key: str, topn: int) -> DataFrame:
         scored = df.crossJoin(cent_df).withColumn(
-            "cd", cosine(F.col("v"), F.col("cv"))
+            "cd",
+            _dot_unrolled(F.col("v"), F.col("cv")) / (F.col("nv") * F.col("ncv")),
         )
         w = Window.partitionBy(key).orderBy(F.col("cd").desc(), F.col("cid"))
         return (
             scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= topn)
-            .drop("cv", "cd", "rk")
+            .drop("cv", "ncv", "cd", "rk")
         )
 
-    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("v"))
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "nv", _norm(F.col("v"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("v")
+    ).withColumn("nv", _norm(F.col("v")))
     c_lists = nearest(c, id_col, 1)  # inverted lists: one centroid per vector
-    q_probes = nearest(q, "query_id", n_probe).withColumnRenamed("v", "qv")
+    q_probes = (
+        nearest(q, "query_id", n_probe)
+        .withColumnRenamed("v", "qv")
+        .withColumnRenamed("nv", "qn")
+    )
 
     cands = c_lists.join(
         F.broadcast(q_probes), on="cid"
-    ).select("query_id", "qv", id_col, "v")
+    ).select("query_id", "qv", "qn", id_col, "v", "nv")
     scored = cands.select(
-        "query_id", id_col, cosine(F.col("qv"), F.col("v")).alias("cos")
+        "query_id",
+        id_col,
+        (
+            _dot_unrolled(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nv"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iterations: int = 2,
+    query_pred: str = "vec_id < 5",
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of ``ivf_topk``: replays the ENTIRE deterministic
+    k-means (md5-ordered seeding, fixed Lloyd iterations with
+    quantized-BIGINT averaging), the probe and the exact re-rank as one
+    chained-CTE statement. Every double computed along the way is the
+    bit-identical IEEE expression Spark evaluates (same dot order, same
+    quantized sums, same division order), so assignments, candidate sets
+    and final cosines agree exactly — no centroid literals need to be
+    smuggled in from a Spark run."""
+    dot = "list_sum(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]))".format
+
+    def cos_sql(a: str, b: str) -> str:
+        d_ab = dot(n=dim + 1, a=a, b=b)
+        d_aa = dot(n=dim + 1, a=a, b=a)
+        d_bb = dot(n=dim + 1, a=b, b=b)
+        return f"{d_ab} / (sqrt({d_aa}) * sqrt({d_bb}))"
+
+    quant = int(_IVF_QUANT)
+    ctes = [
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table})",
+        f"""seeds AS (
+    SELECT CAST(rn - 1 AS INT) AS cid, v AS cv FROM (
+        SELECT v, row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM e
+    ) WHERE rn <= {n_centroids}
+)""",
+    ]
+    prev = "seeds"
+    for it in range(1, iterations + 1):
+        ctes.append(
+            f"""assign{it} AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, s.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cos_sql('e.v', 's.cv')} DESC, s.cid
+               ) AS rk
+        FROM e CROSS JOIN {prev} s
+    ) WHERE rk = 1
+)"""
+        )
+        ctes.append(
+            f"""cent{it} AS (
+    SELECT s.cid, COALESCE(u.cv, s.cv) AS cv
+    FROM {prev} s LEFT JOIN (
+        SELECT cid, list(m ORDER BY i) AS cv FROM (
+            SELECT cid, i,
+                   CAST(SUM(CAST(floor(v[i] * {quant}.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / {quant}.0 AS m
+            FROM assign{it} CROSS JOIN range(1, {dim + 1}) AS t(i)
+            GROUP BY cid, i
+        ) GROUP BY cid
+    ) u ON u.cid = s.cid
+)"""
+        )
+        prev = f"cent{it}"
+    ctes.append(
+        f"""assign_final AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, s.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {cos_sql('e.v', 's.cv')} DESC, s.cid
+               ) AS rk
+        FROM e CROSS JOIN {prev} s
+    ) WHERE rk = 1
+)"""
+    )
+    ctes.append(f"q AS (SELECT vec_id AS query_id, v FROM e WHERE {query_pred})")
+    ctes.append(
+        f"""probes AS (
+    SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.v AS qv, s.cid,
+               row_number() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {cos_sql('q.v', 's.cv')} DESC, s.cid
+               ) AS rk
+        FROM q CROSS JOIN {prev} s
+    ) WHERE rk <= {n_probe}
+)"""
+    )
+    ctes.append(
+        f"""scored AS (
+    SELECT p.query_id, a.vec_id,
+           {cos_sql('p.qv', 'a.v')} AS cos
+    FROM probes p JOIN assign_final a ON a.cid = p.cid
+)"""
+    )
+    ctes.append(
+        """ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+    ) AS rank
+    FROM scored
+)"""
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -391,11 +577,19 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold — exact quadratic
     scan (the oracle-checkable form; LSH-bucket first at scale)."""
-    a = vectors.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    a = vectors.select(
+        F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va")
+    ).withColumn("na", _norm(F.col("va")))
+    b = vectors.select(
+        F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb")
+    ).withColumn("nb", _norm(F.col("vb")))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+        "id_a",
+        "id_b",
+        (
+            _dot_unrolled(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        ).alias("cos"),
     ).where(F.col("cos") >= threshold)
 
 
@@ -486,12 +680,27 @@ def embedding_neardup_lsh(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    va = v.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = v.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    va = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        _norm(F.col("v")).alias("na"),
+    )
+    vb = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        _norm(F.col("v")).alias("nb"),
+    )
     return (
         cands.join(va, on="id_a")
         .join(vb, on="id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot_unrolled(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 

@@ -141,31 +141,23 @@ def write_attribution_batches(
     far-future click AND purchase for ``SENTINEL_USER`` — both sub-streams'
     watermarks must advance for the outer join's unmatched-row flush,
     since the global watermark is their MIN. The sentinel user id never
-    occurs in real data, so the sentinel rows match nothing."""
-    pdf = events_with_batch.select(
-        "user_id", "event_type", "value", "ts", "batch"
-    ).toPandas()
-    os.makedirs(replay_dir, exist_ok=True)
-    batches = sorted(pdf["batch"].unique())
-    mtime = 1_700_000_000
-    for i, b in enumerate(batches):
-        rows = pdf[pdf["batch"] == b]
-        path = os.path.join(replay_dir, f"batch-{i:05d}.json")
-        with open(path, "w") as f:
-            for r in rows.itertuples(index=False):
-                f.write(
-                    json.dumps(
-                        {
-                            "user_id": int(r.user_id),
-                            "event_type": r.event_type,
-                            "value": float(r.value),
-                            "ts": r.ts.isoformat(),
-                        }
-                    )
-                    + "\n"
-                )
-        os.utime(path, (mtime + i, mtime + i))
-    n = len(batches)
+    occurs in real data, so the sentinel rows match nothing.
+
+    Spooled via ``spool_batches_distributed`` — executor-side JSON
+    encode, no driver materialization (see streaming/replay.py)."""
+    from stock_chart_kafka_streams_spark.streaming.replay import (
+        SPOOL_MTIME_BASE,
+        spool_batches_distributed,
+    )
+
+    df = events_with_batch.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "batch",
+    )
+    n = spool_batches_distributed(df, replay_dir)
     if sentinels:
         for j, ts in enumerate(_SENTINEL_TS):
             path = os.path.join(replay_dir, f"batch-{n + j:05d}.json")
@@ -182,7 +174,7 @@ def write_attribution_batches(
                         )
                         + "\n"
                     )
-            os.utime(path, (mtime + n + j, mtime + n + j))
+            os.utime(path, (SPOOL_MTIME_BASE + n + j, SPOOL_MTIME_BASE + n + j))
         n += len(_SENTINEL_TS)
     return n
 

@@ -12,12 +12,10 @@ ORACLES = entry_mod.oracle_sql()
 
 def test_every_query_has_an_oracle_or_is_flagged():
     missing = set(QUERIES) - set(ORACLES)
-    # non-SQL-expressible ops may be rows-only; explicit list. s3 (IVF):
-    # iterative k-means centroids, recall-tested vs exact top-k instead.
-    # (w9 left this list in round 5: its sketches are now deterministic
-    # KMV/hash-sample constructions with a full DuckDB oracle.)
-    allowed_rows_only = {"s3_ivf_ann_topk"}
-    assert missing <= allowed_rows_only, f"queries without oracle: {missing}"
+    # Empty since round 6: s3's k-means is now cross-engine exact
+    # (md5-ordered seeds + quantized-BIGINT averaging) and fully oracled;
+    # w9 left this set in round 5 for the same reason.
+    assert missing == set(), f"queries without oracle: {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) & set(ORACLES)))

@@ -73,6 +73,8 @@ def _canon(rows, cols):
         "w6_rollup_totals",
         "w10_volume_pivot",
         "d7_neardup_clusters",
+        "c15_streaming_month",
+        "ws1_streaming_sessions",
         "t5_top_terms",
         "t6_repetition_stats",
         "t7_vocabulary",
@@ -80,6 +82,8 @@ def _canon(rows, cols):
         "p3_stratified_sample",
         "p4_decontaminate",
         "p5_source_quality",
+        "p6_pack_sequences",
+        "p7_quality_quantile",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):

@@ -30,10 +30,10 @@ sys.path.insert(0, REPO)
 
 import __spark_entry__ as e  # noqa: E402
 
-# Queries whose result is not ANSI-SQL-expressible (see queries() docstring
-# / VERDICT history): iterative k-means centroids (s3). Everything else in
-# queries() MUST have an oracle twin.
-ALLOWED_ROWS_ONLY = {"s3_ivf_ann_topk"}
+# Queries whose result is not ANSI-SQL-expressible. Empty since round 6:
+# s3's k-means was made cross-engine exact (quantized-BIGINT averaging) and
+# its DuckDB twin replays the full iterative procedure in chained CTEs.
+ALLOWED_ROWS_ONLY: set[str] = set()
 
 
 def check_contracts() -> list[str]:
