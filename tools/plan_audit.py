@@ -39,6 +39,8 @@ SKIP = {
     "s3_ivf_ann_topk",
     "d7_neardup_clusters",
     "d3_ngram_jaccard_pairs",  # eager candidate checkpoint by design
+    "c15_streaming_month",  # streaming replay (round 6)
+    "ws1_streaming_sessions",  # streaming replay (round 6)
 }
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
