@@ -8,13 +8,20 @@ throughput.
 
 Tier 2 — data-dominated runs where per-row work is the cost: 25M
 generated trades (50 symbols, deterministic random walk via
-sources/generator.py) for candle aggregation, rollup and both as-of join
-directions, plus the sf documents table replicated 100× for MinHash-LSH
-dedup and training-set selection. Inputs are materialized to parquet in a
-temp dir once (generation excluded from timings) and every query runs
-through the noop sink (full distributed compute, no collect). Disable
-with SPARK_GRAFT_BENCH_TIER2=0; scale with SPARK_GRAFT_BENCH_TICKS /
-SPARK_GRAFT_BENCH_DOC_REPLICAS.
+sources/generator.py) for candle aggregation, rollup, both as-of join
+directions and the KMV sketch; the sf documents table replicated 100×
+for MinHash-LSH dedup and training-set selection (a 20-replica slice for
+the connected-components clustering run, whose rounds-to-convergence is
+recorded as tier2.d7_cc_rounds); the embeddings table replicated 100×
+with hash-directed noise for LSH top-k and near-dup; plus streaming
+drains (noop sink) and a FULL-pipeline replay (distributed JSON spool →
+file source → watermark → cascade → MERGE serving sink). Inputs are
+materialized to parquet in a temp dir once (generation excluded from
+timings) and batch queries run through the noop sink (full distributed
+compute, no collect). Disable with SPARK_GRAFT_BENCH_TIER2=0 /
+SPARK_GRAFT_BENCH_STREAM=0; scale with SPARK_GRAFT_BENCH_TICKS /
+SPARK_GRAFT_BENCH_DOC_REPLICAS / SPARK_GRAFT_BENCH_VEC_REPLICAS /
+SPARK_GRAFT_BENCH_TICKS_STREAM / SPARK_GRAFT_BENCH_TICKS_REPLAY.
 
 Prints ONE JSON line:
   {"metric": "candle_c1_c7_total", "value": <tier-1 total sec>,
