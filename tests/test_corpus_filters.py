@@ -47,3 +47,48 @@ def test_decontaminate_flags_benchmark_members_fully(spark):
     assert not rows[2]["contaminated"] and rows[2]["n_hits"] == 0
     # superset doc shares most fingerprints -> flagged at default threshold
     assert rows[3]["contaminated"] and 0 < rows[3]["overlap_frac"] <= 1.0
+
+
+def test_shingle_rows_set_equals_shingles_array(spark):
+    """The codegen'd exploded shingle path (round 6, signature pipeline)
+    must produce exactly the set of strings the HOF array form yields —
+    duplicates allowed (min is duplicate-invariant), set equality
+    required."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        shingle_rows,
+        shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = set(
+        map(
+            tuple,
+            docs.select("doc_id", F.explode(shingles("text")).alias("s"))
+            .distinct()
+            .collect(),
+        )
+    )
+    new = set(
+        map(tuple, shingle_rows(docs).distinct().collect())
+    )
+    assert old == new and len(new) > 0
+
+
+def test_connected_components_rejects_bad_id_columns(spark):
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        connected_components,
+    )
+
+    import pytest as _pytest
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    strs = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    with _pytest.raises(TypeError, match="integral"):
+        connected_components(strs, edges)
+    nulls = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with _pytest.raises(ValueError, match="NULL"):
+        connected_components(nulls, edges)

@@ -59,3 +59,44 @@ def test_stratified_sample_respects_fractions_and_drops_unlisted(spark, docs):
 def test_stratified_sample_rejects_bad_fraction(docs):
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(docs, {"en": 1.5})
+
+
+def test_null_ids_get_deterministic_membership_cross_engine(spark, duck):
+    """ADVICE round 5: NULL doc_ids must hash via the same sentinel in
+    both engines — Spark's concat_ws skips nulls while SQL || propagates
+    them, so without the coalesce the engines disagreed on dirty rows."""
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        hash_split,
+        hash_split_sql,
+        stratified_sample,
+        stratified_sample_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (None, "en"), (None, "fr"), (4, "fr")],
+        "doc_id long, lang string",
+    )
+    duck.sql("CREATE OR REPLACE TABLE dirty(doc_id BIGINT, lang VARCHAR)")
+    duck.sql(
+        "INSERT INTO dirty VALUES (1,'en'), (NULL,'en'), (NULL,'fr'), (4,'fr')"
+    )
+    got = sorted(
+        [(r["doc_id"], r["lang"], r["split"]) for r in hash_split(docs).collect()],
+        key=str,
+    )
+    want = sorted(
+        map(tuple, duck.sql(hash_split_sql(table="dirty")).fetchall()), key=str
+    )
+    assert got == want
+    fr = {"en": 1.0, "fr": 0.5}
+    got_s = sorted(
+        [(r["doc_id"], r["lang"]) for r in stratified_sample(docs, fr).collect()],
+        key=str,
+    )
+    want_s = sorted(
+        [(r[0], r[1]) for r in duck.sql(stratified_sample_sql(fr, table="dirty")).fetchall()],
+        key=str,
+    )
+    assert got_s == want_s
+    # every NULL-id row received a decision (not dropped by hashing)
+    assert sum(1 for g in got if g[0] is None) == 2
