@@ -186,6 +186,16 @@ def _base_hash(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def _hash60(col: Column | str) -> Column:
+    """First 60 bits of md5 as BIGINT (15 hex digits — stays inside
+    BIGINT in both engines with no overflow-to-NULL edge). Used where a
+    value stands in for the STRING ITSELF (shingle-set membership, band
+    identity): collision odds are ~n²/2⁶¹, negligible at any real
+    document/bucket size. DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _mh_col(h: Column, i: int) -> Column:
     a, b = _mh_ab(i)
     return (h * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)
@@ -255,22 +265,11 @@ def lsh_bands(k: int = MINHASH_K, bands: int = LSH_BANDS) -> list[Column]:
     the DuckDB twin so the oracle reproduces the same buckets."""
     r = k // bands
     return [
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)],
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias(f"band_{b}")
+        _hash60(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * r + j}").cast("string") for j in range(r)]
+            )
+        ).alias(f"band_{b}")
         for b in range(bands)
     ]
 
@@ -386,8 +385,10 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Candidate pairs from LSH buckets, confirmed by exact Jaccard over
-    distinct shingle sets. Returns (id_a, id_b, jaccard), id_a < id_b.
+    """Candidate pairs from LSH buckets, confirmed by Jaccard over
+    distinct 60-bit-hashed shingle sets (equal to string-set Jaccard up
+    to ~|S|²/2⁶¹ collision odds; the SQL twin hashes identically, so the
+    oracle is exact). Returns (id_a, id_b, jaccard), id_a < id_b.
 
     Scale posture: the bucket self-join references the signature pipeline
     twice, so the (tiny — 3 rows x ~50 bytes per doc) bucket frame is
@@ -418,8 +419,26 @@ def ngram_jaccard_pairs(
         .unionByName(cands.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    sh = docs.join(cand_ids, on=id_col, how="left_semi").select(
-        F.col(id_col), shingles(text_col).alias("sh")
+    # Build each candidate doc's DISTINCT shingle-HASH set once: the
+    # codegen'd exploded rows (shingle_rows) + collect_set over the
+    # 60-bit md5 hash, checkpointed eagerly so the two join branches
+    # below read it instead of re-running shingle construction per branch
+    # (the interpreted-HOF array build evaluated TWICE dominated this
+    # stage — same finding as the signature path). Hashing shrinks the
+    # pair-join payload to 8 bytes/shingle and makes the intersections
+    # integer ops; Jaccard over 60-bit-hashed shingle sets differs from
+    # the string-set value only on a within-pair hash collision
+    # (~|S|²/2⁶¹ — negligible at any real document size), and the SQL
+    # twin hashes identically so the oracle stays bit-for-bit.
+    # collect_set's element order is nondeterministic, but only the
+    # intersection/union SIZES feed Jaccard, so the value is unaffected.
+    sh = (
+        shingle_rows(
+            docs.join(cand_ids, on=id_col, how="left_semi"), id_col, text_col
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set(_hash60(F.col("__sh"))).alias("sh"))
+        .localCheckpoint(eager=True)
     )
     joined = (
         cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -436,6 +455,12 @@ def ngram_jaccard_pairs(
 
 def ngram_jaccard_pairs_sql(table: str = "documents", threshold: float = 0.5) -> str:
     sh = SHINGLES_SQL("text")
+    # 60-bit-hashed distinct shingle sets — the twin of the Spark side's
+    # collect_set(_hash60(shingle)).
+    hashed = (
+        f"list_distinct(list_transform({sh}, "
+        "s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))"
+    )
     return f"""
 WITH {_buckets_cte_sql(table)},
 cands AS (
@@ -445,7 +470,7 @@ cands AS (
       ON x.band_idx = y.band_idx AND x.band_val = y.band_val
      AND x.doc_id < y.doc_id
 ),
-sh AS (SELECT doc_id, {sh} AS s FROM {table})
+sh AS (SELECT doc_id, {hashed} AS s FROM {table})
 SELECT c.id_a, c.id_b,
        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
        / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jaccard
