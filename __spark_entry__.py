@@ -722,6 +722,17 @@ def _q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_split(_docs(spark, sf_dir))
 
 
+def _q_s4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN SELF-join (near-neighbor graph over the corpus):
+    both sides are the corpus, so candidates come from a shuffle equi-join
+    on (table, SRP code) — Σ bucket² work, never corpus² — with exact
+    cosine re-rank and id tie-breaks. Deterministic hyperplanes make the
+    whole graph SQL-reproducible."""
+    from stock_chart_kafka_streams_spark.operators.similarity import knn_join
+
+    return knn_join(_embs(spark, sf_dir), k=5)
+
+
 def _q_p6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (concatenate-and-chop): every document
     gets a (shard, seq_id, offset) under a deterministic hash order —
@@ -1171,6 +1182,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_source_quality": _q_p5,
         "p6_pack_sequences": _q_p6,
         "p7_quality_quantile": _q_p7,
+        "s4_knn_join": _q_s4,
     }
 
 
@@ -1296,6 +1308,7 @@ FROM documents
         "p1_training_set": _tx.training_set_selection_sql(),
         "p2_hash_split": _sampling.hash_split_sql(),
         "p3_stratified_sample": _sampling.stratified_sample_sql(_P3_FRACTIONS),
+        "s4_knn_join": _sim.knn_join_sql(k=5),
         "p6_pack_sequences": _sampling.pack_sequences_sql(budget=512, n_shards=16),
         "p7_quality_quantile": _sampling.quality_quantile_filter_sql(
             keep_num=1, keep_den=2

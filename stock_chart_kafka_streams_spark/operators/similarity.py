@@ -781,3 +781,125 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) >= {threshold}
 """
+
+
+# ---------------------------------------------------------------------------
+# kNN self-join (near-neighbor graph)
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    vectors: DataFrame,
+    k: int = 5,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor SELF-join: for every vector, its
+    top-k neighbors (excluding itself) among vectors sharing an SRP code
+    in any table — the embedding-neighborhood graph a curation pipeline
+    uses for diversity sampling / cluster labeling.
+
+    Returns (query_id, vec_id, cos, rank), rank 1..k per query_id.
+
+    Scale posture: unlike ``lsh_topk`` (small broadcast query set), BOTH
+    sides are the corpus, so the candidate join is a shuffle-hash
+    EQUI-join on (table, code) — work is Σ bucket² like d5's near-dup
+    pass, never corpus²; ``n_bits`` scales with corpus size to keep mean
+    bucket size O(1). Norms ride per VECTOR (not per pair), and the
+    re-rank window partitions on query_id — the same shuffle the top-k
+    needs anyway. Deterministic end-to-end (constant md5 hyperplanes,
+    id-ascending tie-breaks), so the DuckDB twin (``knn_join_sql``)
+    reproduces it exactly."""
+    v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "nv", _norm(F.col("v"))
+    )
+    codes = v.select(
+        F.col(id_col).alias("id"),
+        "v",
+        "nv",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _srp_code_fold(F.col("v"), t, n_bits, dim).alias("code"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tc"),
+    ).select("id", "v", "nv", F.col("tc.t"), F.col("tc.code"))
+    a = codes.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
+        "t",
+        "code",
+    )
+    b = codes.select(
+        F.col("id").alias(id_col), F.col("v").alias("cv"), F.col("nv").alias("cn"),
+        "t", "code",
+    )
+    cands = (
+        a.join(b, on=["t", "code"])
+        .where(F.col("query_id") != F.col(id_col))
+        .dropDuplicates(["query_id", id_col])
+    )
+    scored = cands.select(
+        "query_id",
+        id_col,
+        (
+            _dot_unrolled(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def knn_join_sql(
+    table: str = "embeddings",
+    k: int = 5,
+    n_bits: int = 4,
+    n_tables: int = 4,
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of ``knn_join`` (same constant hyperplanes, buckets,
+    tie-breaks)."""
+    dot = "list_sum(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]))".format
+    codes = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id AS id, {t} AS t, "
+        f"{_srp_code_fold_sql('v', t, n_bits, dim)} AS code FROM e"
+        for t in range(n_tables)
+    )
+    d_qc = dot(n=dim + 1, a="qe.v", b="ce.v")
+    d_qq = dot(n=dim + 1, a="qe.v", b="qe.v")
+    d_cc = dot(n=dim + 1, a="ce.v", b="ce.v")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+codes AS (
+    {codes}
+),
+cands AS (
+    SELECT DISTINCT ca.id AS query_id, cb.id AS vec_id
+    FROM codes ca JOIN codes cb ON ca.t = cb.t AND ca.code = cb.code
+    WHERE ca.id <> cb.id
+),
+scored AS (
+    SELECT c.query_id, c.vec_id,
+           {d_qc} / (sqrt({d_qq}) * sqrt({d_cc})) AS cos
+    FROM cands c
+    JOIN e qe ON qe.vec_id = c.query_id
+    JOIN e ce ON ce.vec_id = c.vec_id
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+    ) AS rank
+    FROM scored
+)
+SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -84,6 +84,7 @@ def _canon(rows, cols):
         "p5_source_quality",
         "p6_pack_sequences",
         "p7_quality_quantile",
+        "s4_knn_join",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):
