@@ -33,6 +33,7 @@ from stock_chart_kafka_streams_spark import (
 from stock_chart_kafka_streams_spark.operators import dedup as _dd
 from stock_chart_kafka_streams_spark.operators import joins as _joins
 from stock_chart_kafka_streams_spark.operators import multimodal as _mm
+from stock_chart_kafka_streams_spark.operators import privacy as _priv
 from stock_chart_kafka_streams_spark.operators import sampling as _sampling
 from stock_chart_kafka_streams_spark.operators import similarity as _sim
 from stock_chart_kafka_streams_spark.operators import text as _tx
@@ -755,6 +756,29 @@ def _q_p7(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_quantile_filter(_docs(spark, sf_dir), keep_num=1, keep_den=2)
 
 
+def _q_p8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic GLOBAL training order (reproducible corpus shuffle):
+    hash shards + per-shard rank + broadcast cumulative shard offsets —
+    the scalable form of a global row_number; the DuckDB twin is the
+    plain global row_number over the same (shard, hash, id) order."""
+    from stock_chart_kafka_streams_spark.operators.sampling import global_interleave
+
+    return global_interleave(_docs(spark, sf_dir), n_shards=16)
+
+
+def _q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (email/IPv4/phone redaction + per-doc counts) as
+    pure codegen regexp projections; deterministic doc_id-derived PII is
+    seeded into every 7th doc (identically in the SQL twin) so the
+    oracle verifies real redactions on the PII-free synthetic corpus."""
+    from stock_chart_kafka_streams_spark.operators.privacy import (
+        pii_scrub,
+        with_synthetic_pii,
+    )
+
+    return pii_scrub(with_synthetic_pii(_docs(spark, sf_dir)))
+
+
 _P3_FRACTIONS = {"en": 0.5, "fr": 1.0, "zh": 0.25}
 
 
@@ -1183,6 +1207,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_pack_sequences": _q_p6,
         "p7_quality_quantile": _q_p7,
         "s4_knn_join": _q_s4,
+        "p8_global_interleave": _q_p8,
+        "t8_pii_scrub": _q_t8,
     }
 
 
@@ -1312,6 +1338,12 @@ FROM documents
         "p6_pack_sequences": _sampling.pack_sequences_sql(budget=512, n_shards=16),
         "p7_quality_quantile": _sampling.quality_quantile_filter_sql(
             keep_num=1, keep_den=2
+        ),
+        "p8_global_interleave": _sampling.global_interleave_sql(n_shards=16),
+        # t8: scrub the synthetically-seeded corpus (seeding CTE mirrors
+        # with_synthetic_pii exactly — see operators/privacy.py).
+        "t8_pii_scrub": _priv.pii_scrub_sql(
+            table=f"({_priv.with_synthetic_pii_sql('documents').strip()})"
         ),
         "ss1_click_attribution": _SS1_SQL,
         "ss2_click_attribution_outer": _SS2_SQL,

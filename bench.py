@@ -170,6 +170,10 @@ def _tier2_queries(
         embedding_neardup_lsh,
         lsh_topk,
     )
+    from stock_chart_kafka_streams_spark.operators.privacy import (
+        pii_scrub,
+        with_synthetic_pii,
+    )
     from stock_chart_kafka_streams_spark.operators.windows_ext import kmv_daily_stats
 
     trades = spark.read.parquet(trades_path)
@@ -227,6 +231,9 @@ def _tier2_queries(
         "t2_s2_lsh_topk_200k": lambda: lsh_topk(
             embs, embs.where(F.col("vec_id") < 5), k=10, n_bits=8
         ),
+        # PII scrub is the pure scan-bandwidth op: per-row regexp
+        # projections, zero shuffles — its wall-clock IS the corpus scan.
+        "t2_t8_pii_scrub_100x": lambda: pii_scrub(with_synthetic_pii(docs)),
         "t2_d5_neardup_50k": lambda: embedding_neardup_lsh(
             embs.where(F.col("vec_id") < 2_500_000_000),
             threshold=0.99,

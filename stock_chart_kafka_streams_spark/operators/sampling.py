@@ -245,6 +245,83 @@ FROM packed
 
 
 # ---------------------------------------------------------------------------
+# deterministic global interleave — reproducible training order
+# ---------------------------------------------------------------------------
+
+
+def global_interleave(
+    docs: DataFrame,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "interleave-v1",
+) -> DataFrame:
+    """Assign every document a deterministic GLOBAL training position —
+    the distributed version of "shuffle the corpus once, then stream it
+    in order" that data loaders need for reproducible multi-epoch runs.
+
+    The order is ``(shard, md5-hash, id)`` where ``shard = hash %
+    n_shards``: pseudo-random with respect to any source ordering,
+    reproducible across runs/clusters/engines with no RNG state.
+
+    Scale posture: a true global ``row_number()`` would sort the corpus
+    through ONE task. Instead: one shuffle into ``n_shards`` hash shards,
+    a per-shard window rank (each shard sorts independently), then the
+    per-shard row counts — ``n_shards`` rows, collected nowhere — get a
+    cumulative-offset window and broadcast back. Global position =
+    shard offset + in-shard rank - 1. All-integer arithmetic, so the
+    DuckDB twin (a plain global row_number over the same order) is
+    bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = _hash_unit(_salted_id(id_col, salt))
+    base = docs.select(F.col(id_col), h.alias("h")).withColumn(
+        "shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    ranked = base.withColumn("rn", F.row_number().over(w).cast("long"))
+    sizes = ranked.groupBy("shard").agg(F.count("*").alias("cnt"))
+    # n_shards rows — the single-partition window is deliberate and tiny.
+    w_off = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.withColumn(
+        "offset", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).cast("long")
+    ).select("shard", "offset")
+    return (
+        ranked.join(F.broadcast(offsets), "shard")
+        .select(
+            F.col(id_col),
+            F.col("shard"),
+            (F.col("offset") + F.col("rn") - F.lit(1)).alias("pos"),
+        )
+    )
+
+
+def global_interleave_sql(
+    table: str = "documents",
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    salt: str = "interleave-v1",
+) -> str:
+    """DuckDB twin of ``global_interleave``: a plain global row_number
+    over the identical ``(shard, h, id)`` order."""
+    h = f"('0x' || substr(md5({_salted_id_sql(id_col, salt)}), 1, 8))::BIGINT"
+    return f"""
+WITH base AS (
+    SELECT {id_col}, {h} AS h FROM {table}
+),
+sharded AS (SELECT *, CAST(h % {n_shards} AS INT) AS shard FROM base)
+SELECT {id_col}, shard,
+       CAST(row_number() OVER (ORDER BY shard, h, {id_col}) AS BIGINT) - 1
+           AS pos
+FROM sharded
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-stratum quality quantile filter (Gopher-style curation)
 # ---------------------------------------------------------------------------
 

@@ -85,6 +85,8 @@ def _canon(rows, cols):
         "p6_pack_sequences",
         "p7_quality_quantile",
         "s4_knn_join",
+        "p8_global_interleave",
+        "t8_pii_scrub",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):

@@ -1,0 +1,88 @@
+"""PII scrubbing (operators/privacy.py) and the deterministic global
+interleave (operators/sampling.py::global_interleave).
+
+The driver-canonical oracle compare for the t8/p8 query keys lives in
+tests/test_new_queries.py; here we pin behavior the hash compare can't
+see: EXACT redacted strings on crafted rows (so a regex dialect drift
+that changed both engines identically would still be caught), the NULL
+contract, and the permutation/stability properties of the interleave.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.operators.privacy import (
+    pii_scrub,
+    with_synthetic_pii,
+)
+from stock_chart_kafka_streams_spark.operators.sampling import global_interleave
+
+
+def _scrub_one(spark, text):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return pii_scrub(df).collect()[0]
+
+
+def test_email_redaction_exact(spark):
+    r = _scrub_one(spark, "mail bob.smith+x@sub.example.co.uk now")
+    assert r.clean_text == "mail <EMAIL> now"
+    assert (r.n_email, r.n_ipv4, r.n_phone, r.n_pii) == (1, 0, 0, 1)
+
+
+def test_ipv4_and_phone_redaction_exact(spark):
+    r = _scrub_one(spark, "from 192.168.0.1 call 555-123-4567 or 555.987.6543")
+    assert r.clean_text == "from <IP> call <PHONE> or <PHONE>"
+    assert (r.n_email, r.n_ipv4, r.n_phone, r.n_pii) == (0, 1, 2, 3)
+
+
+def test_dotted_quad_never_half_matches_phone(spark):
+    # ipv4 runs before phone, so a dotted quad can't leave a phone-shaped
+    # tail; counts are per-pattern on the ORIGINAL text.
+    r = _scrub_one(spark, "10.200.300.400 stays odd but 1.2.3.4 is an ip")
+    assert "<PHONE>" not in r.clean_text
+    assert r.n_ipv4 == 2  # both digit quads match the bounded pattern
+
+
+def test_email_consumed_before_digit_patterns(spark):
+    r = _scrub_one(spark, "u123-456-7890@example.org")
+    # the whole token is one email; no phone left behind
+    assert r.clean_text == "<EMAIL>"
+    assert (r.n_email, r.n_phone) == (1, 0)
+
+
+def test_null_text_contract(spark):
+    r = _scrub_one(spark, None)
+    assert r.clean_text == ""
+    assert (r.n_email, r.n_ipv4, r.n_phone, r.n_pii) == (0, 0, 0, 0)
+
+
+def test_clean_text_has_no_residual_pii(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pii_scrub(with_synthetic_pii(docs))
+    seeded = out.where(F.col("n_pii") > 0)
+    # every 7th doc got exactly email+ip+phone seeded
+    assert seeded.count() == docs.where(F.col("doc_id") % 7 == 0).count()
+    assert seeded.where(F.col("n_pii") < 3).count() == 0
+    rescrub = pii_scrub(
+        out.select(F.col("doc_id"), F.col("clean_text").alias("text"))
+    )
+    assert rescrub.where(F.col("n_pii") > 0).count() == 0
+
+
+def test_global_interleave_is_a_permutation(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    out = global_interleave(docs, n_shards=16)
+    pos = [r.pos for r in out.select("pos").collect()]
+    assert sorted(pos) == list(range(n))
+
+
+def test_global_interleave_stable_under_partitioning(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id: r.pos for r in global_interleave(docs, n_shards=16).collect()}
+    b = {
+        r.doc_id: r.pos
+        for r in global_interleave(docs.repartition(7), n_shards=16).collect()
+    }
+    assert a == b
