@@ -280,9 +280,22 @@ def global_interleave(
     base = docs.select(F.col(id_col), h.alias("h")).withColumn(
         "shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int")
     )
+    # The offsets join infers isnotnull(shard) and pushes it down the
+    # OUTPUT branch only (it can't cross the sizes branch's aggregate),
+    # which de-canonicalizes the two otherwise-identical subtrees and
+    # defeats ReuseExchange. Filtering here (a no-op: shard is a pmod of
+    # a coalesced md5, never null) keeps both branches bit-identical so
+    # the corpus scan + shard exchange are shared, not recomputed.
+    base = base.where(F.col("shard").isNotNull())
     w = Window.partitionBy("shard").orderBy("h", id_col)
     ranked = base.withColumn("rn", F.row_number().over(w).cast("long"))
-    sizes = ranked.groupBy("shard").agg(F.count("*").alias("cnt"))
+    # Shard size as max(rn) FROM THE RANKED BRANCH (not a groupBy count on
+    # ``base``): that keeps this subtree bit-identical to the output branch
+    # through the window, so ReuseExchange shares ONE corpus scan + shard
+    # exchange between them instead of rescanning/reshuffling the corpus
+    # for a 16-row count (a pruned-column count branch canonicalizes
+    # differently and defeats the reuse).
+    sizes = ranked.groupBy("shard").agg(F.max("rn").alias("cnt"))
     # n_shards rows — the single-partition window is deliberate and tiny.
     w_off = Window.orderBy("shard").rowsBetween(
         Window.unboundedPreceding, -1
