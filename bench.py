@@ -174,6 +174,7 @@ def _tier2_queries(
         pii_scrub,
         with_synthetic_pii,
     )
+    from stock_chart_kafka_streams_spark.operators.sampling import global_interleave
     from stock_chart_kafka_streams_spark.operators.windows_ext import kmv_daily_stats
 
     trades = spark.read.parquet(trades_path)
@@ -234,6 +235,9 @@ def _tier2_queries(
         # PII scrub is the pure scan-bandwidth op: per-row regexp
         # projections, zero shuffles — its wall-clock IS the corpus scan.
         "t2_t8_pii_scrub_100x": lambda: pii_scrub(with_synthetic_pii(docs)),
+        # Global interleave: one shard shuffle (sizes branch rides a
+        # ReusedExchange) + broadcast offsets join.
+        "t2_p8_interleave_100x": lambda: global_interleave(docs),
         "t2_d5_neardup_50k": lambda: embedding_neardup_lsh(
             embs.where(F.col("vec_id") < 2_500_000_000),
             threshold=0.99,
