@@ -34,10 +34,24 @@ from pyspark.sql import functions as F
 # Patterns stay inside the Java-regex ∩ RE2 common subset (see module
 # docstring). Email before ipv4/phone so its digit runs are consumed
 # first; ipv4 before phone so dotted quads never half-match as phones.
+#
+# Phone formats covered (NANP-shaped): 555-123-4567 / 555.123.4567 /
+# 555 123 4567, (555) 123-4567, each with optional +1/1 country prefix,
+# and bare 10-digit runs (\b-guarded, so only exactly-10-digit tokens —
+# the standard over-redaction tradeoff of a C4-style scrub). The leading
+# \b rides on the first DIGIT alternative, not the whole pattern: \b
+# before "+"/"(" is between two non-word chars and would never match.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (
+        "phone",
+        r"(\+?1[-. ])?"
+        r"(\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}"
+        r"|\b\d{3}[-. ]\d{3}[-. ]\d{4}"
+        r"|\b\d{10})\b",
+        "<PHONE>",
+    ),
 ]
 
 
@@ -84,13 +98,17 @@ def pii_scrub_sql(
     """DuckDB twin of ``pii_scrub`` (same patterns, same order, same NULL
     coalesce; ``'g'`` makes regexp_replace global to match Spark)."""
     txt = f"COALESCE({text_col}, '')"
+
+    def q(s: str) -> str:  # SQL single-quote escape for literals
+        return s.replace("'", "''")
+
     count_exprs = ",\n       ".join(
-        f"CAST(len(regexp_extract_all({txt}, '{pat}')) AS BIGINT) AS n_{name}"
+        f"CAST(len(regexp_extract_all({txt}, '{q(pat)}')) AS BIGINT) AS n_{name}"
         for name, pat, _ in PII_PATTERNS
     )
     clean = txt
     for _, pat, repl in PII_PATTERNS:
-        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+        clean = f"regexp_replace({clean}, '{q(pat)}', '{q(repl)}', 'g')"
     total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
     return f"""
 WITH scrubbed AS (

@@ -808,18 +808,17 @@ def knn_join(
     sides are the corpus, so the candidate join is a shuffle-hash
     EQUI-join on (table, code) — work is Σ bucket² like d5's near-dup
     pass, never corpus²; ``n_bits`` scales with corpus size to keep mean
-    bucket size O(1). Norms ride per VECTOR (not per pair), and the
-    re-rank window partitions on query_id — the same shuffle the top-k
-    needs anyway. Deterministic end-to-end (constant md5 hyperplanes,
-    id-ascending tie-breaks), so the DuckDB twin (``knn_join_sql``)
-    reproduces it exactly."""
-    v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
-        "nv", _norm(F.col("v"))
-    )
+    bucket size O(1). The bucket exchange carries (id, t, code) ONLY —
+    the 64-double vectors never ride through the candidate shuffle; after
+    the (query_id, vec_id) pairs are deduped, two id-equi-joins fetch the
+    vectors (and per-VECTOR norms) back for exact scoring, exactly the
+    shape ``embedding_neardup_lsh`` uses. The re-rank window partitions
+    on query_id — the same shuffle the top-k needs anyway. Deterministic
+    end-to-end (constant md5 hyperplanes, id-ascending tie-breaks), so
+    the DuckDB twin (``knn_join_sql``) reproduces it exactly."""
+    v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v"))
     codes = v.select(
         F.col(id_col).alias("id"),
-        "v",
-        "nv",
         F.explode(
             F.array(
                 *[
@@ -831,29 +830,35 @@ def knn_join(
                 ]
             )
         ).alias("tc"),
-    ).select("id", "v", "nv", F.col("tc.t"), F.col("tc.code"))
-    a = codes.select(
-        F.col("id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nv").alias("qn"),
-        "t",
-        "code",
-    )
-    b = codes.select(
-        F.col("id").alias(id_col), F.col("v").alias("cv"), F.col("nv").alias("cn"),
-        "t", "code",
-    )
+    ).select("id", F.col("tc.t"), F.col("tc.code"))
+    a = codes.select(F.col("id").alias("query_id"), "t", "code")
+    b = codes.select(F.col("id").alias(id_col), "t", "code")
     cands = (
         a.join(b, on=["t", "code"])
         .where(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
         .dropDuplicates(["query_id", id_col])
     )
-    scored = cands.select(
-        "query_id",
-        id_col,
-        (
-            _dot_unrolled(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-        ).alias("cos"),
+    vq = v.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
+    )
+    vc = v.select(
+        F.col(id_col),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("cn"),
+    )
+    scored = (
+        cands.join(vq, on="query_id")
+        .join(vc, on=id_col)
+        .select(
+            "query_id",
+            id_col,
+            (
+                _dot_unrolled(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

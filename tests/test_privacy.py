@@ -51,6 +51,22 @@ def test_email_consumed_before_digit_patterns(spark):
     assert (r.n_email, r.n_phone) == (1, 0)
 
 
+def test_phone_format_variants_exact(spark):
+    # The broadened NANP pattern (round 7): parens, space separators,
+    # +1/1 country prefix, bare 10-digit runs — each redacted as ONE
+    # match; the leading \b rides on the digit alternatives only.
+    r = _scrub_one(spark, "a (555) 123-4567 b +1 555 123 4567 c 5551234567 d")
+    assert r.clean_text == "a <PHONE> b <PHONE> c <PHONE> d"
+    assert (r.n_phone, r.n_pii) == (3, 3)
+
+
+def test_phone_no_boundary_no_match(spark):
+    # Digit runs embedded in longer tokens must NOT match (\b guards).
+    r = _scrub_one(spark, "id x55512345678 and 123-456-78901 stay")
+    assert r.n_phone == 0
+    assert "<PHONE>" not in r.clean_text
+
+
 def test_null_text_contract(spark):
     r = _scrub_one(spark, None)
     assert r.clean_text == ""
@@ -76,6 +92,25 @@ def test_global_interleave_is_a_permutation(spark):
     out = global_interleave(docs, n_shards=16)
     pos = [r.pos for r in out.select("pos").collect()]
     assert sorted(pos) == list(range(n))
+
+
+def test_global_interleave_reuses_one_corpus_scan(spark):
+    # global_interleave's single-scan plan depends on optimizer-coupled
+    # tricks (the no-op isNotNull filter, max(rn) instead of a count) to
+    # keep both branches bit-identical for ReuseExchange. A Spark upgrade
+    # could silently regress this to a double corpus scan — pin it at the
+    # plan level: after execution, the final adaptive plan must contain a
+    # ReusedExchange (the sizes branch riding the output branch's shard
+    # exchange instead of rescanning the corpus).
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = global_interleave(docs, n_shards=16)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, (
+        "sizes branch no longer shares the corpus scan/shard exchange:\n"
+        + plan[:2000]
+    )
 
 
 def test_global_interleave_stable_under_partitioning(spark):
