@@ -168,6 +168,7 @@ def _tier2_queries(
     from stock_chart_kafka_streams_spark.operators.text import training_set_selection
     from stock_chart_kafka_streams_spark.operators.similarity import (
         embedding_neardup_lsh,
+        knn_join,
         lsh_topk,
     )
     from stock_chart_kafka_streams_spark.operators.privacy import (
@@ -243,8 +244,31 @@ def _tier2_queries(
             threshold=0.99,
             n_bits=14,
         ),
+        # kNN self-join over the full 200k corpus: both sides are the
+        # corpus, so the (table, code) bucket exchange carries
+        # (id, t, code) only and vectors join back by id post-dedup
+        # (d5's shape). n_bits=14 keeps mean bucket ~12 so Σ bucket²
+        # stays ~linear.
+        "t2_s4_knn_200k": lambda: knn_join(embs, k=10, n_bits=14),
+        # d2 at 1M docs (2× the 100-replica corpus, distinct ids): keeps
+        # the dedup headline honest as the band-hash shuffle shrinks —
+        # per-doc cost must stay flat as the corpus doubles.
+        "t2_d2_dedup_minhash_1m": lambda: dedup_minhash(
+            docs.unionByName(
+                docs.select(
+                    (F.col("doc_id") + F.lit(20_000_000_000)).alias("doc_id"),
+                    "text",
+                    "lang",
+                )
+            )
+        ),
     }
-    timings = {name: _time_best(make) for name, make in makers.items()}
+    # Best-of-3 (tier 1 already is): a single GC pause or page-cache miss
+    # can no longer masquerade as a per-query regression; the heavy
+    # streaming replay and d7 CC loop run OUTSIDE this dict so their
+    # allocation spikes can't pollute neighbors mid-measurement.
+    spark.sparkContext._jvm.System.gc()
+    timings = {name: _time_best(make, runs=3) for name, make in makers.items()}
 
     # d7 connected components at scale: a 100k-doc slice (20 exact-dup
     # replicas per source doc, so the verified-pair graph is ~5k
