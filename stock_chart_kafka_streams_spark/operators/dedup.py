@@ -576,7 +576,9 @@ def connected_components(
     minimum of its own label and its neighbors' labels; converges in
     O(component diameter) rounds. Near-dup clusters have tiny diameters
     (they are quasi-cliques out of LSH buckets), so the loop runs 2-4
-    rounds in practice; ``max_iter`` bounds pathological chains. Each
+    rounds in practice; ``max_iter`` bounds pathological chains — the
+    operator RAISES if the fixpoint is not reached within the bound
+    (silently truncated propagation would corrupt clusters undetectably). Each
     round is two shuffles (neighbor-min aggregate + label join) over
     (id, label) pairs ONLY — document payloads never enter the loop —
     and labels are localCheckpointed per round so the plan does not grow
@@ -650,6 +652,17 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # max_iter rounds and the last one still changed labels: the
+        # labels are NOT a fixpoint and at least one component is only
+        # partially merged. Silent truncation here would corrupt dedup
+        # clusters undetectably — raise instead (callers with genuinely
+        # long-diameter graphs should raise max_iter or switch to the
+        # small-star/large-star variant noted above).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))

@@ -1,0 +1,174 @@
+"""End-to-end training-data curation pipeline (p9) — the integration
+proof that the LLM-pipeline operators COMPOSE as one declarative plan
+with no driver round-trips:
+
+    quality filter (p7)  ->  MinHash-LSH dedup (d2)  ->
+    benchmark decontamination (p4)  ->  train split (p2)  ->
+    sequence packing (p6)
+
+Stage order follows the standard pretraining-curation recipe (score
+cheap things first, dedup the survivors, strip eval overlap, then
+assemble): quality scoring is a scan-side expression + one window on the
+stratum key, so it runs BEFORE the (more expensive) shingle/minhash
+stage and shrinks that stage's input; decontamination fingerprints only
+the deduped survivors; packing sees only the train split.
+
+Everything stays one DataFrame -> one Spark job: every stage is a
+composition of the already-oracled operators (semi/anti joins on ids —
+no collect, no checkpoint), so Catalyst plans the whole pipeline
+together and AQE sizes each shuffle at runtime. The DuckDB twin chains
+the same stages as top-level CTEs (each stage's *_sql builder is
+composed by CTE NAME, so stage results are referenced, never
+re-expanded).
+
+Scale posture per stage (each argued at its own operator): p7 is one
+shuffle on the stratum key; d2 shuffles 60-bit band hashes; p4
+broadcasts the (tiny) benchmark fingerprint set so the corpus is never
+shuffled by fingerprint; p2 is a pure map-side hash label; p6 is one
+shuffle into n_shards. Net: the corpus crosses the wire ~3 times for
+the whole pipeline — the same count a hand-fused MapReduce chain would
+need.
+
+Reference: the reference engine pipelines its operators through one
+Kafka Streams topology (stream-chart/src/main/kotlin/..../
+StockChartKafkaStreamsApplication.kt builds the full DAG once); this is
+the batch-curation analogue over the documents table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.operators.dedup import (
+    dedup_minhash,
+    dedup_minhash_sql,
+)
+from stock_chart_kafka_streams_spark.operators.sampling import (
+    hash_split,
+    hash_split_sql,
+    pack_sequences,
+    pack_sequences_sql,
+    quality_quantile_filter,
+    quality_quantile_filter_sql,
+)
+from stock_chart_kafka_streams_spark.operators.text import (
+    DECONTAM_THRESHOLD,
+    decontaminate,
+    winnow_fingerprints_sql,
+)
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    bench_mod: int = 97,
+    threshold: float = DECONTAM_THRESHOLD,
+    budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Run the full curation chain over ``docs`` and return the packed
+    training sequences: ``(doc_id, shard, n_tokens, offset_in_shard,
+    seq_id)`` for every document that survived quality filtering,
+    near-dedup, decontamination, and landed in the train split.
+
+    The benchmark (eval) set is the deterministic ``id % bench_mod == 0``
+    slice of the ORIGINAL corpus — the driver-fixture stand-in for an
+    external held-out benchmark (same fixture p4 uses standalone).
+    """
+    # p7: keep the top keep_num/keep_den of each stratum by quality.
+    q_ids = quality_quantile_filter(
+        docs,
+        keep_num=keep_num,
+        keep_den=keep_den,
+        strata_col=strata_col,
+        id_col=id_col,
+        text_col=text_col,
+    ).select(id_col)
+    stage_q = docs.join(q_ids, on=id_col, how="left_semi")
+    # d2: MinHash-LSH near-dedup of the quality survivors.
+    stage_dd = dedup_minhash(stage_q, id_col=id_col, text_col=text_col)
+    # p4: drop documents overlapping the held-out benchmark.
+    bench = docs.where((F.col(id_col) % bench_mod) == 0)
+    contam_ids = (
+        decontaminate(
+            stage_dd, bench, threshold=threshold, id_col=id_col, text_col=text_col
+        )
+        .where(F.col("contaminated"))
+        .select(id_col)
+    )
+    stage_cl = stage_dd.join(contam_ids, on=id_col, how="left_anti")
+    # p2: deterministic split; keep train.
+    stage_sp = hash_split(stage_cl, id_col=id_col).where(F.col("split") == "train")
+    # p6: pack into budget-token sequences.
+    return pack_sequences(
+        stage_sp, budget=budget, n_shards=n_shards, id_col=id_col, text_col=text_col
+    )
+
+
+def curation_pipeline_sql(
+    table: str = "documents",
+    keep_num: int = 1,
+    keep_den: int = 2,
+    bench_mod: int = 97,
+    threshold: float = DECONTAM_THRESHOLD,
+    budget: int = 2048,
+    n_shards: int = 64,
+) -> str:
+    """DuckDB twin of ``curation_pipeline``: the same five stages chained
+    as top-level CTEs. Each stage reuses the standalone operator's SQL
+    builder pointed at the PREVIOUS stage's CTE name, so stage results
+    are referenced by name (no textual re-expansion) and every stage's
+    cross-engine determinism argument carries over unchanged."""
+    q = quality_quantile_filter_sql(
+        table=table, keep_num=keep_num, keep_den=keep_den
+    )
+    dd = dedup_minhash_sql(table="stage_q")
+    dd_fps = winnow_fingerprints_sql("stage_dd")
+    bench_fps = winnow_fingerprints_sql(
+        f"(SELECT * FROM {table} WHERE doc_id % {bench_mod} = 0)"
+    )
+    sp = hash_split_sql(table="stage_cl")
+    pack = pack_sequences_sql(table="stage_sp", budget=budget, n_shards=n_shards)
+    return f"""
+WITH q_keep AS (
+    SELECT doc_id FROM ({q})
+),
+stage_q AS (
+    SELECT d.* FROM {table} d JOIN q_keep k ON d.doc_id = k.doc_id
+),
+stage_dd AS (
+    {dd}
+),
+dd_fps AS (
+    {dd_fps}
+),
+bench_fps AS (
+    SELECT DISTINCT fp FROM ({bench_fps})
+),
+tot AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps FROM dd_fps GROUP BY 1
+),
+hits AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM dd_fps JOIN bench_fps USING (fp) GROUP BY 1
+),
+contam AS (
+    SELECT t.doc_id
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+    WHERE CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_fps AS DOUBLE)
+          >= {threshold}
+),
+stage_cl AS (
+    SELECT s.* FROM stage_dd s
+    WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s.doc_id)
+),
+stage_sp AS (
+    SELECT * FROM ({sp}) WHERE split = 'train'
+)
+SELECT * FROM ({pack})
+"""

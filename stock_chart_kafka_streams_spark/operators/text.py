@@ -266,21 +266,43 @@ def winnow_fingerprints(
     uniform hash per k-gram) and every value is bit-for-bit reproducible
     in the DuckDB oracle; an incremental-rolling variant would need a
     Pandas UDF and would not be oracle-checkable.
+
+    PERF (round 7): the construction is staged across THREE projections,
+    each alias referenced more than once downstream so CollapseProject
+    keeps the boundaries — a single nested expression re-evaluates the
+    interpreted HOF lambdas' captured subtrees PER ELEMENT (norm re-lowered
+    and re-regexed per gram, the whole hash array rebuilt per window:
+    O(len²) md5s + O(len²) regex per document — measured ~200 ms/doc,
+    106 s for 500 docs; thread dump showed the task pinned in interpreted
+    ``Lower.nullSafeEval``). Staged: norm computes once per doc, each gram
+    hash is one O(k) md5 over an attribute, and the sliding-window min is
+    a ``zip_with(least)`` fold over W shifted slices (cheap per-element
+    lambdas only — the same de-HOF shape as ``shingle_rows``); ~100×.
+    ``least`` ignores the NULLs that ``zip_with`` pads when a clamped
+    slice is short, which reproduces ``array_min`` over the partial last
+    windows exactly.
     """
     norm = normalized(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (WINNOW_K - 1), F.lit(1))),
-        lambda i: norm.substr(i, F.lit(WINNOW_K)),
+    staged = docs.select(F.col(id_col), norm.alias("__wn"))
+    wn = F.col("__wn")
+    hashed = staged.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length(wn) - (WINNOW_K - 1), F.lit(1))
+            ),
+            lambda i: F.conv(
+                F.substring(F.md5(wn.substr(i, F.lit(WINNOW_K))), 1, 8), 16, 10
+            ).cast("long"),
+        ).alias("__wh"),
     )
-    hashes = F.transform(
-        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-    )
-    fps = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(hashes) - (WINNOW_W - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(hashes, j, WINNOW_W)),
-    )
-    return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(fps)).alias("fp")
+    h = F.col("__wh")
+    m = F.greatest(F.size(h) - (WINNOW_W - 1), F.lit(1))
+    mins = F.slice(h, 1, m)
+    for j in range(2, WINNOW_W + 1):
+        mins = F.zip_with(mins, F.slice(h, j, m), lambda a, b: F.least(a, b))
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
     )
 
 

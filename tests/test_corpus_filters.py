@@ -92,3 +92,96 @@ def test_connected_components_rejects_bad_id_columns(spark):
     nulls = spark.createDataFrame([(1,), (None,)], "doc_id long")
     with _pytest.raises(ValueError, match="NULL"):
         connected_components(nulls, edges)
+
+
+# ---------------------------------------------------------------------------
+# connected-components convergence beyond quasi-cliques (round 7)
+# ---------------------------------------------------------------------------
+# LSH dedup graphs are usually 1-diameter quasi-cliques (2 CC rounds);
+# these fixtures plant long CHAINS so the O(diameter) claim and the
+# max_iter bound are actually exercised.
+
+
+def _chain_docs(spark):
+    """10 documents of overlapping word windows (8 blocks x 8 words,
+    step 1 block) whose VERIFIED Jaccard pairs at threshold 0.7 form
+    exactly the path 0-1-2-...-9 (diameter 9). The 'w16x' word alphabet
+    was selected by scanning variants of the deterministic md5 LSH
+    buckets until every adjacent pair (and no skip pair) survives both
+    candidate generation and verification — stable forever because every
+    hash involved is content-derived."""
+    S, WIN, NDOC = 8, 8, 10
+    words = [f"w16x{i}" for i in range((NDOC + WIN) * S)]
+    rows = [
+        (d, " ".join(words[d * S : (d + WIN) * S]), "en") for d in range(NDOC)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_neardup_clusters_chain_multi_round(spark, duck):
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        neardup_clusters,
+        neardup_clusters_sql,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    docs = _chain_docs(spark)
+    stats = {}
+    out = neardup_clusters(docs, threshold=0.7, stats=stats)
+    rows = {r.doc_id: r for r in out.collect()}
+    # one component: min-label 0 reaches the far end only after
+    # diameter propagation rounds (9) + the fixpoint-confirm round.
+    assert all(rows[d].cluster_id == 0 for d in range(10))
+    assert rows[0].is_canonical and not rows[9].is_canonical
+    assert stats["rounds"] >= 9, f"chain converged suspiciously fast: {stats}"
+
+    con = duckdb_with_docs(duck, docs)
+    assert_matches_oracle(
+        neardup_clusters(docs, threshold=0.7),
+        con,
+        neardup_clusters_sql("chain_docs", threshold=0.7),
+    )
+
+
+def duckdb_with_docs(duck, docs):
+    import pandas as pd  # noqa: F401
+
+    pdf = docs.toPandas()
+    duck.register("chain_docs", pdf)
+    return duck
+
+
+def test_connected_components_raises_past_max_iter(spark):
+    import pytest as _pytest
+
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.range(10).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=3)
+
+
+def test_connected_components_path_graph_rounds(spark):
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # 3 disjoint 9-node paths: diameter 8 -> 8 propagation rounds + 1
+    # confirm round, well under the default bound but far past the
+    # clique-shaped 2-round case.
+    n, chain = 27, 9
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1) if i % chain != chain - 1],
+        "id_a long, id_b long",
+    )
+    stats = {}
+    cc = connected_components(nodes, edges, stats=stats)
+    got = {r.doc_id: r.cluster_id for r in cc.collect()}
+    assert got == {i: (i // chain) * chain for i in range(n)}
+    assert stats["rounds"] == 9

@@ -87,6 +87,7 @@ def _canon(rows, cols):
         "s4_knn_join",
         "p8_global_interleave",
         "t8_pii_scrub",
+        "p9_curation_pipeline",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):

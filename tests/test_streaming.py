@@ -194,3 +194,58 @@ def test_upsert_idempotent_and_newer_wins(spark, tmp_path):
         & (F.col("bucket_start") == key["bucket_start"])
     ).collect()
     assert len(got) == 1 and got[0]["volume"] == 999_999
+
+
+def test_upsert_wide_backfill_200_dates(spark, tmp_path):
+    """A 200-date backfill batch (the wide-batch shape that made the old
+    OR-chain partition predicate a 400-term Catalyst expression) merges
+    correctly through the broadcast-semi-join form, and partitions the
+    batch does NOT touch are not rewritten."""
+    import datetime
+    import glob
+    import os
+
+    table = str(tmp_path / "serving")
+    base_ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (
+            "AAPL",
+            "DAY",
+            base_ts + datetime.timedelta(days=d),
+            base_ts + datetime.timedelta(days=d, minutes=1),
+            1.0 + d,
+            2.0 + d,
+            0.5 + d,
+            1.5 + d,
+            100 + d,
+        )
+        for d in range(201)  # 200 backfilled + 1 untouched
+    ]
+    schema = (
+        "symbol string, time_frame string, bucket_start timestamp, "
+        "bucket_end timestamp, open double, high double, low double, "
+        "close double, volume long"
+    )
+    write_candles(spark.createDataFrame(rows, schema), table)
+    untouched_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(table, "*", "bucket_date=2024-07-19", "*.parquet"))
+    }
+    assert untouched_files, "fixture: day-200 partition missing"
+
+    # backfill updates days 0..199, leaves day 200 alone
+    backfill = spark.createDataFrame(rows[:200], schema).withColumn(
+        "volume", F.col("volume") + F.lit(1_000_000)
+    )
+    upsert_candles(spark, backfill, table)
+
+    final = spark.read.parquet(table)
+    assert final.count() == 201
+    assert final.where(F.col("volume") >= 1_000_000).count() == 200
+    day200 = final.where(F.col("volume") == 300).collect()
+    assert len(day200) == 1
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(table, "*", "bucket_date=2024-07-19", "*.parquet"))
+    }
+    assert after == untouched_files, "untouched partition was rewritten"
