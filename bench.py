@@ -289,6 +289,29 @@ def _tier2_queries(
     )
     timings["t2_d7_clusters_100k"] = round(time.perf_counter() - t0, 3)
     extra = {"d7_cc_rounds": d7_stats.get("rounds", -1)}
+
+    # CC convergence beyond quasi-cliques: the 100k-doc graph above is
+    # clique-shaped (diameter 1 -> 2 rounds), which never exercises the
+    # O(diameter) loop. This entry plants 111k disjoint 9-node PATHS
+    # (1M nodes, diameter 8) so the label has to propagate the full
+    # chain: expect 9 rounds (8 hops + fixpoint confirm), recorded as
+    # d7_chain_rounds alongside the wall-clock.
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain_stats: dict[str, int] = {}
+    n_nodes, chain_len = 1_000_000, 9
+    nodes = spark.range(n_nodes).withColumnRenamed("id", "doc_id")
+    edges = (
+        spark.range(n_nodes - 1)
+        .where(F.pmod(F.col("id"), chain_len) != chain_len - 1)
+        .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    )
+    t0 = time.perf_counter()
+    _noop(connected_components(nodes, edges, stats=chain_stats))
+    timings["t2_d7_chain_1m"] = round(time.perf_counter() - t0, 3)
+    extra["d7_chain_rounds"] = chain_stats.get("rounds", -1)
     return timings, extra
 
 

@@ -49,8 +49,6 @@ from stock_chart_kafka_streams_spark.operators.sampling import (
     hash_split_sql,
     pack_sequences,
     pack_sequences_sql,
-    quality_quantile_filter,
-    quality_quantile_filter_sql,
 )
 from stock_chart_kafka_streams_spark.operators.text import (
     DECONTAM_THRESHOLD,
@@ -79,17 +77,44 @@ def curation_pipeline(
     The benchmark (eval) set is the deterministic ``id % bench_mod == 0``
     slice of the ORIGINAL corpus — the driver-fixture stand-in for an
     external held-out benchmark (same fixture p4 uses standalone).
+
+    Plan-shape note: composing 5 stages as one plan makes the plan a DAG
+    whose shared stages Catalyst re-expands per reference (column pruning
+    de-canonicalizes the branches, so ReuseExchange only recovers some) —
+    the executed plan re-scans the corpus where a stage feeds two
+    consumers. The quality stage is therefore inlined as a single window
+    filter (one corpus pass, keeps every column — the
+    ``quality_quantile_filter`` + semi-join form would double every
+    downstream reference), and dedup/decontam duplication is bounded by
+    their own internal single-reference shapes. At 100 TB you would
+    PERSIST each stage boundary anyway (curated corpora are artifacts,
+    and each stage's output is orders of magnitude smaller than its
+    input); this one-plan form is the oracle-checkable integration
+    surface, not a claim that recompute is free.
     """
-    # p7: keep the top keep_num/keep_den of each stratum by quality.
-    q_ids = quality_quantile_filter(
-        docs,
-        keep_num=keep_num,
-        keep_den=keep_den,
-        strata_col=strata_col,
-        id_col=id_col,
-        text_col=text_col,
-    ).select(id_col)
-    stage_q = docs.join(q_ids, on=id_col, how="left_semi")
+    from pyspark.sql.window import Window
+
+    from stock_chart_kafka_streams_spark.operators.text import quality_score
+
+    # p7 inline: keep the top keep_num/keep_den of each stratum by
+    # quality (same ordering and integer-exact cut as
+    # quality_quantile_filter, but keeping text/lang so no semi-join).
+    if keep_num < 0 or keep_den <= 0:
+        raise ValueError("keep fraction must be a non-negative rational")
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        F.col("__q").desc(), F.col(id_col)
+    )
+    w_all = Window.partitionBy(strata_col)
+    stage_q = (
+        docs.withColumn("__q", quality_score(text_col))
+        .withColumn("__rn", F.row_number().over(w_rank).cast("long"))
+        .withColumn("__n", F.count("*").over(w_all))
+        .where(
+            F.col("__rn") * F.lit(int(keep_den))
+            <= F.col("__n") * F.lit(int(keep_num))
+        )
+        .drop("__q", "__rn", "__n")
+    )
     # d2: MinHash-LSH near-dedup of the quality survivors.
     stage_dd = dedup_minhash(stage_q, id_col=id_col, text_col=text_col)
     # p4: drop documents overlapping the held-out benchmark.
@@ -124,9 +149,8 @@ def curation_pipeline_sql(
     builder pointed at the PREVIOUS stage's CTE name, so stage results
     are referenced by name (no textual re-expansion) and every stage's
     cross-engine determinism argument carries over unchanged."""
-    q = quality_quantile_filter_sql(
-        table=table, keep_num=keep_num, keep_den=keep_den
-    )
+    from stock_chart_kafka_streams_spark.operators.text import quality_score_sql
+
     dd = dedup_minhash_sql(table="stage_q")
     dd_fps = winnow_fingerprints_sql("stage_dd")
     bench_fps = winnow_fingerprints_sql(
@@ -135,11 +159,18 @@ def curation_pipeline_sql(
     sp = hash_split_sql(table="stage_cl")
     pack = pack_sequences_sql(table="stage_sp", budget=budget, n_shards=n_shards)
     return f"""
-WITH q_keep AS (
-    SELECT doc_id FROM ({q})
-),
-stage_q AS (
-    SELECT d.* FROM {table} d JOIN q_keep k ON d.doc_id = k.doc_id
+WITH stage_q AS (
+    SELECT doc_id, text, lang FROM (
+        SELECT scored.*,
+               CAST(row_number() OVER (
+                   PARTITION BY lang ORDER BY q DESC, doc_id
+               ) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        FROM (
+            SELECT *, {quality_score_sql("text")} AS q FROM {table}
+        ) scored
+    ) ranked
+    WHERE rn * {int(keep_den)} <= n * {int(keep_num)}
 ),
 stage_dd AS (
     {dd}
