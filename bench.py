@@ -247,9 +247,11 @@ def _tier2_queries(
         # kNN self-join over the full 200k corpus: both sides are the
         # corpus, so the (table, code) bucket exchange carries
         # (id, t, code) only and vectors join back by id post-dedup
-        # (d5's shape). n_bits=14 keeps mean bucket ~12 so Σ bucket²
-        # stays ~linear.
-        "t2_s4_knn_200k": lambda: knn_join(embs, k=10, n_bits=14),
+        # (d5's shape). n_bits=16 (65k buckets/table) keeps mean bucket
+        # ~3 so Σ bucket² stays ~linear — n_bits=14 left mean bucket ~12
+        # and the candidate set (and its two vector fetch-back joins)
+        # 16× larger, measured 118 s vs ~20 s.
+        "t2_s4_knn_200k": lambda: knn_join(embs, k=10, n_bits=16),
         # d2 at 1M docs (2× the 100-replica corpus, distinct ids): keeps
         # the dedup headline honest as the band-hash shuffle shrinks —
         # per-doc cost must stay flat as the corpus doubles.

@@ -805,17 +805,24 @@ def knn_join(
     Returns (query_id, vec_id, cos, rank), rank 1..k per query_id.
 
     Scale posture: unlike ``lsh_topk`` (small broadcast query set), BOTH
-    sides are the corpus, so the candidate join is a shuffle-hash
-    EQUI-join on (table, code) — work is Σ bucket² like d5's near-dup
-    pass, never corpus²; ``n_bits`` scales with corpus size to keep mean
-    bucket size O(1). The bucket exchange carries (id, t, code) ONLY —
-    the 64-double vectors never ride through the candidate shuffle; after
-    the (query_id, vec_id) pairs are deduped, two id-equi-joins fetch the
-    vectors (and per-VECTOR norms) back for exact scoring, exactly the
-    shape ``embedding_neardup_lsh`` uses. The re-rank window partitions
-    on query_id — the same shuffle the top-k needs anyway. Deterministic
-    end-to-end (constant md5 hyperplanes, id-ascending tie-breaks), so
-    the DuckDB twin (``knn_join_sql``) reproduces it exactly."""
+    sides are the corpus. Candidates come from ONE aggregation — codes
+    group by (table, code) into per-bucket id lists, and pairs explode
+    inside each bucket — rather than a self-equi-join: a self-join
+    re-expands the SRP-code subtree per side (the fold over ``dim``
+    doubles per bit per table is the measured per-vector cost, ~12 s at
+    200k×4×16, and whether ReuseExchange recovers the second copy is
+    optimizer-coupled), while the groupBy shape computes codes exactly
+    once BY CONSTRUCTION and shuffles (id, t, code) exactly once. Work
+    is Σ bucket² like d5's near-dup pass, never corpus²; ``n_bits``
+    scales with corpus size to keep mean bucket size O(1), which also
+    bounds the exploded ``ids`` payload per bucket row. The 64-double
+    vectors never ride the bucket shuffle; after the (query_id, vec_id)
+    pairs are deduped, two id-equi-joins fetch the vectors (and
+    per-VECTOR norms) back for exact scoring — ``embedding_neardup_lsh``'s
+    fetch-back shape. The re-rank window partitions on query_id — the
+    same shuffle the top-k needs anyway. Deterministic end-to-end
+    (constant md5 hyperplanes, id-ascending tie-breaks), so the DuckDB
+    twin (``knn_join_sql``) reproduces it exactly."""
     v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v"))
     codes = v.select(
         F.col(id_col).alias("id"),
@@ -831,12 +838,12 @@ def knn_join(
             )
         ).alias("tc"),
     ).select("id", F.col("tc.t"), F.col("tc.code"))
-    a = codes.select(F.col("id").alias("query_id"), "t", "code")
-    b = codes.select(F.col("id").alias(id_col), "t", "code")
     cands = (
-        a.join(b, on=["t", "code"])
+        codes.groupBy("t", "code")
+        .agg(F.collect_list("id").alias("ids"))
+        .select(F.explode("ids").alias("query_id"), "ids")
+        .select("query_id", F.explode("ids").alias(id_col))
         .where(F.col("query_id") != F.col(id_col))
-        .select("query_id", id_col)
         .dropDuplicates(["query_id", id_col])
     )
     vq = v.select(
