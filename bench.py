@@ -283,6 +283,11 @@ def _tier2_queries(
     from stock_chart_kafka_streams_spark.operators.dedup import neardup_clusters
 
     d7_stats: dict[str, int] = {}
+    # single-run entries: drop the makers loop's garbage first so a GC
+    # pause inside the (untimed-elsewhere, inclusive-timed here) CC loop
+    # doesn't masquerade as operator cost — d7 varied 15-46 s across
+    # otherwise-identical round-7 runs before this.
+    spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter()
     _noop(
         neardup_clusters(
@@ -412,6 +417,9 @@ def main() -> None:
             stream = read_trades_json_stream(
                 spark, os.path.join(work, "in"), max_files_per_trigger=2
             )
+            # single-run drain: clear spool-generation garbage before the
+            # timed window (same rationale as the d7 gc below).
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             q = start_candle_pipeline(
                 stream,

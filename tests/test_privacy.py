@@ -102,6 +102,11 @@ def test_global_interleave_reuses_one_corpus_scan(spark):
     # plan level: after execution, the final adaptive plan must contain a
     # ReusedExchange (the sizes branch riding the output branch's shard
     # exchange instead of rescanning the corpus).
+    #
+    # Hermetic: other tests (test_northstar) .cache() this parquet on the
+    # shared session; a cache hit swaps the scan for InMemoryTableScan
+    # and changes which reuse fires, so clear it first.
+    spark.catalog.clearCache()
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     df = global_interleave(docs, n_shards=16)
     df.collect()
