@@ -647,10 +647,15 @@ def embedding_neardup_lsh(
 
     Plan: (1) one map-side pass computes ``n_tables`` short codes per
     vector (constant md5-derived hyperplanes, so the DuckDB twin enumerates
-    the identical buckets); (2) a self-equi-join on (table, code) over
-    id+code ONLY — the 64-double vectors never ride through the bucket
-    shuffle; (3) distinct candidate pairs join the vectors back and exact
-    cosine >= threshold verifies. Work is Σ bucket² instead of corpus²;
+    the identical buckets); (2) ONE groupBy(table, code) collects each
+    bucket's id list and explodes ordered pairs inside it — id+code ONLY
+    ride the single bucket shuffle (the 64-double vectors never do), and
+    the SRP-code fold is computed once BY CONSTRUCTION instead of per
+    self-join side (round 7, same shape as ``knn_join``; the previous
+    self-equi-join form left the second code computation to
+    optimizer-coupled ReuseExchange); (3) distinct candidate pairs join
+    the vectors back and exact cosine >= threshold verifies. Work is Σ
+    bucket² instead of corpus²;
     ``n_bits`` sets the bucket count per table (2^n_bits) and scales up
     with the corpus to keep buckets small, ``n_tables`` sets recall
     (for cos >= 0.99 pairs, per-table collision ~0.96^n_bits; misses decay
@@ -672,12 +677,12 @@ def embedding_neardup_lsh(
             )
         ).alias("tc"),
     ).select("id", F.col("tc.t"), F.col("tc.code"))
-    a = codes.select(F.col("id").alias("id_a"), "t", "code")
-    b = codes.select(F.col("id").alias("id_b"), "t", "code")
     cands = (
-        a.join(b, on=["t", "code"])
+        codes.groupBy("t", "code")
+        .agg(F.collect_list("id").alias("ids"))
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     va = v.select(
