@@ -1,0 +1,156 @@
+"""Thin HTTP entry points over ``CandleStore`` (SURVEY.md §2.5 Q9/Q10).
+
+Mirrors the reference's REST surface (``controller/StockChartController.kt``):
+
+    GET /api/charts/{symbol}?from=ISO&to=ISO&minutes=N[&frame=F]
+        range query when both ``from`` and ``to`` are given
+        (``StockChartController.kt:19-33``), else recent-N
+    GET /api/charts/symbols
+        available symbols (``:35-39`` — the reference HARDCODES five;
+        this layer derives them from the serving table, the documented
+        improvement the reference's own comment asks for)
+    GET /api/charts/recent/{symbol}?minutes=N[&frame=F]
+        recent-N (``:41-47``)
+
+Responses are JSON lists of the reference's ``CandleStick`` record shape
+(``model/CandleStick.kt``): symbol, open, high, low, close, volume,
+startTime, endTime — startTime/endTime as ISO-8601 UTC instants.
+
+Design: the handler is a deliberately THIN adapter — parse path/params,
+call the same ``CandleStore`` methods the oracle-checked Q1-Q10 queries
+use, serialize rows. Python's stdlib ``http.server`` keeps the repo
+dependency-free; a production deployment would front the same
+``CandleStore`` with any WSGI/ASGI server (the handler takes the store,
+not Spark, so it composes with Spark Connect too). The SERVER is not the
+scale path — reads are served by Spark partition-pruned scans either
+way — so a ThreadingHTTPServer on the driver matches the reference's
+single Spring instance.
+
+Error contract (mirrors Spring's behavior class): unknown paths -> 404;
+bad ISO datetimes / unknown frame / non-positive minutes -> 400 with a
+JSON error body; empty results -> 200 with [] (the reference returns an
+empty list, not an error).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from stock_chart_kafka_streams_spark.plans.query_api import CandleStore
+
+_UTC = _dt.timezone.utc
+
+
+def _iso_instant(ts: _dt.datetime) -> str:
+    """ISO-8601 instant with trailing Z, the Jackson rendering of
+    ``java.time.Instant`` the reference's API emits."""
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_UTC)
+    return ts.astimezone(_UTC).isoformat().replace("+00:00", "Z")
+
+
+def candle_rows_to_json(rows) -> list[dict]:
+    """Spark Row list -> reference CandleStick dicts
+    (``model/CandleStick.kt``: symbol/open/high/low/close/volume/
+    startTime/endTime)."""
+    return [
+        {
+            "symbol": r["symbol"],
+            "open": r["open"],
+            "high": r["high"],
+            "low": r["low"],
+            "close": r["close"],
+            "volume": r["volume"],
+            "startTime": _iso_instant(r["bucket_start"]),
+            "endTime": _iso_instant(r["bucket_end"]),
+        }
+        for r in rows
+    ]
+
+
+_CANDLE_COLS = [
+    "symbol", "bucket_start", "bucket_end", "open", "high", "low", "close",
+    "volume",
+]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    store: CandleStore  # injected by make_server
+
+    # -- plumbing -----------------------------------------------------------
+    def _send(self, code: int, payload) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # quiet: tests drive many requests
+        pass
+
+    def _candles(self, df) -> list[dict]:
+        return candle_rows_to_json(df.select(*_CANDLE_COLS).collect())
+
+    # -- routes -------------------------------------------------------------
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        url = urlparse(self.path)
+        q = {k: v[-1] for k, v in parse_qs(url.query).items()}
+        parts = [p for p in url.path.split("/") if p]
+        try:
+            if parts[:2] != ["api", "charts"] or len(parts) not in (3, 4):
+                self._send(404, {"error": f"no route for {url.path}"})
+                return
+            frame = q.get("frame", "MINUTE")
+            minutes = int(q.get("minutes", "60"))
+            if parts[2] == "symbols" and len(parts) == 3:
+                self._send(
+                    200, [r["symbol"] for r in self.store.symbols().collect()]
+                )
+            elif parts[2] == "recent" and len(parts) == 4:
+                self._send(
+                    200,
+                    self._candles(self.store.recent(parts[3], frame, n=minutes)),
+                )
+            elif len(parts) == 3:
+                symbol = parts[2]
+                if "from" in q and "to" in q:
+                    df = self.store.get_candles(
+                        symbol, frame, start=q["from"], end=q["to"]
+                    )
+                else:
+                    df = self.store.recent(symbol, frame, n=minutes)
+                self._send(200, self._candles(df))
+            else:
+                self._send(404, {"error": f"no route for {url.path}"})
+        except ValueError as exc:
+            # unknown frame, bad ISO datetime, non-positive minutes:
+            # the 400 class, mirroring Spring's binder errors
+            self._send(400, {"error": str(exc)})
+
+
+def make_server(store: CandleStore, host: str = "127.0.0.1", port: int = 0):
+    """Build a ThreadingHTTPServer bound to (host, port) serving the
+    reference's chart API from ``store``. port=0 picks a free port
+    (``server.server_address[1]`` has the real one). Caller owns
+    lifecycle: ``serve_forever()`` / ``shutdown()``."""
+    handler = type("CandleChartHandler", (_Handler,), {"store": store})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_in_background(store: CandleStore, host: str = "127.0.0.1", port: int = 0):
+    """Start the server on a daemon thread; returns (server, base_url).
+    The pattern tests and notebooks use:
+
+        server, url = serve_in_background(store)
+        ... urllib.request.urlopen(f"{url}/api/charts/AAPL") ...
+        server.shutdown()
+    """
+    server = make_server(store, host, port)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, f"http://{server.server_address[0]}:{server.server_address[1]}"
