@@ -780,6 +780,18 @@ def _q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(with_synthetic_pii(_docs(spark, sf_dir)))
 
 
+def _q_p7a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-stratum quality quantile filter — the hot-stratum
+    SCALE path for p7: a deterministic md5 hash-sample elects a quality
+    threshold per stratum; the corpus is filtered map-side against the
+    broadcast thresholds (no full-stratum window sort)."""
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        quality_quantile_filter_approx,
+    )
+
+    return quality_quantile_filter_approx(_docs(spark, sf_dir))
+
+
 def _q_p9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline (quality filter -> MinHash-LSH dedup
     -> benchmark decontamination -> train split -> sequence packing)
@@ -1224,6 +1236,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_global_interleave": _q_p8,
         "t8_pii_scrub": _q_t8,
         "p9_curation_pipeline": _q_p9,
+        "p7a_quality_approx": _q_p7a,
     }
 
 
@@ -1361,6 +1374,7 @@ FROM documents
             table=f"({_priv.with_synthetic_pii_sql('documents').strip()})"
         ),
         "p9_curation_pipeline": _pipeline.curation_pipeline_sql(threshold=0.4),
+        "p7a_quality_approx": _sampling.quality_quantile_filter_approx_sql(),
         "ss1_click_attribution": _SS1_SQL,
         "ss2_click_attribution_outer": _SS2_SQL,
         "sql1_sql_surface": _sql1_sql(),

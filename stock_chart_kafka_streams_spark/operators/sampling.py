@@ -410,3 +410,114 @@ SELECT {id_col}, {strata_col}, quality, rn, n_in_stratum
 FROM ranked
 WHERE rn * {int(keep_den)} <= n_in_stratum * {int(keep_num)}
 """
+
+
+def quality_quantile_filter_approx(
+    docs: DataFrame,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    sample_num: int = 1,
+    sample_den: int = 10,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "qquant-v1",
+) -> DataFrame:
+    """The SCALE path for ``quality_quantile_filter`` (hot strata): a
+    deterministic hash-sample of each stratum elects a quality THRESHOLD
+    (the sample's value at the target rank), and the full corpus is then
+    filtered MAP-SIDE against the broadcast per-stratum thresholds.
+
+    The exact form's window rank funnels every row of a stratum through
+    one sort partition — at 100 TB one language can be most of the
+    corpus, making that sort the job's bottleneck. Here the only sorted
+    data is the sample (``sample_num/sample_den`` of each stratum), the
+    threshold table is strata-sized (broadcast), and the corpus pass is
+    a scan-filter. Kept fraction is keep_num/keep_den ± sampling error
+    O(1/sqrt(sample size)); membership differs from the exact form only
+    near the quantile boundary.
+
+    Fully deterministic (md5 hash sample, integer target rank,
+    id-ascending tie-breaks), so the DuckDB twin
+    (``quality_quantile_filter_approx_sql``) reproduces the sample, the
+    thresholds, and the kept set bit-for-bit. Strata with an empty
+    sample keep nothing (explicit, like ``stratified_sample``'s absent
+    strata). Returns (id, strata, quality, q_threshold).
+    """
+    from pyspark.sql.window import Window
+
+    from stock_chart_kafka_streams_spark.operators.text import quality_score
+
+    if keep_num < 0 or keep_den <= 0:
+        raise ValueError("keep fraction must be a non-negative rational")
+    if not 0 < sample_num <= sample_den:
+        raise ValueError("sample fraction must be in (0, 1]")
+    d = docs.select(
+        F.col(id_col), F.col(strata_col), quality_score(text_col).alias("quality")
+    )
+    h = _hash_unit(_salted_id(id_col, salt))
+    samp = d.where(h * F.lit(int(sample_den)) < F.lit(_HASH_SPACE * int(sample_num)))
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    w_all = Window.partitionBy(strata_col)
+    ranked = samp.withColumn(
+        "rn", F.row_number().over(w_rank).cast("long")
+    ).withColumn("ns", F.count("*").over(w_all))
+    target = F.greatest(
+        F.expr(f"(ns * {int(keep_num)}) div {int(keep_den)}"), F.lit(1)
+    )
+    thresholds = ranked.where(F.col("rn") == target).select(
+        strata_col, F.col("quality").alias("q_threshold")
+    )
+    return (
+        d.join(F.broadcast(thresholds), on=strata_col)
+        .where(F.col("quality") >= F.col("q_threshold"))
+        .select(id_col, strata_col, "quality", "q_threshold")
+    )
+
+
+def quality_quantile_filter_approx_sql(
+    table: str = "documents",
+    keep_num: int = 1,
+    keep_den: int = 2,
+    sample_num: int = 1,
+    sample_den: int = 10,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "qquant-v1",
+) -> str:
+    """DuckDB twin of ``quality_quantile_filter_approx`` (same hash
+    sample, same integer target rank, same threshold filter)."""
+    from stock_chart_kafka_streams_spark.operators.text import quality_score_sql
+
+    h = f"('0x' || substr(md5({_salted_id_sql(id_col, salt)}), 1, 8))::BIGINT"
+    return f"""
+WITH scored AS (
+    SELECT {id_col}, {strata_col},
+           {quality_score_sql(text_col)} AS quality,
+           {h} AS h
+    FROM {table}
+),
+samp AS (
+    SELECT * FROM scored
+    WHERE h * {int(sample_den)} < CAST({_HASH_SPACE} AS BIGINT) * {int(sample_num)}
+),
+ranked AS (
+    SELECT *,
+           CAST(row_number() OVER (
+               PARTITION BY {strata_col} ORDER BY quality DESC, {id_col}
+           ) AS BIGINT) AS rn,
+           CAST(count(*) OVER (PARTITION BY {strata_col}) AS BIGINT) AS ns
+    FROM samp
+),
+thresholds AS (
+    SELECT {strata_col}, quality AS q_threshold
+    FROM ranked
+    WHERE rn = greatest((ns * {int(keep_num)}) // {int(keep_den)}, 1)
+)
+SELECT s.{id_col}, s.{strata_col}, s.quality, t.q_threshold
+FROM scored s JOIN thresholds t USING ({strata_col})
+WHERE s.quality >= t.q_threshold
+"""

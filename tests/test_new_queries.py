@@ -88,6 +88,7 @@ def _canon(rows, cols):
         "p8_global_interleave",
         "t8_pii_scrub",
         "p9_curation_pipeline",
+        "p7a_quality_approx",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):

@@ -100,3 +100,47 @@ def test_null_ids_get_deterministic_membership_cross_engine(spark, duck):
     assert got_s == want_s
     # every NULL-id row received a decision (not dropped by hashing)
     assert sum(1 for g in got if g[0] is None) == 2
+
+
+def test_quality_approx_tracks_exact_quantile(spark):
+    """The sampled-threshold filter must approximate the exact rank cut:
+    same strata, kept fraction in the right neighborhood, and every doc
+    the approx form keeps has quality >= its stratum's elected
+    threshold (at most sampling error away from the exact boundary)."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        quality_quantile_filter,
+        quality_quantile_filter_approx,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = quality_quantile_filter(docs)  # keep 1/2 per lang
+    approx = quality_quantile_filter_approx(docs)
+    n = docs.count()
+    n_approx = approx.count()
+    # 10% sample at this SF is coarse; the kept fraction must still be in
+    # the half's neighborhood, not 0% or 100%.
+    assert 0.2 * n <= n_approx <= 0.8 * n
+    # the approx-kept and exact-kept sets agree except near the boundary:
+    # their overlap covers most of the smaller set
+    both = approx.join(exact.select("doc_id"), "doc_id", "left_semi").count()
+    assert both >= 0.7 * min(n_approx, exact.count())
+    # threshold contract: no kept row below its stratum threshold
+    assert approx.where(F.col("quality") < F.col("q_threshold")).count() == 0
+
+
+def test_quality_approx_rejects_bad_fractions(spark):
+    import pytest as _pytest
+
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        quality_quantile_filter_approx,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(ValueError):
+        quality_quantile_filter_approx(docs, sample_num=0)
+    with _pytest.raises(ValueError):
+        quality_quantile_filter_approx(docs, sample_num=3, sample_den=2)
+    with _pytest.raises(ValueError):
+        quality_quantile_filter_approx(docs, keep_den=0)
