@@ -319,6 +319,27 @@ def _tier2_queries(
     _noop(connected_components(nodes, edges, stats=chain_stats))
     timings["t2_d7_chain_1m"] = round(time.perf_counter() - t0, 3)
     extra["d7_chain_rounds"] = chain_stats.get("rounds", -1)
+
+    # p9: the composed curation pipeline (quality window -> MinHash-LSH
+    # dedup -> winnow decontamination -> split -> pack) over the full
+    # 500k-doc corpus — the integration-scale proof that the stages
+    # chain as ONE plan without a driver-side bottleneck. Single-run
+    # (it contains d2 + two winnow passes; best-of-3 would triple the
+    # dominant costs already measured individually above).
+    # threshold=0.9 / bench_mod=9973 because the synthetic corpus's tiny
+    # word pool saturates winnow-fingerprint coverage: ANY ~50 docs
+    # overlap ~82% (median) with every other doc, so the realistic 0.2-0.4
+    # thresholds contaminate the whole corpus here (a real web corpus has
+    # heavy-tailed grams); 0.9 keeps only true same-cluster overlap and
+    # leaves ~2.3k survivors flowing through split + pack.
+    from stock_chart_kafka_streams_spark.operators.pipeline import (
+        curation_pipeline,
+    )
+
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    _noop(curation_pipeline(docs, threshold=0.9, bench_mod=9973))
+    timings["t2_p9_curation_100x"] = round(time.perf_counter() - t0, 3)
     return timings, extra
 
 
