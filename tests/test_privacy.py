@@ -126,3 +126,56 @@ def test_global_interleave_stable_under_partitioning(spark):
         for r in global_interleave(docs.repartition(7), n_shards=16).collect()
     }
     assert a == b
+
+
+def test_pii_scrub_cross_engine_fuzz(spark, duck):
+    """Seeded fuzz over the PII-adjacent alphabet (digits, separators,
+    parens, @, dots): Spark's Java-regex result must equal DuckDB's RE2
+    result byte-for-byte on every generated string — the dialect-drift
+    detector for the Java∩RE2 pattern subset the module promises."""
+    import random
+
+    from stock_chart_kafka_streams_spark.operators.privacy import (
+        pii_scrub,
+        pii_scrub_sql,
+    )
+
+    rng = random.Random(20260814)
+    alphabet = list("0123456789()+-. @abcxyz")
+    frags = [
+        "555-123-4567", "(555) 123-4567", "+1 555 123 4567", "5551234567",
+        "1.2.3.4", "10.200.300.400", "a@b.co", "x.y+z@mail.example.org",
+        "12345", "123-45", "555.123.4567", "1 555 123 4567", "((55) )",
+    ]
+    rows = []
+    for i in range(300):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(frags))
+            else:
+                parts.append(
+                    "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 14)))
+                )
+            parts.append(rng.choice([" ", "", " x "]))
+        rows.append((i, "".join(parts)))
+    sdf = pii_scrub(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    duck.register(
+        "fuzz_docs",
+        __import__("pandas").DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    ddf = (
+        duck.sql(pii_scrub_sql(table="fuzz_docs"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for col in ("clean_text", "n_email", "n_ipv4", "n_phone", "n_pii"):
+        mism = [
+            (i, sdf[col][i], ddf[col][i], rows[i][1])
+            for i in range(len(rows))
+            if sdf[col][i] != ddf[col][i]
+        ]
+        assert not mism, f"{col} diverges on {len(mism)} rows, first: {mism[0]}"
