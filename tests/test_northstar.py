@@ -182,6 +182,41 @@ def test_embedding_neardup_lsh_recall_vs_exact(embs):
     assert recall >= 0.9, f"LSH near-dup recall {recall:.2f} too low"
 
 
+def test_knn_join_recall_against_brute_force(embs):
+    """s4's corpus-wide neighbor graph vs brute force: the exact rank-1
+    neighbor (excluding self) must be recovered for most vectors, and
+    every emitted cos must be exact (verified scoring, so any (q, v)
+    pair the approx path emits carries the same cosine brute force
+    computes)."""
+    from stock_chart_kafka_streams_spark.operators.similarity import knn_join
+
+    queries = embs.where(F.col("vec_id") < 20)
+    brute = cosine_topk(embs, queries, k=2)  # rank 1 = self, rank 2 = NN
+    nn = {
+        r["query_id"]: (r["vec_id"], r["cos"])
+        for r in brute.where(F.col("rank") == 2).collect()
+    }
+    # random-corpus rank-1 neighbors are only moderately similar
+    # (cos ~0.4-0.5 at 64 dims), so per-table SRP collision is weak:
+    # few bits + many tables is the recall-oriented configuration.
+    approx = knn_join(embs, k=5, n_bits=3, n_tables=8).where(
+        F.col("query_id") < 20
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): r["cos"] for r in approx.collect()
+    }
+    hits = sum(
+        1 for q, (v, _) in nn.items() if (q, v) in got
+    )
+    recall = hits / len(nn)
+    assert recall >= 0.5, f"kNN-join rank-1 recall {recall:.2f} too low"
+    # exact verified scoring: where approx found the true NN, the cosine
+    # matches brute force to float tolerance
+    for q, (v, cos) in nn.items():
+        if (q, v) in got:
+            assert abs(got[(q, v)] - cos) < 1e-9
+
+
 # -- text -----------------------------------------------------------------
 
 
