@@ -780,6 +780,35 @@ def _q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(with_synthetic_pii(_docs(spark, sf_dir)))
 
 
+def _q_i3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI over hour candles (ROWS-framed SMA of gains/losses —
+    the deliberately window-expressible RSI variant)."""
+    from stock_chart_kafka_streams_spark.operators.indicators import with_rsi
+
+    return with_rsi(candles(load_trades(spark, sf_dir), "HOUR"))
+
+
+def _i3_sql() -> str:
+    from stock_chart_kafka_streams_spark.operators.indicators import with_rsi_sql
+
+    return with_rsi_sql(_candle_sql("HOUR"))
+
+
+def _q_i4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling peak / drawdown / worst-drawdown over hour candles."""
+    from stock_chart_kafka_streams_spark.operators.indicators import with_drawdown
+
+    return with_drawdown(candles(load_trades(spark, sf_dir), "HOUR"))
+
+
+def _i4_sql() -> str:
+    from stock_chart_kafka_streams_spark.operators.indicators import (
+        with_drawdown_sql,
+    )
+
+    return with_drawdown_sql(_candle_sql("HOUR"))
+
+
 def _q_p7a(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate per-stratum quality quantile filter — the hot-stratum
     SCALE path for p7: a deterministic md5 hash-sample elects a quality
@@ -1237,6 +1266,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_pii_scrub": _q_t8,
         "p9_curation_pipeline": _q_p9,
         "p7a_quality_approx": _q_p7a,
+        "i3_rsi": _q_i3,
+        "i4_drawdown": _q_i4,
     }
 
 
@@ -1375,6 +1406,8 @@ FROM documents
         ),
         "p9_curation_pipeline": _pipeline.curation_pipeline_sql(threshold=0.4),
         "p7a_quality_approx": _sampling.quality_quantile_filter_approx_sql(),
+        "i3_rsi": _i3_sql(),
+        "i4_drawdown": _i4_sql(),
         "ss1_click_attribution": _SS1_SQL,
         "ss2_click_attribution_outer": _SS2_SQL,
         "sql1_sql_surface": _sql1_sql(),

@@ -62,3 +62,142 @@ WINDOW
           ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW),
   w_s AS (PARTITION BY symbol, time_frame ORDER BY bucket_start)
 """
+
+
+RSI_WINDOW = 14
+
+
+def with_rsi(candles: DataFrame, n: int = RSI_WINDOW) -> DataFrame:
+    """Cutler's RSI over each (symbol, time_frame) candle series:
+    ``100 - 100 / (1 + SMA(gains, n) / SMA(losses, n))`` with gains /
+    losses the positive / negative parts of the close-to-close change.
+
+    Cutler's variant (simple moving averages) rather than Wilder's
+    (recursive exponential smoothing) deliberately: it is a pure
+    ROWS-framed window — one shuffle on the series key, embarrassing
+    parallelism across series, and an exact DuckDB twin — where Wilder's
+    recursion needs either per-row iteration or a closed-form pow() chain
+    whose float error diverges between engines. Documented divergence,
+    same convention charting libraries offer as "Cutler RSI".
+
+    Warm-up: the first row of a series has NULL change and drops out of
+    both averages (avg skips NULLs); an all-gain window yields RSI 100
+    via the zero-loss branch (DuckDB's x/0 = inf convention differs, so
+    the twin branches identically). Returns (symbol, time_frame,
+    bucket_start, close, rsi_n).
+    """
+    series = Window.partitionBy("symbol", "time_frame").orderBy("bucket_start")
+    lastn = series.rowsBetween(-(n - 1), 0)
+    chg = F.col("close") - F.lag("close").over(series)
+    with_chg = candles.select(
+        "symbol", "time_frame", "bucket_start", "close", chg.alias("__chg")
+    )
+    gain = F.when(F.col("__chg") > 0, F.col("__chg")).otherwise(
+        F.when(F.col("__chg").isNotNull(), F.lit(0.0))
+    )
+    loss = F.when(F.col("__chg") < 0, -F.col("__chg")).otherwise(
+        F.when(F.col("__chg").isNotNull(), F.lit(0.0))
+    )
+    avg_gain = F.avg(gain).over(lastn)
+    avg_loss = F.avg(loss).over(lastn)
+    rsi = F.when(avg_loss == 0, F.when(avg_gain.isNotNull(), F.lit(100.0))).otherwise(
+        F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + avg_gain / avg_loss)
+    )
+    return with_chg.select(
+        "symbol",
+        "time_frame",
+        "bucket_start",
+        "close",
+        rsi.alias(f"rsi_{n}"),
+    )
+
+
+def with_rsi_sql(candles_sql: str, n: int = RSI_WINDOW) -> str:
+    """DuckDB twin of ``with_rsi`` (same framing, same zero-loss branch)."""
+    return f"""
+WITH chg AS (
+    SELECT symbol, time_frame, bucket_start, "close",
+           "close" - lag("close") OVER (
+               PARTITION BY symbol, time_frame ORDER BY bucket_start
+           ) AS c
+    FROM ({candles_sql})
+),
+parts AS (
+    SELECT *,
+           CASE WHEN c > 0 THEN c WHEN c IS NOT NULL THEN 0.0 END AS gain,
+           CASE WHEN c < 0 THEN -c WHEN c IS NOT NULL THEN 0.0 END AS loss
+    FROM chg
+),
+agg AS (
+    SELECT symbol, time_frame, bucket_start, "close",
+           avg(gain) OVER w_n AS ag, avg(loss) OVER w_n AS al
+    FROM parts
+    WINDOW w_n AS (PARTITION BY symbol, time_frame ORDER BY bucket_start
+                   ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, time_frame, bucket_start, "close",
+       CASE WHEN al = 0 THEN (CASE WHEN ag IS NOT NULL THEN 100.0 END)
+            ELSE 100.0 - 100.0 / (1.0 + ag / al) END AS rsi_{n}
+FROM agg
+"""
+
+
+DRAWDOWN_WINDOW = 20
+
+
+def with_drawdown(candles: DataFrame, n: int = DRAWDOWN_WINDOW) -> DataFrame:
+    """Rolling drawdown per candle series: current close vs the running
+    peak of the last ``n`` closes (``close / max(close) - 1``, <= 0) and
+    the worst (minimum) drawdown seen over that window — the standard
+    risk overlay a charting backend serves next to Bollinger bands.
+
+    Pure ROWS-framed windows over the series key: ``max`` for the peak
+    and a second windowed ``min`` over the per-row drawdown. All-double
+    arithmetic identical in both engines. Returns (symbol, time_frame,
+    bucket_start, close, peak_n, drawdown, max_drawdown_n).
+    """
+    series = Window.partitionBy("symbol", "time_frame").orderBy("bucket_start")
+    lastn = series.rowsBetween(-(n - 1), 0)
+    peak = F.max("close").over(lastn)
+    base = candles.select(
+        "symbol",
+        "time_frame",
+        "bucket_start",
+        "close",
+        peak.alias("__peak"),
+    ).withColumn("drawdown", F.col("close") / F.col("__peak") - F.lit(1.0))
+    worst = F.min("drawdown").over(
+        Window.partitionBy("symbol", "time_frame")
+        .orderBy("bucket_start")
+        .rowsBetween(-(n - 1), 0)
+    )
+    return base.select(
+        "symbol",
+        "time_frame",
+        "bucket_start",
+        "close",
+        F.col("__peak").alias(f"peak_{n}"),
+        "drawdown",
+        worst.alias(f"max_drawdown_{n}"),
+    )
+
+
+def with_drawdown_sql(candles_sql: str, n: int = DRAWDOWN_WINDOW) -> str:
+    """DuckDB twin of ``with_drawdown`` (same framing)."""
+    return f"""
+WITH base AS (
+    SELECT symbol, time_frame, bucket_start, "close",
+           max("close") OVER w_n AS peak_{n}
+    FROM ({candles_sql})
+    WINDOW w_n AS (PARTITION BY symbol, time_frame ORDER BY bucket_start
+                   ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+),
+dd AS (
+    SELECT *, "close" / peak_{n} - 1.0 AS drawdown FROM base
+)
+SELECT symbol, time_frame, bucket_start, "close", peak_{n}, drawdown,
+       min(drawdown) OVER w_n AS max_drawdown_{n}
+FROM dd
+WINDOW w_n AS (PARTITION BY symbol, time_frame ORDER BY bucket_start
+               ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+"""

@@ -92,3 +92,60 @@ def test_point_lookup_unique(mf):
     assert len(rows) == 1
     r = rows[0]
     assert r["symbol"] == "click" and r["time_frame"] == "DAY"
+
+
+def test_rsi_bounds_and_extremes(spark):
+    """RSI stays in [0, 100]; an all-up series pins 100, all-down pins 0,
+    and the first row of a series (no change) is NULL."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.indicators import with_rsi
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        ts = t0 + datetime.timedelta(hours=i)
+        rows.append(("UP", "HOUR", ts, 100.0 + i))
+        rows.append(("DOWN", "HOUR", ts, 100.0 - i))
+    df = spark.createDataFrame(
+        rows, "symbol string, time_frame string, bucket_start timestamp, close double"
+    )
+    out = with_rsi(df)
+    vals = {(r.symbol, r.bucket_start): r.rsi_14 for r in out.collect()}
+    assert vals[("UP", t0)] is None and vals[("DOWN", t0)] is None
+    for (sym, ts), v in vals.items():
+        if v is not None:
+            assert 0.0 <= v <= 100.0
+        if ts > t0:
+            assert v == (100.0 if sym == "UP" else 0.0)
+
+
+def test_drawdown_properties(spark):
+    """drawdown <= 0 always, 0 exactly at running peaks, and the rolling
+    worst equals the window minimum."""
+    import datetime
+
+    from stock_chart_kafka_streams_spark.operators.indicators import with_drawdown
+
+    t0 = datetime.datetime(2024, 1, 1)
+    closes = [100.0, 110.0, 99.0, 104.5, 88.0, 121.0, 121.0, 60.5]
+    rows = [
+        ("A", "HOUR", t0 + datetime.timedelta(hours=i), c)
+        for i, c in enumerate(closes)
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, time_frame string, bucket_start timestamp, close double"
+    )
+    out = sorted(with_drawdown(df, n=4).collect(), key=lambda r: r.bucket_start)
+    for i, r in enumerate(out):
+        lo = max(0, i - 3)
+        peak = max(closes[lo : i + 1])
+        assert r.peak_4 == peak
+        assert abs(r.drawdown - (closes[i] / peak - 1.0)) < 1e-12
+        assert r.drawdown <= 0.0
+    worst = [r.max_drawdown_4 for r in out]
+    dds = [r.drawdown for r in out]
+    for i in range(len(out)):
+        assert abs(worst[i] - min(dds[max(0, i - 3) : i + 1])) < 1e-12

@@ -89,6 +89,8 @@ def _canon(rows, cols):
         "t8_pii_scrub",
         "p9_curation_pipeline",
         "p7a_quality_approx",
+        "i3_rsi",
+        "i4_drawdown",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):
