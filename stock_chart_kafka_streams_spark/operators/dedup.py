@@ -590,7 +590,7 @@ def connected_components(
     shuffle-minimal.)
 
     Exactly reproducible in SQL: min-over-reachable-set via a recursive
-    CTE (``connected_components_sql``) — label propagation computes the
+    CTE (``neardup_clusters_sql``) — label propagation computes the
     same fixpoint, so this iterative operator carries a full value oracle
     (rare for graph ops; worth it for dedup auditability).
 
