@@ -119,3 +119,38 @@ def test_error_contract(base_url):
     _expect_status(f"{base_url}/api/charts/recent/X?minutes=abc", 400)
     _expect_status(f"{base_url}/api/nope", 404)
     _expect_status(f"{base_url}/api/charts/a/b/c", 404)
+
+
+def test_http_over_disk_serving_table(spark, tmp_path):
+    """The deployment shape: CandleStore.from_path over a partitioned
+    serving table written by the MERGE sink, fronted by the HTTP layer —
+    the bucket_date partition column must not leak into responses and
+    range queries must still serve (pruned) correctly."""
+    from stock_chart_kafka_streams_spark.streaming.sink import write_candles
+
+    table = str(tmp_path / "serving")
+    candles = multi_frame_candles(load_trades(spark, SF_DIR), ["HOUR"])
+    write_candles(candles, table)
+    disk_store = CandleStore.from_path(spark, table)
+    server, url = serve_in_background(disk_store)
+    try:
+        status, syms = _get(f"{url}/api/charts/symbols")
+        assert status == 200 and len(syms) > 0
+        sym = syms[0]
+        status, got = _get(
+            f"{url}/api/charts/{sym}?from=2024-01-01T00:00:00"
+            f"&to=2026-01-01T00:00:00&frame=HOUR"
+        )
+        assert status == 200 and len(got) > 0
+        assert set(got[0]) == {
+            "symbol", "open", "high", "low", "close", "volume",
+            "startTime", "endTime",
+        }
+        want = _rows(
+            disk_store.get_candles(
+                sym, "HOUR", "2024-01-01T00:00:00", "2026-01-01T00:00:00"
+            )
+        )
+        assert got == want
+    finally:
+        server.shutdown()
