@@ -825,10 +825,13 @@ def _q_p9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline (quality filter -> MinHash-LSH dedup
     -> benchmark decontamination -> train split -> sequence packing)
     composed as ONE declarative plan — the integration proof that the
-    LLM-pipeline operators chain without driver round-trips. threshold
-    0.4 sits in the gap of the synthetic corpus's bimodal
-    benchmark-overlap distribution, so each stage prunes meaningfully
-    (500 -> 249 -> 235 -> ~245 kept -> 221 packed at sf0.01)."""
+    LLM-pipeline operators chain without driver round-trips. The quality
+    stage runs in the default ``quality_mode="approx"`` shape (round 8):
+    p7a's sampled per-stratum thresholds broadcast + map-side filter, so
+    the composed plan contains NO whole-stratum window sort (the r7
+    verdict's hot-stratum finding). threshold 0.4 sits in the gap of the
+    synthetic corpus's bimodal benchmark-overlap distribution, so each
+    stage prunes meaningfully."""
     from stock_chart_kafka_streams_spark.operators.pipeline import curation_pipeline
 
     return curation_pipeline(_docs(spark, sf_dir), threshold=0.4)

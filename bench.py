@@ -320,7 +320,7 @@ def _tier2_queries(
     timings["t2_d7_chain_1m"] = round(time.perf_counter() - t0, 3)
     extra["d7_chain_rounds"] = chain_stats.get("rounds", -1)
 
-    # p9: the composed curation pipeline (quality window -> MinHash-LSH
+    # p9: the composed curation pipeline (approx quality filter -> MinHash-LSH
     # dedup -> winnow decontamination -> split -> pack) over the full
     # 500k-doc corpus — the integration-scale proof that the stages
     # chain as ONE plan without a driver-side bottleneck. Single-run
@@ -340,6 +340,18 @@ def _tier2_queries(
     t0 = time.perf_counter()
     _noop(curation_pipeline(docs, threshold=0.9, bench_mod=9973))
     timings["t2_p9_curation_100x"] = round(time.perf_counter() - t0, 3)
+
+    # p9 with persist_stages=True (round 8): each stage boundary is
+    # localCheckpointed so the DAG's shared stages are computed once
+    # instead of re-expanded per reference — the operable-pipeline form
+    # the one-plan docstring prescribes. Timed inclusively (the
+    # checkpoints run jobs during the call).
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    _noop(
+        curation_pipeline(docs, threshold=0.9, bench_mod=9973, persist_stages=True)
+    )
+    timings["t2_p9_curation_persist_100x"] = round(time.perf_counter() - t0, 3)
     return timings, extra
 
 

@@ -578,7 +578,13 @@ def connected_components(
     (they are quasi-cliques out of LSH buckets), so the loop runs 2-4
     rounds in practice; ``max_iter`` bounds pathological chains — the
     operator RAISES if the fixpoint is not reached within the bound
-    (silently truncated propagation would corrupt clusters undetectably). Each
+    (silently truncated propagation would corrupt clusters undetectably).
+    Convergence is only DETECTED by a no-change confirming round, so
+    ``max_iter`` must exceed the component diameter by at least one: a
+    graph whose diameter exactly equals ``max_iter`` raises even though
+    the final labels happen to be correct (conservative by design), and
+    ``max_iter=0`` always raises rather than returning unpropagated
+    initial labels. Each
     round is two shuffles (neighbor-min aggregate + label join) over
     (id, label) pairs ONLY — document payloads never enter the loop —
     and labels are localCheckpointed per round so the plan does not grow

@@ -57,6 +57,73 @@ from stock_chart_kafka_streams_spark.operators.text import (
 )
 
 
+def quality_stage(
+    docs: DataFrame,
+    quality_mode: str = "approx",
+    keep_num: int = 1,
+    keep_den: int = 2,
+    sample_num: int = 1,
+    sample_den: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """The pipeline's quality filter, keeping EVERY input column (no
+    semi-join back, so downstream stages reference one branch).
+
+    ``quality_mode="approx"`` (default — the scale shape): per-stratum
+    thresholds elected from a deterministic hash SAMPLE
+    (``approx_quality_thresholds``, p7a's election) are broadcast and the
+    corpus is filtered MAP-SIDE — the only sorted data is the sample, so
+    a hot stratum (one language dominating a 100 TB corpus) never funnels
+    through a single sort partition. ``"exact"`` keeps the integer-exact
+    whole-stratum window cut (rank*den <= num*n) for small-strata /
+    audit runs — that window IS a per-stratum single-task sort, which is
+    exactly why it is not the default."""
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        approx_quality_thresholds,
+    )
+    from stock_chart_kafka_streams_spark.operators.text import quality_score
+
+    if quality_mode == "approx":
+        scored = docs.withColumn("__q", quality_score(text_col))
+        thresholds = approx_quality_thresholds(
+            scored.select(F.col(id_col), F.col(strata_col), F.col("__q").alias("quality")),
+            keep_num=keep_num,
+            keep_den=keep_den,
+            sample_num=sample_num,
+            sample_den=sample_den,
+            strata_col=strata_col,
+            id_col=id_col,
+        )
+        return (
+            scored.join(F.broadcast(thresholds), on=strata_col)
+            .where(F.col("__q") >= F.col("q_threshold"))
+            .drop("__q", "q_threshold")
+            .select(*docs.columns)
+        )
+    if quality_mode != "exact":
+        raise ValueError(f"quality_mode must be 'approx' or 'exact', got {quality_mode!r}")
+    from pyspark.sql.window import Window
+
+    if keep_num < 0 or keep_den <= 0:
+        raise ValueError("keep fraction must be a non-negative rational")
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        F.col("__q").desc(), F.col(id_col)
+    )
+    w_all = Window.partitionBy(strata_col)
+    return (
+        docs.withColumn("__q", quality_score(text_col))
+        .withColumn("__rn", F.row_number().over(w_rank).cast("long"))
+        .withColumn("__n", F.count("*").over(w_all))
+        .where(
+            F.col("__rn") * F.lit(int(keep_den))
+            <= F.col("__n") * F.lit(int(keep_num))
+        )
+        .drop("__q", "__rn", "__n")
+    )
+
+
 def curation_pipeline(
     docs: DataFrame,
     keep_num: int = 1,
@@ -68,6 +135,8 @@ def curation_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     strata_col: str = "lang",
+    quality_mode: str = "approx",
+    persist_stages: bool = False,
 ) -> DataFrame:
     """Run the full curation chain over ``docs`` and return the packed
     training sequences: ``(doc_id, shard, n_tokens, offset_in_shard,
@@ -78,47 +147,45 @@ def curation_pipeline(
     slice of the ORIGINAL corpus — the driver-fixture stand-in for an
     external held-out benchmark (same fixture p4 uses standalone).
 
-    Plan-shape note: composing 5 stages as one plan makes the plan a DAG
-    whose shared stages Catalyst re-expands per reference (column pruning
-    de-canonicalizes the branches, so ReuseExchange only recovers some) —
-    the executed plan re-scans the corpus where a stage feeds two
-    consumers. The quality stage is therefore inlined as a single window
-    filter (one corpus pass, keeps every column — the
-    ``quality_quantile_filter`` + semi-join form would double every
-    downstream reference), and dedup/decontam duplication is bounded by
-    their own internal single-reference shapes. At 100 TB you would
-    PERSIST each stage boundary anyway (curated corpora are artifacts,
-    and each stage's output is orders of magnitude smaller than its
-    input); this one-plan form is the oracle-checkable integration
-    surface, not a claim that recompute is free.
+    ``quality_mode`` (default ``"approx"``): see ``quality_stage`` — the
+    default is the sampled-threshold map-side filter, so the composed
+    pipeline contains NO whole-stratum window sort anywhere in its plan;
+    ``"exact"`` restores the integer-exact window cut where strata are
+    known small. Both modes carry full DuckDB twins
+    (``curation_pipeline_sql(quality_mode=...)``).
+
+    ``persist_stages`` (default False): when True, each stage boundary is
+    eagerly ``localCheckpoint``-ed, so the final job reads materialized
+    stage outputs instead of re-deriving them. The one-plan (False) form
+    is the oracle surface, but its DAG re-expands shared stages per
+    reference (column pruning de-canonicalizes branches, so ReuseExchange
+    only partially recovers) — the executed plan re-scans the corpus ~12×.
+    With persist_stages each stage scans its input exactly once (the
+    final plan contains ZERO source scans — asserted by
+    tests/test_corpus_filters.py), which is how an operable 100 TB run
+    would execute (on a cluster: write each boundary to parquet — curated
+    corpora are artifacts; localCheckpoint is the single-job analogue).
     """
-    from pyspark.sql.window import Window
-
-    from stock_chart_kafka_streams_spark.operators.text import quality_score
-
-    # p7 inline: keep the top keep_num/keep_den of each stratum by
-    # quality (same ordering and integer-exact cut as
-    # quality_quantile_filter, but keeping text/lang so no semi-join).
-    if keep_num < 0 or keep_den <= 0:
-        raise ValueError("keep fraction must be a non-negative rational")
-    w_rank = Window.partitionBy(strata_col).orderBy(
-        F.col("__q").desc(), F.col(id_col)
+    stage_q = quality_stage(
+        docs,
+        quality_mode=quality_mode,
+        keep_num=keep_num,
+        keep_den=keep_den,
+        id_col=id_col,
+        text_col=text_col,
+        strata_col=strata_col,
     )
-    w_all = Window.partitionBy(strata_col)
-    stage_q = (
-        docs.withColumn("__q", quality_score(text_col))
-        .withColumn("__rn", F.row_number().over(w_rank).cast("long"))
-        .withColumn("__n", F.count("*").over(w_all))
-        .where(
-            F.col("__rn") * F.lit(int(keep_den))
-            <= F.col("__n") * F.lit(int(keep_num))
-        )
-        .drop("__q", "__rn", "__n")
-    )
+    # p4's benchmark slice scans the original corpus; checkpoint it with
+    # the stages so the persisted form's final plan has no source scans.
+    bench = docs.where((F.col(id_col) % bench_mod) == 0)
+    if persist_stages:
+        stage_q = stage_q.localCheckpoint(eager=True)
+        bench = bench.localCheckpoint(eager=True)
     # d2: MinHash-LSH near-dedup of the quality survivors.
     stage_dd = dedup_minhash(stage_q, id_col=id_col, text_col=text_col)
+    if persist_stages:
+        stage_dd = stage_dd.localCheckpoint(eager=True)
     # p4: drop documents overlapping the held-out benchmark.
-    bench = docs.where((F.col(id_col) % bench_mod) == 0)
     contam_ids = (
         decontaminate(
             stage_dd, bench, threshold=threshold, id_col=id_col, text_col=text_col
@@ -127,6 +194,8 @@ def curation_pipeline(
         .select(id_col)
     )
     stage_cl = stage_dd.join(contam_ids, on=id_col, how="left_anti")
+    if persist_stages:
+        stage_cl = stage_cl.localCheckpoint(eager=True)
     # p2: deterministic split; keep train.
     stage_sp = hash_split(stage_cl, id_col=id_col).where(F.col("split") == "train")
     # p6: pack into budget-token sequences.
@@ -143,23 +212,38 @@ def curation_pipeline_sql(
     threshold: float = DECONTAM_THRESHOLD,
     budget: int = 2048,
     n_shards: int = 64,
+    quality_mode: str = "approx",
 ) -> str:
     """DuckDB twin of ``curation_pipeline``: the same five stages chained
     as top-level CTEs. Each stage reuses the standalone operator's SQL
     builder pointed at the PREVIOUS stage's CTE name, so stage results
     are referenced by name (no textual re-expansion) and every stage's
-    cross-engine determinism argument carries over unchanged."""
+    cross-engine determinism argument carries over unchanged. The
+    ``quality_mode="approx"`` default chains p7a's threshold-election SQL
+    (``approx_quality_thresholds_sql``) exactly as the Spark side chains
+    ``approx_quality_thresholds``."""
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        approx_quality_thresholds_sql,
+    )
     from stock_chart_kafka_streams_spark.operators.text import quality_score_sql
 
-    dd = dedup_minhash_sql(table="stage_q")
-    dd_fps = winnow_fingerprints_sql("stage_dd")
-    bench_fps = winnow_fingerprints_sql(
-        f"(SELECT * FROM {table} WHERE doc_id % {bench_mod} = 0)"
-    )
-    sp = hash_split_sql(table="stage_cl")
-    pack = pack_sequences_sql(table="stage_sp", budget=budget, n_shards=n_shards)
-    return f"""
-WITH stage_q AS (
+    if quality_mode == "approx":
+        thresholds = approx_quality_thresholds_sql(
+            "scored", keep_num=keep_num, keep_den=keep_den
+        )
+        stage_q = f"""scored AS (
+    SELECT *, {quality_score_sql("text")} AS quality FROM {table}
+),
+thresholds AS (
+    {thresholds}
+),
+stage_q AS (
+    SELECT s.doc_id, s.text, s.lang
+    FROM scored s JOIN thresholds t USING (lang)
+    WHERE s.quality >= t.q_threshold
+)"""
+    elif quality_mode == "exact":
+        stage_q = f"""stage_q AS (
     SELECT doc_id, text, lang FROM (
         SELECT scored.*,
                CAST(row_number() OVER (
@@ -171,7 +255,19 @@ WITH stage_q AS (
         ) scored
     ) ranked
     WHERE rn * {int(keep_den)} <= n * {int(keep_num)}
-),
+)"""
+    else:
+        raise ValueError(f"quality_mode must be 'approx' or 'exact', got {quality_mode!r}")
+
+    dd = dedup_minhash_sql(table="stage_q")
+    dd_fps = winnow_fingerprints_sql("stage_dd")
+    bench_fps = winnow_fingerprints_sql(
+        f"(SELECT * FROM {table} WHERE doc_id % {bench_mod} = 0)"
+    )
+    sp = hash_split_sql(table="stage_cl")
+    pack = pack_sequences_sql(table="stage_sp", budget=budget, n_shards=n_shards)
+    return f"""
+WITH {stage_q},
 stage_dd AS (
     {dd}
 ),

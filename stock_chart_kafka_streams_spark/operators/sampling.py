@@ -443,20 +443,68 @@ def quality_quantile_filter_approx(
     thresholds, and the kept set bit-for-bit. Strata with an empty
     sample keep nothing (explicit, like ``stratified_sample``'s absent
     strata). Returns (id, strata, quality, q_threshold).
-    """
-    from pyspark.sql.window import Window
 
+    Unlike the exact form, the keep fraction must be a PROPER fraction
+    (0 < keep_num <= keep_den): the degenerate ends do not round-trip
+    through threshold election (keep-nothing would clamp the target rank
+    to 1 and keep the sample max; keep-everything would elect no
+    threshold and drop the stratum), so they are rejected instead of
+    silently diverging from the exact form.
+    """
     from stock_chart_kafka_streams_spark.operators.text import quality_score
 
-    if keep_num < 0 or keep_den <= 0:
-        raise ValueError("keep fraction must be a non-negative rational")
     if not 0 < sample_num <= sample_den:
         raise ValueError("sample fraction must be in (0, 1]")
     d = docs.select(
         F.col(id_col), F.col(strata_col), quality_score(text_col).alias("quality")
     )
+    thresholds = approx_quality_thresholds(
+        d,
+        keep_num=keep_num,
+        keep_den=keep_den,
+        sample_num=sample_num,
+        sample_den=sample_den,
+        strata_col=strata_col,
+        id_col=id_col,
+        salt=salt,
+    )
+    return (
+        d.join(F.broadcast(thresholds), on=strata_col)
+        .where(F.col("quality") >= F.col("q_threshold"))
+        .select(id_col, strata_col, "quality", "q_threshold")
+    )
+
+
+def approx_quality_thresholds(
+    scored: DataFrame,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    sample_num: int = 1,
+    sample_den: int = 10,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "qquant-v1",
+) -> DataFrame:
+    """Elect the per-stratum quality threshold from a deterministic hash
+    sample of ``scored`` (columns: id, strata, ``quality``). Returns the
+    strata-sized (strata_col, q_threshold) table the callers broadcast —
+    shared by ``quality_quantile_filter_approx`` and the curation
+    pipeline's approx quality stage, so both elect IDENTICAL thresholds
+    for the same corpus and the pipeline twin can chain the same SQL."""
+    from pyspark.sql.window import Window
+
+    if not 0 < keep_num <= keep_den:
+        raise ValueError(
+            "keep fraction must satisfy 0 < keep_num <= keep_den for the "
+            "approx form (degenerate fractions do not survive threshold "
+            "election; use quality_quantile_filter for keep-all/keep-none)"
+        )
+    if not 0 < sample_num <= sample_den:
+        raise ValueError("sample fraction must be in (0, 1]")
     h = _hash_unit(_salted_id(id_col, salt))
-    samp = d.where(h * F.lit(int(sample_den)) < F.lit(_HASH_SPACE * int(sample_num)))
+    samp = scored.where(
+        h * F.lit(int(sample_den)) < F.lit(_HASH_SPACE * int(sample_num))
+    )
     w_rank = Window.partitionBy(strata_col).orderBy(
         F.col("quality").desc(), F.col(id_col)
     )
@@ -467,13 +515,8 @@ def quality_quantile_filter_approx(
     target = F.greatest(
         F.expr(f"(ns * {int(keep_num)}) div {int(keep_den)}"), F.lit(1)
     )
-    thresholds = ranked.where(F.col("rn") == target).select(
+    return ranked.where(F.col("rn") == target).select(
         strata_col, F.col("quality").alias("q_threshold")
-    )
-    return (
-        d.join(F.broadcast(thresholds), on=strata_col)
-        .where(F.col("quality") >= F.col("q_threshold"))
-        .select(id_col, strata_col, "quality", "q_threshold")
     )
 
 
@@ -492,32 +535,59 @@ def quality_quantile_filter_approx_sql(
     sample, same integer target rank, same threshold filter)."""
     from stock_chart_kafka_streams_spark.operators.text import quality_score_sql
 
-    h = f"('0x' || substr(md5({_salted_id_sql(id_col, salt)}), 1, 8))::BIGINT"
+    thresholds = approx_quality_thresholds_sql(
+        "scored",
+        keep_num=keep_num,
+        keep_den=keep_den,
+        sample_num=sample_num,
+        sample_den=sample_den,
+        strata_col=strata_col,
+        id_col=id_col,
+        salt=salt,
+    )
     return f"""
 WITH scored AS (
     SELECT {id_col}, {strata_col},
-           {quality_score_sql(text_col)} AS quality,
-           {h} AS h
+           {quality_score_sql(text_col)} AS quality
     FROM {table}
 ),
-samp AS (
-    SELECT * FROM scored
-    WHERE h * {int(sample_den)} < CAST({_HASH_SPACE} AS BIGINT) * {int(sample_num)}
-),
-ranked AS (
-    SELECT *,
-           CAST(row_number() OVER (
-               PARTITION BY {strata_col} ORDER BY quality DESC, {id_col}
-           ) AS BIGINT) AS rn,
-           CAST(count(*) OVER (PARTITION BY {strata_col}) AS BIGINT) AS ns
-    FROM samp
-),
 thresholds AS (
-    SELECT {strata_col}, quality AS q_threshold
-    FROM ranked
-    WHERE rn = greatest((ns * {int(keep_num)}) // {int(keep_den)}, 1)
+    {thresholds}
 )
 SELECT s.{id_col}, s.{strata_col}, s.quality, t.q_threshold
 FROM scored s JOIN thresholds t USING ({strata_col})
 WHERE s.quality >= t.q_threshold
+"""
+
+
+def approx_quality_thresholds_sql(
+    scored_cte: str,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    sample_num: int = 1,
+    sample_den: int = 10,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "qquant-v1",
+) -> str:
+    """SELECT producing (strata_col, q_threshold) from a scored CTE with
+    (id, strata, quality) columns — the SQL twin of
+    ``approx_quality_thresholds``, shared by the standalone operator twin
+    and the curation-pipeline twin."""
+    h = f"('0x' || substr(md5({_salted_id_sql(id_col, salt)}), 1, 8))::BIGINT"
+    return f"""
+    SELECT {strata_col}, quality AS q_threshold
+    FROM (
+        SELECT *,
+               CAST(row_number() OVER (
+                   PARTITION BY {strata_col} ORDER BY quality DESC, {id_col}
+               ) AS BIGINT) AS rn,
+               CAST(count(*) OVER (PARTITION BY {strata_col}) AS BIGINT) AS ns
+        FROM (
+            SELECT * FROM {scored_cte}
+            WHERE {h} * {int(sample_den)}
+                  < CAST({_HASH_SPACE} AS BIGINT) * {int(sample_num)}
+        ) samp
+    ) ranked
+    WHERE rn = greatest((ns * {int(keep_num)}) // {int(keep_den)}, 1)
 """

@@ -632,6 +632,90 @@ def _srp_code_fold_sql(vec_sql: str, table_idx: int, n_bits: int, dim: int) -> s
     return "(" + " + ".join(parts) + ")"
 
 
+def _srp_codes(
+    v: DataFrame, id_col: str, n_bits: int, n_tables: int, dim: int
+) -> DataFrame:
+    """(id, t, code) — one map-side pass computing every table's SRP code
+    per vector (shared by d5's near-dup pass and s4's kNN self-join)."""
+    return v.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _srp_code_fold(F.col("v"), t, n_bits, dim).alias("code"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tc"),
+    ).select("id", F.col("tc.t"), F.col("tc.code"))
+
+
+def _apply_bucket_cap(
+    codes: DataFrame, bucket_cap: int | None, salt: str = "lshsplit-v1"
+) -> tuple[DataFrame, list[str]]:
+    """Skew guard for the bucket-pair explode (r7 verdict #4): buckets
+    larger than ``bucket_cap`` are deterministically salt-split into
+    ``ceil(size / cap)`` sub-buckets, so no single task ever enumerates
+    more than ~cap² candidate pairs — a dense embedding mode (a real
+    corpus's near-constant vectors) can otherwise land a mega-bucket
+    whose bucket² explosion runs on one task.
+
+    Returns (codes ⨝ sub, group_cols). Cost when no bucket exceeds the
+    cap: one co-partitioned count join on the slim (id, t, code) rows and
+    ``sub`` is constant 0 — grouping by (t, code, 0) ≡ (t, code), so
+    results (and the DuckDB twins) are bit-identical at default shapes.
+
+    Recall effect when the cap TRIGGERS (documented trade): a pair inside
+    an oversized bucket is enumerated only if both ids hash to the same
+    sub-bucket — P ≈ 1/nsub per table. The sub hash is salted by table
+    id, so each table splits the same mega-bucket DIFFERENTLY and the
+    miss probability decays as Π_t (1 - 1/nsub_t); for d5→d7 clustering,
+    CLUSTER recall is preserved transitively (each sub-bucket's pairs are
+    complete, and overlapping memberships across tables' different splits
+    connect the component). ``n_bits`` scaling remains the first-line
+    answer (keep mean bucket O(1)); the cap is the guard for the skewed
+    tail n_bits cannot fix globally."""
+    if bucket_cap is None:
+        return codes, ["t", "code"]
+    if bucket_cap <= 0:
+        raise ValueError("bucket_cap must be positive (or None to disable)")
+    sizes = codes.groupBy("t", "code").agg(F.count("*").alias("__bsz"))
+    sub_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(salt),
+                    F.col("id").cast("string"),
+                    F.col("t").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    guarded = (
+        codes.join(sizes, on=["t", "code"])
+        .withColumn(
+            "__nsub",
+            F.ceil(F.col("__bsz") / F.lit(int(bucket_cap))).cast("long"),
+        )
+        .withColumn(
+            "sub",
+            F.when(F.col("__nsub") <= 1, F.lit(0)).otherwise(
+                F.pmod(sub_hash, F.col("__nsub"))
+            ),
+        )
+        .drop("__bsz", "__nsub")
+    )
+    return guarded, ["t", "code", "sub"]
+
+
 def embedding_neardup_lsh(
     vectors: DataFrame,
     threshold: float = 0.99,
@@ -640,6 +724,7 @@ def embedding_neardup_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """Near-duplicate pairs via SRP-LSH bucketing + exact verification —
     the SCALE path for d5 (``embedding_neardup_pairs`` is the quadratic
@@ -659,26 +744,17 @@ def embedding_neardup_lsh(
     ``n_bits`` sets the bucket count per table (2^n_bits) and scales up
     with the corpus to keep buckets small, ``n_tables`` sets recall
     (for cos >= 0.99 pairs, per-table collision ~0.96^n_bits; misses decay
-    geometrically in n_tables). Recall vs the exact form is pinned by
-    tests/test_similarity recall assertions; the driver oracle reproduces
-    this result exactly, bucket for bucket."""
+    geometrically in n_tables); ``bucket_cap`` salt-splits buckets past
+    the cap so one degenerate mega-bucket cannot land a bucket² pair
+    explosion on a single task (``_apply_bucket_cap`` — no-op below the
+    cap, documented recall trade above it). Recall vs the exact form is
+    pinned by tests/test_similarity recall assertions; the driver oracle
+    reproduces this result exactly, bucket for bucket."""
     v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    codes = v.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        _srp_code_fold(F.col("v"), t, n_bits, dim).alias("code"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tc"),
-    ).select("id", F.col("tc.t"), F.col("tc.code"))
+    codes = _srp_codes(v, id_col, n_bits, n_tables, dim)
+    codes, group_cols = _apply_bucket_cap(codes, bucket_cap)
     cands = (
-        codes.groupBy("t", "code")
+        codes.groupBy(*group_cols)
         .agg(F.collect_list("id").alias("ids"))
         .select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
@@ -801,6 +877,7 @@ def knn_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
+    bucket_cap: int | None = 4096,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor SELF-join: for every vector, its
     top-k neighbors (excluding itself) among vectors sharing an SRP code
@@ -827,24 +904,16 @@ def knn_join(
     fetch-back shape. The re-rank window partitions on query_id — the
     same shuffle the top-k needs anyway. Deterministic end-to-end
     (constant md5 hyperplanes, id-ascending tie-breaks), so the DuckDB
-    twin (``knn_join_sql``) reproduces it exactly."""
+    twin (``knn_join_sql``) reproduces it exactly. ``bucket_cap``
+    salt-splits oversized buckets (``_apply_bucket_cap``): a query's
+    candidates then come from its sub-bucket per table rather than the
+    whole mega-bucket — per-task candidate volume stays bounded, at a
+    documented recall cost confined to buckets past the cap."""
     v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    codes = v.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        _srp_code_fold(F.col("v"), t, n_bits, dim).alias("code"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tc"),
-    ).select("id", F.col("tc.t"), F.col("tc.code"))
+    codes = _srp_codes(v, id_col, n_bits, n_tables, dim)
+    codes, group_cols = _apply_bucket_cap(codes, bucket_cap)
     cands = (
-        codes.groupBy("t", "code")
+        codes.groupBy(*group_cols)
         .agg(F.collect_list("id").alias("ids"))
         .select(F.explode("ids").alias("query_id"), "ids")
         .select("query_id", F.explode("ids").alias(id_col))

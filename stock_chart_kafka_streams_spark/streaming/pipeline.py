@@ -273,6 +273,44 @@ def start_candle_pipeline(
     return writer.start()
 
 
+def start_candle_pipeline_batched(
+    trades: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    frames: list[str] | None = None,
+    watermark_delay: str = "0 seconds",
+    available_now: bool = False,
+    processing_time: str | None = None,
+    merge_every: int = 8,
+):
+    """The high-throughput sink variant of ``start_candle_pipeline``
+    (round 8): minute candles are APPENDED to staging per micro-batch and
+    MERGEd into the serving table every ``merge_every`` batches; coarse
+    frames are rolled up once at finalize instead of per batch (the
+    per-batch cascade's MERGE-per-frame-per-batch is what capped replay
+    throughput at ~25k events/s). Returns ``(query, sink)`` — after the
+    query terminates (or at any commit point), call
+    ``sink.finalize(frames)`` to flush staging and materialize the coarse
+    frames; the final table is identical to the cascade sink's
+    (tests/test_compaction.py)."""
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        BatchedCompactionSink,
+    )
+
+    sink = BatchedCompactionSink(path, merge_every=merge_every)
+    candles = streaming_minute_candles(trades, watermark_delay)
+    writer = (
+        candles.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start(), sink
+
+
 def candle_kafka_payload(candles: DataFrame) -> DataFrame:
     """Project candles onto the Kafka wire shape of the reference's
     candle topic: String key = symbol, JSON value matching the

@@ -210,12 +210,21 @@ def replay_candles(
     frames: list[str] | None = None,
     watermark_delay: str = "0 seconds",
     work_dir: str | None = None,
+    sink_mode: str = "cascade",
+    merge_every: int = 8,
 ) -> DataFrame:
     """Run the full streaming pipeline over a deterministic batch replay and
     return the resulting serving table (sentinel rows excluded).
 
     ``trades_with_batch`` needs trade columns + an integer ``batch``.
+    ``sink_mode="cascade"`` (default) upserts + cascades every micro-batch
+    (the c12/c15 oracle surface); ``"batched"`` drives the
+    ``BatchedCompactionSink`` (append staging, MERGE every
+    ``merge_every`` batches, coarse frames at finalize) — both converge
+    to the same table (tests/test_compaction.py).
     """
+    if sink_mode not in ("cascade", "batched"):
+        raise ValueError(f"sink_mode must be 'cascade' or 'batched', got {sink_mode!r}")
     own_tmp = work_dir is None
     work_dir = work_dir or tempfile.mkdtemp(prefix="candle-replay-")
     replay_dir = os.path.join(work_dir, "input")
@@ -224,15 +233,32 @@ def replay_candles(
     try:
         write_replay_batches(trades_with_batch, replay_dir)
         stream = read_trades_json_stream(spark, replay_dir, max_files_per_trigger=1)
-        q = start_candle_pipeline(
-            stream,
-            table_dir,
-            ckpt_dir,
-            frames=frames,
-            watermark_delay=watermark_delay,
-            available_now=True,
-        )
-        q.awaitTermination()
+        if sink_mode == "batched":
+            from stock_chart_kafka_streams_spark.streaming.pipeline import (
+                start_candle_pipeline_batched,
+            )
+
+            q, sink = start_candle_pipeline_batched(
+                stream,
+                table_dir,
+                ckpt_dir,
+                frames=frames,
+                watermark_delay=watermark_delay,
+                available_now=True,
+                merge_every=merge_every,
+            )
+            q.awaitTermination()
+            sink.finalize(frames)
+        else:
+            q = start_candle_pipeline(
+                stream,
+                table_dir,
+                ckpt_dir,
+                frames=frames,
+                watermark_delay=watermark_delay,
+                available_now=True,
+            )
+            q.awaitTermination()
         out = (
             spark.read.parquet(table_dir)
             .where(F.col("bucket_start") < F.lit(SENTINEL_CUTOFF).cast("timestamp"))

@@ -196,3 +196,108 @@ def foreach_batch_upsert(path: str):
         upsert_candles(batch.sparkSession, batch, path)
 
     return _write
+
+
+class BatchedCompactionSink:
+    """High-throughput serving sink (round 8, r7 verdict #6): APPEND each
+    micro-batch to a staging directory (one cheap write, no read), and
+    MERGE staging into the serving table only every ``merge_every``
+    batches plus once at ``finalize()``.
+
+    The per-batch MERGE sink (``upsert_candles``) reads, prunes,
+    anti-joins and rewrites touched partitions on EVERY micro-batch —
+    correct, but the replay bench showed it caps throughput at ~25k
+    events/s against ~272k for the bare stateful pipeline. Amortizing the
+    MERGE over N batches keeps the hot path write-only; the trade is
+    serving-table freshness (up to N batches stale), the same trade a
+    Kafka->object-store ingestion pipeline makes with commit intervals.
+
+    Convergence contract (replay-oracled by tests/test_compaction.py):
+    staging rows carry the writing batch id; the merge deduplicates on
+    the candle key keeping the HIGHEST batch id ("new rows win" — the
+    reference's Redis SET idempotency, ``CandlestickAggregator.kt:270-275``)
+    before upserting, so at-least-once redelivery and the per-batch MERGE
+    sink converge to the SAME final table. In append mode each window is
+    emitted exactly once, so between merges the staging set is
+    key-unique anyway; the dedup is the redelivery guard.
+    """
+
+    def __init__(self, path: str, staging: str | None = None, merge_every: int = 8):
+        if merge_every <= 0:
+            raise ValueError("merge_every must be positive")
+        self.path = path
+        self.staging = staging or (path.rstrip("/") + ".staging")
+        self.merge_every = merge_every
+        self._pending = 0
+        self._spark: SparkSession | None = None
+
+    # -- foreachBatch hook --------------------------------------------------
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        self._spark = batch.sparkSession
+        (
+            batch.select(*CANDLE_COLUMNS)
+            .withColumn("__bid", F.lit(int(batch_id)))
+            .write.mode("append")
+            .parquet(self.staging)
+        )
+        self._pending += 1
+        if self._pending >= self.merge_every:
+            self.flush()
+
+    # -- merge --------------------------------------------------------------
+    def flush(self) -> None:
+        """MERGE all staged batches into the serving table and clear
+        staging. Reads only the staged rows (small: merge_every batches of
+        closed windows), dedups by candle key keeping the latest batch,
+        then runs ONE partition-pruned upsert."""
+        import shutil as _shutil
+
+        from pyspark.sql.window import Window
+
+        if self._spark is None or not _table_exists(self._spark, self.staging):
+            self._pending = 0
+            return
+        staged = self._spark.read.parquet(self.staging)
+        w = Window.partitionBy(*CANDLE_KEY).orderBy(F.col("__bid").desc())
+        latest = (
+            staged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(*CANDLE_COLUMNS)
+        )
+        upsert_candles(self._spark, latest, self.path)
+        # upsert_candles eagerly localCheckpoints the merged table before
+        # writing, so staging is no longer referenced once it returns
+        _shutil.rmtree(self.staging, ignore_errors=True)
+        self._pending = 0
+
+    def finalize(self, frames: list[str] | None = None) -> None:
+        """Flush remaining staged batches, then (optionally) recompute the
+        coarse frames from the final minute rows — the batched analogue of
+        ``cascade_upsert``'s per-batch rollups. Each coarse bucket's final
+        value is the rollup of ALL its minutes, which is exactly what the
+        per-batch cascade converges to, so both sinks yield identical
+        tables (tests/test_compaction.py asserts this on a full replay)."""
+        from stock_chart_kafka_streams_spark.functions.timeframes import (
+            FRAME_ORDER,
+        )
+        from stock_chart_kafka_streams_spark.operators.candles import (
+            rollup_candles,
+        )
+
+        self.flush()
+        if self._spark is None:
+            return
+        coarse = [
+            f
+            for f in FRAME_ORDER
+            if f != "MINUTE" and f in (frames or FRAME_ORDER)
+        ]
+        if not coarse:
+            return
+        minutes = self._spark.read.parquet(self.path).where(
+            F.col("time_frame") == "MINUTE"
+        )
+        for frame in coarse:
+            upsert_candles(self._spark, rollup_candles(minutes, frame), self.path)

@@ -121,6 +121,83 @@ def test_error_contract(base_url):
     _expect_status(f"{base_url}/api/charts/a/b/c", 404)
 
 
+def test_unbound_params_ignored_like_spring(store, base_url):
+    """minutes binds lazily, only on the branches that use it (ADVICE r7):
+    a garbage minutes param on /symbols or on a from/to range query is an
+    unbound param Spring would ignore, not a 400."""
+    status, got = _get(f"{base_url}/api/charts/symbols?minutes=abc")
+    assert status == 200 and len(got) > 0
+    sym = store.symbols().collect()[0]["symbol"]
+    status, got = _get(
+        f"{base_url}/api/charts/{sym}?from=2024-01-01T00:00:00"
+        f"&to=2026-01-01T00:00:00&frame=HOUR&minutes=abc"
+    )
+    assert status == 200 and len(got) > 0
+
+
+def test_oversized_result_is_400(store, base_url, monkeypatch):
+    """An unbounded range (?from=2020&to=2030) must not collect every
+    matching candle onto the driver: past MAX_RESULT_ROWS the request is
+    the 400 class (r7 verdict #3), and the handler materializes at most
+    cap+1 rows deciding that."""
+    import stock_chart_kafka_streams_spark.plans.http_api as http_api
+
+    monkeypatch.setattr(http_api, "MAX_RESULT_ROWS", 5)
+    sym = store.symbols().collect()[0]["symbol"]
+    body = _expect_status(
+        f"{base_url}/api/charts/{sym}?from=2020-01-01T00:00:00"
+        f"&to=2030-01-01T00:00:00",
+        400,
+    )
+    assert "narrow" in body["error"]
+    # under the real cap the same query serves fine
+    monkeypatch.setattr(http_api, "MAX_RESULT_ROWS", 10_000)
+    status, got = _get(
+        f"{base_url}/api/charts/{sym}?from=2020-01-01T00:00:00"
+        f"&to=2030-01-01T00:00:00"
+    )
+    assert status == 200 and len(got) > 5
+
+
+def test_store_failure_is_500_json(store, base_url, monkeypatch):
+    """Non-ValueError store failures (missing table, Py4J errors) must
+    surface as a JSON 500 body, not a dropped connection (ADVICE r7)."""
+
+    def _boom(*a, **k):
+        raise RuntimeError("serving table unavailable")
+
+    monkeypatch.setattr(store, "recent", _boom)
+    body = _expect_status(f"{base_url}/api/charts/recent/X", 500)
+    assert "RuntimeError" in body["error"]
+
+
+def test_iso_instant_localizes_naive_from_system_tz():
+    """collect() hands the handler NAIVE datetimes in the driver OS
+    timezone; _iso_instant must interpret them as such (ADVICE r7), so
+    the emitted instant is correct even on a non-UTC host."""
+    import datetime as dt
+    import os
+    import time as time_mod
+
+    from stock_chart_kafka_streams_spark.plans.http_api import _iso_instant
+
+    prev = os.environ.get("TZ")
+    try:
+        os.environ["TZ"] = "America/New_York"
+        time_mod.tzset()
+        # 2024-01-15 07:00 New York (EST, UTC-5) == 12:00Z
+        assert _iso_instant(dt.datetime(2024, 1, 15, 7, 0)) == "2024-01-15T12:00:00Z"
+        # aware values pass through unchanged
+        aware = dt.datetime(2024, 1, 15, 12, 0, tzinfo=dt.timezone.utc)
+        assert _iso_instant(aware) == "2024-01-15T12:00:00Z"
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        time_mod.tzset()
+
+
 def test_http_over_disk_serving_table(spark, tmp_path):
     """The deployment shape: CandleStore.from_path over a partitioned
     serving table written by the MERGE sink, fronted by the HTTP layer —

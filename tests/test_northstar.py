@@ -245,3 +245,104 @@ def test_text_features_ranges(docs):
     )
     assert bad.count() == 0
     assert feats.where(F.length("fingerprint") != 32).count() == 0
+
+
+# -- LSH bucket skew guard (round 8, r7 verdict #4) -----------------------
+
+
+def _mega_bucket_vectors(spark, n: int = 600):
+    """n IDENTICAL vectors: every one lands in the same SRP bucket in
+    every table — the degenerate dense-embedding-mode corpus that turns
+    the bucket-pair explode into a single-task bucket² explosion."""
+    from stock_chart_kafka_streams_spark.operators.similarity import EMBED_DIM
+
+    base = [0.3 + 0.01 * (i % 7) for i in range(EMBED_DIM)]
+    return spark.createDataFrame(
+        [(i, base) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+
+
+def test_bucket_cap_splits_mega_bucket(spark):
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        EMBED_DIM,
+        _apply_bucket_cap,
+        _as_double,
+        _srp_codes,
+    )
+
+    vecs = _mega_bucket_vectors(spark, 600)
+    v = vecs.select(F.col("vec_id"), _as_double("embedding").alias("v"))
+    codes = _srp_codes(v, "vec_id", n_bits=4, n_tables=2, dim=EMBED_DIM)
+    # sanity: without the guard, one bucket per table holds all 600 ids
+    assert codes.groupBy("t", "code").count().agg(F.max("count")).collect()[0][0] == 600
+    guarded, group_cols = _apply_bucket_cap(codes, 50)
+    assert group_cols == ["t", "code", "sub"]
+    sizes = [r["count"] for r in guarded.groupBy(*group_cols).count().collect()]
+    # ceil(600/50)=12 sub-buckets per table; md5 splitting is uneven but
+    # bounded — no sub-bucket (i.e. no task's pair-explode input) may be
+    # more than ~2x the cap
+    assert len(sizes) >= 12
+    assert max(sizes) <= 100
+
+
+def test_bucket_cap_noop_below_cap(embs):
+    """At default shapes (all buckets under the cap) the guard must be a
+    bit-exact no-op — this is what keeps the d5/s4 driver oracles valid
+    with the guard on by default."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_lsh,
+        knn_join,
+        planted_neardup_vectors,
+    )
+
+    aug = planted_neardup_vectors(embs)
+    with_cap = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_lsh(aug, threshold=0.99).collect()
+    }
+    no_cap = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_lsh(aug, threshold=0.99, bucket_cap=None).collect()
+    }
+    assert with_cap == no_cap and len(with_cap) > 0
+    k_cap = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in knn_join(embs, k=3).where(F.col("query_id") < 10).collect()
+    }
+    k_none = {
+        (r["query_id"], r["vec_id"], r["rank"])
+        for r in knn_join(embs, k=3, bucket_cap=None)
+        .where(F.col("query_id") < 10)
+        .collect()
+    }
+    assert k_cap == k_none and len(k_cap) > 0
+
+
+def test_bucket_cap_preserves_cluster_connectivity(spark):
+    """The documented recall trade: pair recall inside a split mega-bucket
+    drops, but CLUSTER recall survives transitivity — each sub-bucket's
+    pairs are complete and the per-table salts split differently, so
+    connected components still merges the whole mega-bucket into ONE
+    cluster (what d5 -> d7 dedup actually consumes)."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        connected_components,
+    )
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_lsh,
+    )
+
+    vecs = _mega_bucket_vectors(spark, 300)
+    pairs = embedding_neardup_lsh(
+        vecs, threshold=0.99, n_bits=4, n_tables=2, bucket_cap=50
+    )
+    n_pairs = pairs.count()
+    all_pairs = 300 * 299 // 2
+    assert 0 < n_pairs < all_pairs  # capped: strictly fewer than bucket²
+    cc = connected_components(
+        vecs.select("vec_id"), pairs, id_col="vec_id", max_iter=30
+    )
+    assert cc.select("cluster_id").distinct().count() == 1

@@ -144,3 +144,10 @@ def test_quality_approx_rejects_bad_fractions(spark):
         quality_quantile_filter_approx(docs, sample_num=3, sample_den=2)
     with _pytest.raises(ValueError):
         quality_quantile_filter_approx(docs, keep_den=0)
+    # degenerate keep fractions are rejected (ADVICE r7): keep-nothing and
+    # keep-everything do not survive threshold election, so the approx
+    # form refuses them instead of silently diverging from the exact form
+    with _pytest.raises(ValueError):
+        quality_quantile_filter_approx(docs, keep_num=0)
+    with _pytest.raises(ValueError):
+        quality_quantile_filter_approx(docs, keep_num=3, keep_den=2)

@@ -53,6 +53,31 @@ spark = (
 )
 
 
+def strata_windows_unsampled(df, strata_col: str = "lang") -> int:
+    """Count Window nodes partitioned by the corpus stratum key whose
+    input subtree has no md5 hash-sample filter — whole-stratum
+    single-task sorts (the r7 p9 finding). p7's exact form is the one
+    INTENDED hit (documented small-strata variant); anything else is a
+    regression. Same detector as tests/test_curation_pipeline.py."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    depth = lambda l: (m.start() if (m := re.search(r"[+:]-", l)) else -1)
+    n = 0
+    for i, line in enumerate(lines):
+        if f"windowspecdefinition({strata_col}#" not in line:
+            continue
+        d = depth(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            dn = depth(nxt)
+            if 0 <= dn <= d:
+                break
+            sub.append(nxt)
+        if not any("md5(" in s for s in sub):
+            n += 1
+    return n
+
+
 def audit(name: str, df) -> dict:
     try:
         plan = df._jdf.queryExecution().explainString(
@@ -77,6 +102,7 @@ def audit(name: str, df) -> dict:
         "scans": plan.count("Scan parquet"),
         "pushed": plan.count("PushedFilters: ["),
         "empty_pushed": plan.count("PushedFilters: []"),
+        "stratum_sorts": strata_windows_unsampled(df),
     }
 
 
@@ -89,7 +115,10 @@ for name, fn in {**e.queries(), **e.extra_queries()}.items():
     except Exception as ex:  # pragma: no cover - audit robustness
         rows.append({"query": name, "error": str(ex)[:80]})
 
-hdr = ["query", "exchanges", "bhj", "smj", "cartesian", "scans", "pushed", "empty_pushed"]
+hdr = [
+    "query", "exchanges", "bhj", "smj", "cartesian", "scans", "pushed",
+    "empty_pushed", "stratum_sorts",
+]
 print("\t".join(hdr))
 for r in rows:
     if "error" in r:
