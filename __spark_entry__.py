@@ -837,6 +837,16 @@ def _q_p9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(_docs(spark, sf_dir), threshold=0.4)
 
 
+def _q_p9x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p9 with ``quality_mode="exact"`` — the audit/small-strata variant
+    whose quality stage is the integer-exact whole-stratum window cut.
+    Oracled separately so BOTH pipeline modes are cross-engine pinned
+    (the approx default is p9_curation_pipeline)."""
+    from stock_chart_kafka_streams_spark.operators.pipeline import curation_pipeline
+
+    return curation_pipeline(_docs(spark, sf_dir), threshold=0.4, quality_mode="exact")
+
+
 _P3_FRACTIONS = {"en": 0.5, "fr": 1.0, "zh": 0.25}
 
 
@@ -1268,6 +1278,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_global_interleave": _q_p8,
         "t8_pii_scrub": _q_t8,
         "p9_curation_pipeline": _q_p9,
+        "p9_curation_exact": _q_p9x,
         "p7a_quality_approx": _q_p7a,
         "i3_rsi": _q_i3,
         "i4_drawdown": _q_i4,
@@ -1408,6 +1419,9 @@ FROM documents
             table=f"({_priv.with_synthetic_pii_sql('documents').strip()})"
         ),
         "p9_curation_pipeline": _pipeline.curation_pipeline_sql(threshold=0.4),
+        "p9_curation_exact": _pipeline.curation_pipeline_sql(
+            threshold=0.4, quality_mode="exact"
+        ),
         "p7a_quality_approx": _sampling.quality_quantile_filter_approx_sql(),
         "i3_rsi": _i3_sql(),
         "i4_drawdown": _i4_sql(),

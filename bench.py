@@ -283,19 +283,32 @@ def _tier2_queries(
     from stock_chart_kafka_streams_spark.operators.dedup import neardup_clusters
 
     d7_stats: dict[str, int] = {}
-    # single-run entries: drop the makers loop's garbage first so a GC
-    # pause inside the (untimed-elsewhere, inclusive-timed here) CC loop
-    # doesn't masquerade as operator cost — d7 varied 15-46 s across
-    # otherwise-identical round-7 runs before this.
-    spark.sparkContext._jvm.System.gc()
-    t0 = time.perf_counter()
-    _noop(
-        neardup_clusters(
-            docs.where(F.col("doc_id") < 2_000_000_000), stats=d7_stats
+    # Iterative entries run BEST-OF-2 since round 8: the variance probe
+    # (tools/variance_probe.py, PERF.md round 8) showed the r7 15-46 s
+    # spread lives in first-execution state (codegen compile, page
+    # cache, GC debt from whatever ran before) — the CC loop's own
+    # rounds are stable (~6 s + ~1 s every run) — so one warmup
+    # execution restores the steady-state estimator the best-of-3
+    # entries already use. Per-run walls are recorded alongside.
+    d7_runs = []
+    for _ in range(2):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _noop(
+            neardup_clusters(
+                docs.where(F.col("doc_id") < 2_000_000_000), stats=d7_stats
+            )
         )
-    )
-    timings["t2_d7_clusters_100k"] = round(time.perf_counter() - t0, 3)
-    extra = {"d7_cc_rounds": d7_stats.get("rounds", -1)}
+        d7_runs.append(round(time.perf_counter() - t0, 3))
+    timings["t2_d7_clusters_100k"] = min(d7_runs)
+    extra = {
+        "d7_cc_rounds": d7_stats.get("rounds", -1),
+        # per-round wall-clock (r8, variance diagnostic): uniform-slow
+        # rounds = environmental (GC/page cache); one slow round =
+        # shuffle/checkpoint churn
+        "d7_cc_round_secs": d7_stats.get("round_secs", []),
+        "d7_cc_runs_s": d7_runs,
+    }
 
     # CC convergence beyond quasi-cliques: the 100k-doc graph above is
     # clique-shaped (diameter 1 -> 2 rounds), which never exercises the
@@ -315,10 +328,15 @@ def _tier2_queries(
         .where(F.pmod(F.col("id"), chain_len) != chain_len - 1)
         .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
     )
-    t0 = time.perf_counter()
-    _noop(connected_components(nodes, edges, stats=chain_stats))
-    timings["t2_d7_chain_1m"] = round(time.perf_counter() - t0, 3)
+    chain_runs = []
+    for _ in range(2):  # best-of-2 (see d7 comment above)
+        t0 = time.perf_counter()
+        _noop(connected_components(nodes, edges, stats=chain_stats))
+        chain_runs.append(round(time.perf_counter() - t0, 3))
+    timings["t2_d7_chain_1m"] = min(chain_runs)
     extra["d7_chain_rounds"] = chain_stats.get("rounds", -1)
+    extra["d7_chain_round_secs"] = chain_stats.get("round_secs", [])
+    extra["d7_chain_runs_s"] = chain_runs
 
     # p9: the composed curation pipeline (approx quality filter -> MinHash-LSH
     # dedup -> winnow decontamination -> split -> pack) over the full
@@ -381,6 +399,7 @@ def main() -> None:
         timings[name] = _time_best(lambda: queries[name](spark, sf_dir), runs=3)
     total = round(sum(timings.values()), 3)
 
+    stream_extra: dict = {}
     # Streaming throughput (same numbers tools/bench_streaming.py prints,
     # folded into the driver-recorded JSON): 2M generated events drained
     # through the real stateful pipeline with trigger(availableNow) in 4
@@ -447,25 +466,78 @@ def main() -> None:
                 ),
             )
             write_replay_batches(tb, os.path.join(work, "in"))
-            stream = read_trades_json_stream(
-                spark, os.path.join(work, "in"), max_files_per_trigger=2
+
+            def _batch_ms(q) -> list[float]:
+                """Per-micro-batch triggerExecution wall-clock from the
+                query's progress log — the r8 variance diagnostic for
+                the replay entries (a slow RUN with uniform batches is
+                environmental; a slow BATCH is MERGE/listing churn)."""
+                out = []
+                for p in q.recentProgress:
+                    if isinstance(p, str):
+                        p = json.loads(p)
+                    out.append(float(p.get("durationMs", {}).get("triggerExecution", 0)))
+                return out
+
+            # Best-of-2 since round 8 (was single-run): the variance
+            # probe (tools/variance_probe.py, PERF.md round 8) attributed
+            # the r7 41-63 s spread to first-execution state — per-batch
+            # addBatch dominates uniformly and the first run carries the
+            # codegen/page-cache/GC debt — so one warmup execution
+            # restores the steady-state estimator. Per-run walls and the
+            # best run's per-batch triggerExecution ms are recorded.
+            from stock_chart_kafka_streams_spark.streaming.pipeline import (
+                start_candle_pipeline_batched,
             )
-            # single-run drain: clear spool-generation garbage before the
-            # timed window (same rationale as the d7 gc below).
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            q = start_candle_pipeline(
-                stream,
-                os.path.join(work, "serving"),
-                os.path.join(work, "ck"),
-                frames=["MINUTE", "HOUR"],
-                watermark_delay="0 seconds",
-                available_now=True,
-            )
-            q.awaitTermination()
-            timings["t2_stream_replay_full_1m"] = round(
-                time.perf_counter() - t0, 3
-            )
+
+            replay_runs, compact_runs = [], []
+            for r in range(2):
+                stream = read_trades_json_stream(
+                    spark, os.path.join(work, "in"), max_files_per_trigger=2
+                )
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                q = start_candle_pipeline(
+                    stream,
+                    os.path.join(work, f"serving{r}"),
+                    os.path.join(work, f"ck{r}"),
+                    frames=["MINUTE", "HOUR"],
+                    watermark_delay="0 seconds",
+                    available_now=True,
+                )
+                q.awaitTermination()
+                replay_runs.append(round(time.perf_counter() - t0, 3))
+                if replay_runs[-1] == min(replay_runs):
+                    stream_extra["replay_batch_ms"] = _batch_ms(q)
+
+                # Same replay through the BatchedCompactionSink (r8):
+                # append staging per batch, MERGE every 8, coarse frames
+                # at finalize — the high-throughput serving-sink option;
+                # finalize is inside the timed window so the entry covers
+                # the identical end state as the cascade entry above.
+                stream2 = read_trades_json_stream(
+                    spark, os.path.join(work, "in"), max_files_per_trigger=2
+                )
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                q2, sink2 = start_candle_pipeline_batched(
+                    stream2,
+                    os.path.join(work, f"serving_c{r}"),
+                    os.path.join(work, f"ck_c{r}"),
+                    frames=["MINUTE", "HOUR"],
+                    watermark_delay="0 seconds",
+                    available_now=True,
+                    merge_every=8,
+                )
+                q2.awaitTermination()
+                sink2.finalize(["MINUTE", "HOUR"])
+                compact_runs.append(round(time.perf_counter() - t0, 3))
+                if compact_runs[-1] == min(compact_runs):
+                    stream_extra["replay_compact_batch_ms"] = _batch_ms(q2)
+            timings["t2_stream_replay_full_1m"] = min(replay_runs)
+            timings["t2_stream_replay_compact_1m"] = min(compact_runs)
+            stream_extra["replay_runs_s"] = replay_runs
+            stream_extra["replay_compact_runs_s"] = compact_runs
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
@@ -490,6 +562,7 @@ def main() -> None:
         finally:
             shutil.rmtree(work, ignore_errors=True)
 
+    tier2_info.update(stream_extra)
     out = {
         "metric": "candle_c1_c7_total",
         "value": total,

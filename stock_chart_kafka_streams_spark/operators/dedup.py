@@ -35,6 +35,8 @@ cross-engine.
 
 from __future__ import annotations
 
+import time as _time
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -636,7 +638,9 @@ def connected_components(
             "and convergence undetectable"
         )
     rounds = 0
+    round_secs: list[float] = []
     for _ in range(max_iter):
+        _t0 = _time.perf_counter()
         rounds += 1
         nmin = (
             e.join(labels.withColumnRenamed("id", "src"), on="src")
@@ -655,6 +659,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        round_secs.append(round(_time.perf_counter() - _t0, 3))
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -671,6 +676,12 @@ def connected_components(
         )
     if stats is not None:
         stats["rounds"] = rounds
+        # per-round wall-clock (join + checkpoint + convergence agg): the
+        # variance diagnostic for the bench's iterative entries — a slow
+        # RUN with uniform rounds is environmental (GC/page cache); a
+        # slow ROUND inside an otherwise-fast run is shuffle/checkpoint
+        # churn (r7 verdict #4)
+        stats["round_secs"] = round_secs
     return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
 
 

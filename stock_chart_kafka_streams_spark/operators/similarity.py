@@ -677,12 +677,24 @@ def _apply_bucket_cap(
     complete, and overlapping memberships across tables' different splits
     connect the component). ``n_bits`` scaling remains the first-line
     answer (keep mean bucket O(1)); the cap is the guard for the skewed
-    tail n_bits cannot fix globally."""
+    tail n_bits cannot fix globally.
+
+    Plan shape: bucket sizes come from a WINDOW count over (t, code) —
+    NOT a groupBy+join back — so the codes subtree keeps exactly ONE
+    consumer and the (expensive, measured ~12 s at 200k×4×16) SRP fold
+    is computed once BY CONSTRUCTION, the same single-reference
+    discipline d5/s4 adopted in round 7 (a sizes join re-expanded the
+    fold per branch: 64 vs 32 zip_with nodes in the executed plan,
+    verified). Cost below the cap: one extra slim-row exchange + an
+    equal-key sort feeding the window. The window does buffer a
+    mega-bucket's slim rows in one task — an O(n) spill-able sort of
+    (id, t, code) triples, survivable where the bucket² pair explosion
+    it prevents is not."""
     if bucket_cap is None:
         return codes, ["t", "code"]
     if bucket_cap <= 0:
         raise ValueError("bucket_cap must be positive (or None to disable)")
-    sizes = codes.groupBy("t", "code").agg(F.count("*").alias("__bsz"))
+    w = Window.partitionBy("t", "code")
     sub_hash = F.conv(
         F.substring(
             F.md5(
@@ -700,7 +712,7 @@ def _apply_bucket_cap(
         10,
     ).cast("long")
     guarded = (
-        codes.join(sizes, on=["t", "code"])
+        codes.withColumn("__bsz", F.count("*").over(w))
         .withColumn(
             "__nsub",
             F.ceil(F.col("__bsz") / F.lit(int(bucket_cap))).cast("long"),

@@ -88,6 +88,7 @@ def _canon(rows, cols):
         "p8_global_interleave",
         "t8_pii_scrub",
         "p9_curation_pipeline",
+        "p9_curation_exact",
         "p7a_quality_approx",
         "i3_rsi",
         "i4_drawdown",
