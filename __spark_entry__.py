@@ -1105,6 +1105,36 @@ def _q_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_p4b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 13-token-n-gram collision decontamination (the GPT-3/PaLM
+    published rule) against the same held-out fixture p4 uses (the
+    ``doc_id % 97`` slice) — complementary to p4's fuzzy winnow overlap."""
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.text import (
+        ngram_collision_decontaminate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return ngram_collision_decontaminate(
+        docs, docs.where((_F.col("doc_id") % 97) == 0)
+    )
+
+
+def _q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup-style cluster-then-prune): k-means cluster
+    the planted near-dup corpus, enumerate pairs only within clusters,
+    keep the lower-centroid-cosine member of each near-dup pair. The
+    DuckDB twin replays the full deterministic k-means (shared CTE chain
+    with s3) plus the removal rule."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        planted_neardup_vectors,
+        semantic_dedup,
+    )
+
+    return semantic_dedup(planted_neardup_vectors(_embs(spark, sf_dir)), threshold=0.99)
+
+
 def _q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as _F
 
@@ -1279,6 +1309,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_pii_scrub": _q_t8,
         "p9_curation_pipeline": _q_p9,
         "p9_curation_exact": _q_p9x,
+        "d8_semantic_dedup": _q_d8,
+        "p4b_ngram_collision": _q_p4b,
         "p7a_quality_approx": _q_p7a,
         "i3_rsi": _q_i3,
         "i4_drawdown": _q_i4,
@@ -1422,6 +1454,12 @@ FROM documents
         "p9_curation_exact": _pipeline.curation_pipeline_sql(
             threshold=0.4, quality_mode="exact"
         ),
+        "d8_semantic_dedup": _sim.semantic_dedup_sql(
+            threshold=0.99,
+            source_cte=_sim.PLANTED_NEARDUP_CTE,
+            source_name="aug",
+        ),
+        "p4b_ngram_collision": _tx.ngram_collision_decontaminate_sql(),
         "p7a_quality_approx": _sampling.quality_quantile_filter_approx_sql(),
         "i3_rsi": _i3_sql(),
         "i4_drawdown": _i4_sql(),

@@ -451,39 +451,33 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def ivf_topk_sql(
-    table: str = "embeddings",
-    k: int = 10,
-    n_centroids: int = 8,
-    n_probe: int = 2,
-    iterations: int = 2,
-    query_pred: str = "vec_id < 5",
-    dim: int = EMBED_DIM,
-) -> str:
-    """DuckDB twin of ``ivf_topk``: replays the ENTIRE deterministic
-    k-means (md5-ordered seeding, fixed Lloyd iterations with
-    quantized-BIGINT averaging), the probe and the exact re-rank as one
-    chained-CTE statement. Every double computed along the way is the
-    bit-identical IEEE expression Spark evaluates (same dot order, same
-    quantized sums, same division order), so assignments, candidate sets
-    and final cosines agree exactly — no centroid literals need to be
-    smuggled in from a Spark run."""
+def _cos_sql(a: str, b: str, dim: int = EMBED_DIM) -> str:
+    """DuckDB cosine between two DOUBLE[] expressions — the bit-identical
+    IEEE expression the Spark side evaluates (same dot order via
+    ``list_sum``'s left fold, same division order)."""
     dot = "list_sum(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]))".format
+    d_ab = dot(n=dim + 1, a=a, b=b)
+    d_aa = dot(n=dim + 1, a=a, b=a)
+    d_bb = dot(n=dim + 1, a=b, b=b)
+    return f"{d_ab} / (sqrt({d_aa}) * sqrt({d_bb}))"
 
-    def cos_sql(a: str, b: str) -> str:
-        d_ab = dot(n=dim + 1, a=a, b=b)
-        d_aa = dot(n=dim + 1, a=a, b=a)
-        d_bb = dot(n=dim + 1, a=b, b=b)
-        return f"{d_ab} / (sqrt({d_aa}) * sqrt({d_bb}))"
 
+def _kmeans_ctes(
+    n_centroids: int, iterations: int, dim: int, source: str = "e"
+) -> tuple[list[str], str]:
+    """CTE chain replaying ``ivf_build_centroids`` EXACTLY (md5-ordered
+    seeding, fixed Lloyd rounds, quantized-BIGINT averaging) against a
+    CTE ``source`` exposing (vec_id, v DOUBLE[]). Returns (ctes,
+    final_centroid_cte_name). Shared by the s3 (``ivf_topk_sql``) and d8
+    (``semantic_dedup_sql``) twins — one determinism argument, two
+    consumers."""
     quant = int(_IVF_QUANT)
     ctes = [
-        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table})",
         f"""seeds AS (
     SELECT CAST(rn - 1 AS INT) AS cid, v AS cv FROM (
         SELECT v, row_number() OVER (
             ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
-        FROM e
+        FROM {source}
     ) WHERE rn <= {n_centroids}
 )""",
     ]
@@ -495,9 +489,9 @@ def ivf_topk_sql(
         SELECT e.vec_id, e.v, s.cid,
                row_number() OVER (
                    PARTITION BY e.vec_id
-                   ORDER BY {cos_sql('e.v', 's.cv')} DESC, s.cid
+                   ORDER BY {_cos_sql('e.v', 's.cv', dim)} DESC, s.cid
                ) AS rk
-        FROM e CROSS JOIN {prev} s
+        FROM {source} e CROSS JOIN {prev} s
     ) WHERE rk = 1
 )"""
         )
@@ -516,6 +510,33 @@ def ivf_topk_sql(
 )"""
         )
         prev = f"cent{it}"
+    return ctes, prev
+
+
+def ivf_topk_sql(
+    table: str = "embeddings",
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    iterations: int = 2,
+    query_pred: str = "vec_id < 5",
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of ``ivf_topk``: replays the ENTIRE deterministic
+    k-means (md5-ordered seeding, fixed Lloyd iterations with
+    quantized-BIGINT averaging), the probe and the exact re-rank as one
+    chained-CTE statement. Every double computed along the way is the
+    bit-identical IEEE expression Spark evaluates (same dot order, same
+    quantized sums, same division order), so assignments, candidate sets
+    and final cosines agree exactly — no centroid literals need to be
+    smuggled in from a Spark run."""
+
+    def cos_sql(a: str, b: str) -> str:
+        return _cos_sql(a, b, dim)
+
+    kmeans, prev = _kmeans_ctes(n_centroids, iterations, dim)
+    ctes = [f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table})"]
+    ctes.extend(kmeans)
     ctes.append(
         f"""assign_final AS (
     SELECT vec_id, v, cid FROM (
@@ -1000,4 +1021,221 @@ ranked AS (
 )
 SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (cluster-then-dedup, SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    n_centroids: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+    cluster_cap: int | None = 4096,
+) -> DataFrame:
+    """Semantic (embedding-space) dedup by cluster-then-prune — the
+    SemDeDup recipe (Abbas et al., arXiv:2303.09540): k-means-cluster the
+    embeddings, enumerate pairs ONLY within a cluster, and among each
+    near-duplicate pair (cosine >= ``threshold``) keep the member with
+    the LOWER cosine to its centroid (the paper's keep-low-centroid-sim
+    rule: survivors are the cluster's "edge" representatives, which
+    preserves diversity); ties break to the lower id. Returns the
+    survivors as (id, cid, cent_cos).
+
+    Removal semantics (deterministic, pairwise): a vector is removed iff
+    SOME same-cluster neighbor with cosine >= threshold precedes it under
+    the (cent_cos, id) order. The minimum-priority member of every
+    duplicate neighborhood survives, so no group is emptied. This is the
+    standard pairwise simplification of the paper's per-group rule and is
+    exactly replayable in SQL (``semantic_dedup_sql``).
+
+    Scale shape — each stage is the repo's already-audited pattern:
+    (1) centroids come from ``ivf_build_centroids`` (only
+    centroid-sized aggregates reach the driver, s3); (2) assignment is a
+    PURE MAP-SIDE projection — the k centroids are embedded as constant
+    array literals and the argmax is greatest() + first-match CASE over
+    per-centroid cosine columns, so the corpus is never shuffled,
+    crossJoined, or windowed to get its cluster ids (and re-references
+    of the assignment branch recompute a scan expression, not a
+    shuffle — the p9 lesson);
+    (3) within-cluster pair enumeration reuses d5's ONE-groupBy bucket
+    explode over slim (id, cid) rows with the ``_apply_bucket_cap`` skew
+    guard (``cluster_cap``), vectors fetched back by id for the exact
+    cosine verify. Work is sigma cluster-size-squared, never corpus-squared;
+    at real scale ``n_centroids`` grows with the corpus (the paper runs
+    ~50k clusters) to keep mean cluster size O(1), and ``cluster_cap``
+    bounds the skewed tail. Ties on (cent_cos) across engines are safe
+    because both sides compute the identical IEEE double (see
+    ``ivf_topk_sql``'s determinism argument; zero vectors excluded by
+    the no-NaN precondition documented there)."""
+    spark = vectors.sparkSession
+    centroids = ivf_build_centroids(
+        vectors, n_centroids, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "nv", _norm(F.col("v"))
+    )
+    # map-side argmax assignment: one per-centroid cosine COLUMN via the
+    # HOF FOLD dot (``_dot``), then greatest() + a first-match CASE
+    # picking the highest cosine with ties to the LOWEST cid (same order
+    # as the twin's row_number ORDER BY cos DESC, cid ASC). The fold is
+    # deliberate: n_centroids x dim unrolled multiply-add terms in one
+    # fused projection blew janino's 64 KB method limit and silently
+    # fell back to interpreted execution for the WHOLE stage (verified
+    # here at 8x64; the same failure class _srp_code_fold documents), so
+    # this is the s2 trade — a small interpreted fold per centroid
+    # whose float order is bit-identical to the unrolled chain and to
+    # DuckDB's list_sum. Centroid norms are precomputed driver-side:
+    # Python's left-to-right float sum + correctly-rounded sqrt is the
+    # same IEEE double either engine computes.
+    import math
+
+    cd_cols = []
+    for j, cvals in enumerate(centroids):
+        cv = F.array(*[F.lit(float(x)) for x in cvals])
+        acc = 0.0
+        for x in cvals:
+            acc += float(x) * float(x)
+        ncv = F.lit(math.sqrt(acc))
+        cd_cols.append((_dot(F.col("v"), cv) / (F.col("nv") * ncv)).alias(f"__cd{j}"))
+    scored = v.select(F.col(id_col), "v", "nv", *cd_cols)
+    refs = [F.col(f"__cd{j}") for j in range(len(centroids))]
+    best = refs[0] if len(refs) == 1 else F.greatest(*refs)
+    cid_expr = None
+    for j in range(len(centroids)):
+        cond = refs[j] == best
+        cid_expr = (
+            F.when(cond, F.lit(j))
+            if cid_expr is None
+            else cid_expr.when(cond, F.lit(j))
+        )
+    assigned = scored.select(
+        F.col(id_col),
+        "v",
+        "nv",
+        cid_expr.cast("int").alias("cid"),
+        best.alias("cent_cos"),
+    )
+    # Materialize the assignment ONCE: it has four consumers (pair codes,
+    # both fetch-back sides, the final anti-join), and Catalyst re-expands
+    # shared stages per reference (the p9 lesson) — without the boundary
+    # each consumer re-evaluates every per-centroid fold AND the fused
+    # verify stage inherits the whole assignment tree, which pushed its
+    # generated processNext() past janino's 64 KB limit. At cluster scale
+    # this boundary is the assignment table a real SemDeDup run writes
+    # anyway (cluster ids are a reused artifact).
+    assigned = assigned.localCheckpoint(eager=True)
+    codes = assigned.select(
+        F.col(id_col).alias("id"), F.lit(0).alias("t"), F.col("cid").alias("code")
+    )
+    codes, group_cols = _apply_bucket_cap(codes, cluster_cap)
+    # ordered pairs within a cluster (sub-bucket when the cap triggers):
+    # pairs are unique by construction (single t, disjoint sub-buckets),
+    # so no dedup shuffle is needed before the fetch-back joins
+    cands = (
+        codes.groupBy(*group_cols)
+        .agg(F.collect_list("id").alias("ids"))
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    side_a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+        F.col("cent_cos").alias("ca"),
+    )
+    side_b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+        F.col("cent_cos").alias("cb"),
+    )
+    dup_pairs = (
+        cands.join(side_a, on="id_a")
+        .join(side_b, on="id_b")
+        .withColumn(
+            "cos",
+            _dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")),
+        )
+        .where(F.col("cos") >= F.lit(float(threshold)))
+    )
+    removed = dup_pairs.select(
+        F.when(
+            (F.col("cb") < F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("id_b") < F.col("id_a"))),
+            F.col("id_a"),
+        )
+        .otherwise(F.col("id_b"))
+        .alias(id_col)
+    ).distinct()
+    return assigned.join(removed, on=id_col, how="left_anti").select(
+        F.col(id_col), F.col("cid"), F.col("cent_cos")
+    )
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.99,
+    n_centroids: int = 8,
+    iterations: int = 2,
+    dim: int = EMBED_DIM,
+    source_cte: str | None = None,
+    source_name: str = "e",
+) -> str:
+    """DuckDB twin of ``semantic_dedup``: replays the deterministic
+    k-means via ``_kmeans_ctes`` (shared with the s3 twin), the argmax
+    assignment (row_number ORDER BY cos DESC, cid ASC == Spark's
+    greatest + first-match CASE), the within-cluster pair filter and the
+    keep-low-centroid-sim removal rule. ``source_cte``/``source_name``
+    inject the input fixture (the driver uses the planted near-dup
+    corpus, PLANTED_NEARDUP_CTE's ``aug``); default is the raw
+    embeddings table."""
+    if source_cte is None:
+        source_cte = f"{source_name} AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    kmeans, prev = _kmeans_ctes(n_centroids, iterations, dim, source=source_name)
+    ctes = [source_cte.strip()]
+    ctes.extend(kmeans)
+    ctes.append(
+        f"""af AS (
+    SELECT vec_id, v, cid, cent_cos FROM (
+        SELECT e.vec_id, e.v, s.cid,
+               {_cos_sql('e.v', 's.cv', dim)} AS cent_cos,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.v', 's.cv', dim)} DESC, s.cid
+               ) AS rk
+        FROM {source_name} e CROSS JOIN {prev} s
+    ) WHERE rk = 1
+)"""
+    )
+    ctes.append(
+        f"""dup_pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           a.cent_cos AS ca, b.cent_cos AS cb
+    FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.v', 'b.v', dim)} >= {threshold}
+)"""
+    )
+    ctes.append(
+        """removed AS (
+    SELECT DISTINCT CASE
+        WHEN cb < ca OR (cb = ca AND id_b < id_a) THEN id_a
+        ELSE id_b
+    END AS vec_id
+    FROM dup_pairs
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT af.vec_id, af.cid, af.cent_cos
+FROM af
+WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.vec_id = af.vec_id)
 """

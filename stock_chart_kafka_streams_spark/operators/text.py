@@ -811,3 +811,116 @@ SELECT source,
 FROM feats
 GROUP BY source
 """
+
+
+NGRAM_COLLISION_N = 13
+
+
+def ngram_collision_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = NGRAM_COLLISION_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-n-gram collision decontamination — the published
+    alternative to the winnowing-overlap form (``decontaminate``): a
+    training document is contaminated when it shares AT LEAST ONE exact
+    ``n``-token n-gram with the held-out benchmark (the 13-gram rule used
+    for GPT-3/PaLM-style training-set decontamination; the winnow form
+    scores fuzzy substring overlap instead, and a real pipeline runs
+    both). Documents shorter than ``n`` tokens have no n-grams and are
+    never flagged.
+
+    Returns every corpus id with ``n_collisions`` (count of DISTINCT
+    colliding n-grams) and a ``contaminated`` flag.
+
+    Scale posture (same as p4): n-grams come from one map-side pass over
+    each side — tokenize once, hash each n-token window to a 48-bit
+    md5-prefix key (md5 of the space-joined window; 48 bits keeps
+    cross-engine conv() exact while making accidental hash collisions
+    negligible at benchmark-set cardinality — the colliding SIDE is the
+    benchmark's distinct gram set, which is tiny and BROADCASTS; the
+    corpus is never shuffled by gram). One aggregation keyed by doc id
+    produces the counts. The gram window slide is a ``transform`` over a
+    precomputed token array — staged behind an alias boundary so
+    tokenization runs once per document, not once per gram (the winnow
+    staging lesson, text.py round 7)."""
+    toks = tokens(text_col)
+
+    def grams(df: DataFrame) -> DataFrame:
+        staged = df.select(F.col(id_col), toks.alias("__tk"))
+        tk = F.col("__tk")
+        m = F.size(tk) - (int(n) - 1)
+        hashed = staged.select(
+            F.col(id_col),
+            F.when(
+                m >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+                    lambda i: F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(" ", F.slice(tk, i, int(n)))), 1, 12
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                ),
+            )
+            .otherwise(F.array().cast("array<long>"))
+            .alias("__gr"),
+        )
+        return hashed.select(
+            F.col(id_col), F.explode(F.array_distinct("__gr")).alias("g")
+        )
+
+    doc_grams = grams(docs)
+    bench_grams = grams(benchmark).select("g").distinct()
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), on="g", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_collisions"))
+    )
+    ids = docs.select(id_col)
+    return ids.join(hits, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_collisions"), F.lit(0).cast("long")).alias("n_collisions"),
+        (F.coalesce(F.col("n_collisions"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def ngram_collision_decontaminate_sql(
+    table: str = "documents",
+    bench_pred: str = "doc_id % 97 = 0",
+    n: int = NGRAM_COLLISION_N,
+    col: str = "text",
+) -> str:
+    """DuckDB twin of ``ngram_collision_decontaminate`` for a benchmark
+    that is a predicate-selected subset of the corpus (the driver
+    fixture). Same tokenization (lowercased alphanumeric runs), same
+    48-bit md5-prefix gram keys."""
+    toks = (
+        f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+    )
+    return f"""
+WITH tk AS (
+    SELECT doc_id, {toks} AS tk FROM {table}
+),
+doc_grams AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(tk) - {int(n) - 1}, 0) + 1),
+               i -> ('0x' || substr(md5(array_to_string(tk[i:i + {int(n) - 1}], ' ')), 1, 12))::BIGINT
+           )) AS g
+    FROM tk
+),
+bench AS (SELECT DISTINCT g FROM doc_grams WHERE {bench_pred}),
+hits AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_collisions
+    FROM doc_grams JOIN bench USING (g) GROUP BY 1
+)
+SELECT t.doc_id,
+       COALESCE(h.n_collisions, 0) AS n_collisions,
+       COALESCE(h.n_collisions, 0) > 0 AS contaminated
+FROM tk t LEFT JOIN hits h USING (doc_id)
+"""

@@ -89,6 +89,8 @@ def _canon(rows, cols):
         "t8_pii_scrub",
         "p9_curation_pipeline",
         "p9_curation_exact",
+        "d8_semantic_dedup",
+        "p4b_ngram_collision",
         "p7a_quality_approx",
         "i3_rsi",
         "i4_drawdown",

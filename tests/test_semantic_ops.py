@@ -1,0 +1,145 @@
+"""Property tests for the round-8 curation additions: d8 semantic dedup
+(SemDeDup-style cluster-then-prune) and p4b exact n-gram collision
+decontamination. Cross-engine value equality for both is pinned by the
+extras oracle in test_new_queries.py; these tests pin the SEMANTIC
+claims (pair resolution, keep rule, no-op cap, short-doc behavior)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        planted_neardup_vectors,
+    )
+
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    return planted_neardup_vectors(embs).localCheckpoint(eager=True)
+
+
+def test_semantic_dedup_resolves_every_planted_pair(spark, planted):
+    """Each planted (id, id+1M) near-dup pair loses EXACTLY one member —
+    SemDeDup's point — and non-duplicated vectors all survive."""
+    from stock_chart_kafka_streams_spark.operators.similarity import semantic_dedup
+
+    survivors = {
+        r["vec_id"] for r in semantic_dedup(planted, threshold=0.99).collect()
+    }
+    base_ids = {
+        r["vec_id"]
+        for r in planted.where(F.col("vec_id") < 1_000_000).collect()
+    }
+    planted_ids = {
+        r["vec_id"] - 1_000_000
+        for r in planted.where(F.col("vec_id") >= 1_000_000).collect()
+    }
+    assert planted_ids, "fixture must plant duplicates"
+    for pid in planted_ids:
+        kept = {pid, pid + 1_000_000} & survivors
+        assert len(kept) == 1, f"pair {pid} kept {kept}"
+    # vectors with no planted twin survive untouched (random corpus
+    # vectors do not reach cosine 0.99 with each other)
+    assert base_ids - planted_ids <= survivors
+
+
+def test_semantic_dedup_keeps_lower_centroid_cosine_member(spark, planted):
+    """The survivor of each pair is the member with the LOWER cosine to
+    its centroid (ties to lower id) — the paper's diversity-preserving
+    keep rule, asserted from the operator's own cent_cos output."""
+    from stock_chart_kafka_streams_spark.operators.similarity import semantic_dedup
+
+    rows = semantic_dedup(planted, threshold=0.99).collect()
+    cent = {r["vec_id"]: r["cent_cos"] for r in rows}
+    survivors = set(cent)
+    planted_ids = {
+        r["vec_id"] - 1_000_000
+        for r in planted.where(F.col("vec_id") >= 1_000_000).collect()
+    }
+    # survivors' cent_cos is only emitted for survivors; recompute the
+    # loser's from a cap=None run over the pair membership instead:
+    # sufficient here to check the SURVIVING member is not the planted
+    # copy AND the original at the same time (exactly one survives, by
+    # the other test) — verify the rule on pairs where both cent_cos
+    # values are recoverable from two runs with disjoint thresholds.
+    # Simplest faithful check: rerun with threshold > 1 (no pair ever
+    # matches) to get every vector's cent_cos, then compare.
+    all_cent = {
+        r["vec_id"]: r["cent_cos"]
+        for r in semantic_dedup(planted, threshold=1.5).collect()
+    }
+    for pid in planted_ids:
+        a, b = pid, pid + 1_000_000
+        ca, cb = all_cent[a], all_cent[b]
+        expected_survivor = a if (ca, a) < (cb, b) else b
+        assert expected_survivor in survivors
+        assert ({a, b} - {expected_survivor}).isdisjoint(survivors)
+
+
+def test_semantic_dedup_cap_is_noop_below_threshold(spark, planted):
+    """cluster_cap=None and the (large) default produce identical
+    survivor sets when no cluster exceeds the cap — the same bit-exact
+    no-op contract _apply_bucket_cap gives d5/s4."""
+    from stock_chart_kafka_streams_spark.operators.similarity import semantic_dedup
+
+    with_cap = sorted(
+        (r["vec_id"], r["cid"]) for r in semantic_dedup(planted).collect()
+    )
+    no_cap = sorted(
+        (r["vec_id"], r["cid"])
+        for r in semantic_dedup(planted, cluster_cap=None).collect()
+    )
+    assert with_cap == no_cap
+
+
+def test_ngram_collision_flags_benchmark_and_exact_copies(spark):
+    """Every benchmark member long enough to have an n-gram is flagged
+    (it collides with itself); an exact copy of a benchmark doc under a
+    new id is flagged; an unrelated doc is not."""
+    from stock_chart_kafka_streams_spark.operators.text import (
+        ngram_collision_decontaminate,
+    )
+
+    bench_text = " ".join(f"tok{i}" for i in range(20))
+    other_text = " ".join(f"alt{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, bench_text),
+            (2, bench_text),  # exact copy of the benchmark doc
+            (3, other_text),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 1)
+    out = {
+        r["doc_id"]: (r["n_collisions"], r["contaminated"])
+        for r in ngram_collision_decontaminate(docs, bench, n=13).collect()
+    }
+    assert out[1][1] and out[2][1]
+    assert out[1][0] == out[2][0] == 20 - 13 + 1
+    assert out[3] == (0, False)
+
+
+def test_ngram_collision_short_docs_never_flagged(spark):
+    """Documents shorter than n tokens have no n-grams: zero collisions
+    even when their full text appears inside a benchmark document."""
+    from stock_chart_kafka_streams_spark.operators.text import (
+        ngram_collision_decontaminate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "alpha beta gamma " + " ".join(f"w{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in ngram_collision_decontaminate(docs, bench, n=13).collect()
+    }
+    assert out[1] is False  # 3 tokens < n: no gram, never flagged
+    assert out[2] is True  # its 13-grams appear verbatim in the benchmark
