@@ -165,7 +165,10 @@ def _tier2_queries(
     )
     from stock_chart_kafka_streams_spark.operators.dedup import dedup_minhash
     from stock_chart_kafka_streams_spark.operators.joins import asof_join
-    from stock_chart_kafka_streams_spark.operators.text import training_set_selection
+    from stock_chart_kafka_streams_spark.operators.text import (
+        ngram_collision_decontaminate,
+        training_set_selection,
+    )
     from stock_chart_kafka_streams_spark.operators.similarity import (
         embedding_neardup_lsh,
         knn_join,
@@ -252,6 +255,14 @@ def _tier2_queries(
         # and the candidate set (and its two vector fetch-back joins)
         # 16× larger, measured 118 s vs ~20 s.
         "t2_s4_knn_200k": lambda: knn_join(embs, k=10, n_bits=16),
+        # p4b exact n-gram collision decontamination over the 500k
+        # corpus vs a ~50-doc benchmark slice: two map-side gram scans +
+        # a broadcast semi-join — wall-clock is the tokenize+md5 scan,
+        # the corpus never shuffles by gram. (The 100 exact replicas of
+        # each benchmark doc all collide, so the flag actually fires.)
+        "t2_p4b_ngram_decontam_100x": lambda: ngram_collision_decontaminate(
+            docs, docs.where(F.pmod(F.col("doc_id"), 9973) == 0)
+        ),
         # d2 at 1M docs (2× the 100-replica corpus, distinct ids): keeps
         # the dedup headline honest as the band-hash shuffle shrinks —
         # per-doc cost must stay flat as the corpus doubles.
@@ -370,6 +381,31 @@ def _tier2_queries(
         curation_pipeline(docs, threshold=0.9, bench_mod=9973, persist_stages=True)
     )
     timings["t2_p9_curation_persist_100x"] = round(time.perf_counter() - t0, 3)
+
+    # d8 semantic dedup at 50k vectors (the d5 slice), 256 clusters,
+    # centroid training on the 1/10 hash-sample — the scale shape: the
+    # Lloyd rounds crossJoin ONLY the sample (full-corpus training
+    # measured 149 s vs 64 s end-to-end at this size), assignment is the
+    # map-side fold argmax, pairs enumerate within clusters (~n x
+    # mean-cluster candidates). Timed inclusively (the centroid build
+    # and assignment checkpoint run jobs inside the call); single-run —
+    # its dominant stages (fold scan + pair verify join) are the same
+    # cost classes s2/s4 already pin with best-of entries.
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    _noop(
+        semantic_dedup(
+            embs.where(F.col("vec_id") < 2_500_000_000),
+            threshold=0.99,
+            n_centroids=256,
+            sample_den=10,
+        )
+    )
+    timings["t2_d8_semdedup_50k"] = round(time.perf_counter() - t0, 3)
     return timings, extra
 
 

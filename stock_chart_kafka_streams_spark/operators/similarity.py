@@ -1038,6 +1038,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
     cluster_cap: int | None = 4096,
+    sample_num: int = 1,
+    sample_den: int = 1,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup by cluster-then-prune — the
     SemDeDup recipe (Abbas et al., arXiv:2303.09540): k-means-cluster the
@@ -1057,10 +1059,19 @@ def semantic_dedup(
 
     Scale shape — each stage is the repo's already-audited pattern:
     (1) centroids come from ``ivf_build_centroids`` (only
-    centroid-sized aggregates reach the driver, s3); (2) assignment is a
+    centroid-sized aggregates reach the driver, s3) — trained on a
+    deterministic md5 hash-SAMPLE of the corpus when
+    ``sample_num/sample_den`` < 1, because the Lloyd rounds crossJoin
+    the training set against every centroid and window-shuffle the
+    full vector payloads: at corpus scale that is the dominant cost
+    and sampled centroid training is the published practice (measured
+    here: 50k vectors x 256 centroids, end-to-end 149 s with
+    full-corpus training -> 64 s with the 1/10 hash-sample, survivor
+    set identical at the benched shape); the oracle fixture keeps 1/1
+    so the twin's CTE chain is unchanged; (2) assignment is a
     PURE MAP-SIDE projection — the k centroids are embedded as constant
-    array literals and the argmax is greatest() + first-match CASE over
-    per-centroid cosine columns, so the corpus is never shuffled,
+    array literals and the argmax is a linear array_max/array_position
+    over per-centroid cosine columns, so the corpus is never shuffled,
     crossJoined, or windowed to get its cluster ids (and re-references
     of the assignment branch recompute a scan expression, not a
     shuffle — the p9 lesson);
@@ -1074,27 +1085,45 @@ def semantic_dedup(
     because both sides compute the identical IEEE double (see
     ``ivf_topk_sql``'s determinism argument; zero vectors excluded by
     the no-NaN precondition documented there)."""
-    spark = vectors.sparkSession
+    if sample_num < 1 or sample_den < 1 or sample_num > sample_den:
+        raise ValueError("sample fraction must satisfy 1 <= sample_num <= sample_den")
+    train = vectors
+    if sample_den > 1:
+        # deterministic md5 membership (the p2/p7a discipline — never
+        # Spark's seed-dependent sample()): both engines hash the same
+        # id string, so the twin trains on the identical subset
+        train = vectors.where(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+                ).cast("long"),
+                F.lit(int(sample_den)),
+            )
+            < F.lit(int(sample_num))
+        )
     centroids = ivf_build_centroids(
-        vectors, n_centroids, iterations=iterations,
+        train, n_centroids, iterations=iterations,
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
     v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
         "nv", _norm(F.col("v"))
     )
     # map-side argmax assignment: one per-centroid cosine COLUMN via the
-    # HOF FOLD dot (``_dot``), then greatest() + a first-match CASE
-    # picking the highest cosine with ties to the LOWEST cid (same order
-    # as the twin's row_number ORDER BY cos DESC, cid ASC). The fold is
-    # deliberate: n_centroids x dim unrolled multiply-add terms in one
-    # fused projection blew janino's 64 KB method limit and silently
-    # fell back to interpreted execution for the WHOLE stage (verified
-    # here at 8x64; the same failure class _srp_code_fold documents), so
-    # this is the s2 trade — a small interpreted fold per centroid
-    # whose float order is bit-identical to the unrolled chain and to
-    # DuckDB's list_sum. Centroid norms are precomputed driver-side:
-    # Python's left-to-right float sum + correctly-rounded sqrt is the
-    # same IEEE double either engine computes.
+    # HOF FOLD dot (``_dot``), then a linear array argmax (below). The
+    # fold is deliberate: n_centroids x dim unrolled multiply-add terms
+    # in one fused projection blew janino's 64 KB method limit and
+    # silently fell back to interpreted execution for the WHOLE stage
+    # (verified here at 8x64; the same failure class _srp_code_fold
+    # documents), so this is the s2 trade — a small interpreted fold per
+    # centroid whose float order is bit-identical to the unrolled chain
+    # and to DuckDB's list_sum. Centroid norms are precomputed
+    # driver-side: Python's left-to-right float sum + correctly-rounded
+    # sqrt is the same IEEE double either engine computes. This stage is
+    # scan-shaped (perfectly parallel, no shuffle); where oracle
+    # exactness is not needed, the drop-in upgrade is an Arrow-batched
+    # pandas UDF doing one numpy matmul (batch x dim) @ (dim x k) per
+    # batch — faster, but numpy's pairwise/SIMD summation order breaks
+    # the bit-exact cross-engine contract, so this repo keeps the fold.
     import math
 
     cd_cols = []
@@ -1106,21 +1135,19 @@ def semantic_dedup(
         ncv = F.lit(math.sqrt(acc))
         cd_cols.append((_dot(F.col("v"), cv) / (F.col("nv") * ncv)).alias(f"__cd{j}"))
     scored = v.select(F.col(id_col), "v", "nv", *cd_cols)
-    refs = [F.col(f"__cd{j}") for j in range(len(centroids))]
-    best = refs[0] if len(refs) == 1 else F.greatest(*refs)
-    cid_expr = None
-    for j in range(len(centroids)):
-        cond = refs[j] == best
-        cid_expr = (
-            F.when(cond, F.lit(j))
-            if cid_expr is None
-            else cid_expr.when(cond, F.lit(j))
-        )
+    # argmax over the cosine columns stays LINEAR in n_centroids:
+    # array_max picks the best cosine and array_position finds its FIRST
+    # index (ties to the lowest cid, matching the twin's row_number
+    # ORDER BY cos DESC, cid ASC). A greatest()+CASE chain would embed
+    # greatest(n) once per branch — O(n_centroids²) codegen that cannot
+    # survive the paper-scale configurations (hundreds of clusters).
+    arr = F.array(*[F.col(f"__cd{j}") for j in range(len(centroids))])
+    best = F.array_max(arr)
     assigned = scored.select(
         F.col(id_col),
         "v",
         "nv",
-        cid_expr.cast("int").alias("cid"),
+        (F.array_position(arr, best) - 1).cast("int").alias("cid"),
         best.alias("cent_cos"),
     )
     # Materialize the assignment ONCE: it has four consumers (pair codes,
@@ -1188,19 +1215,34 @@ def semantic_dedup_sql(
     dim: int = EMBED_DIM,
     source_cte: str | None = None,
     source_name: str = "e",
+    sample_num: int = 1,
+    sample_den: int = 1,
 ) -> str:
     """DuckDB twin of ``semantic_dedup``: replays the deterministic
     k-means via ``_kmeans_ctes`` (shared with the s3 twin), the argmax
     assignment (row_number ORDER BY cos DESC, cid ASC == Spark's
-    greatest + first-match CASE), the within-cluster pair filter and the
+    array_max + first-position array_position), the within-cluster pair
+    filter and the
     keep-low-centroid-sim removal rule. ``source_cte``/``source_name``
     inject the input fixture (the driver uses the planted near-dup
     corpus, PLANTED_NEARDUP_CTE's ``aug``); default is the raw
     embeddings table."""
     if source_cte is None:
         source_cte = f"{source_name} AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
-    kmeans, prev = _kmeans_ctes(n_centroids, iterations, dim, source=source_name)
     ctes = [source_cte.strip()]
+    train = source_name
+    if sample_den > 1:
+        # same md5 membership hash the Spark side applies to the
+        # centroid-training sample
+        train = "samp"
+        ctes.append(
+            f"""samp AS (
+    SELECT * FROM {source_name}
+    WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+          % {int(sample_den)} < {int(sample_num)}
+)"""
+        )
+    kmeans, prev = _kmeans_ctes(n_centroids, iterations, dim, source=train)
     ctes.extend(kmeans)
     ctes.append(
         f"""af AS (

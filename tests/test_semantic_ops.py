@@ -143,3 +143,25 @@ def test_ngram_collision_short_docs_never_flagged(spark):
     }
     assert out[1] is False  # 3 tokens < n: no gram, never flagged
     assert out[2] is True  # its 13-grams appear verbatim in the benchmark
+
+
+def test_semantic_dedup_cluster_cap_bounds_mega_cluster(spark):
+    """600 identical vectors collapse into ONE cluster — the degenerate
+    corpus that makes the within-cluster pair explode quadratic on one
+    task. With cluster_cap=50 the cluster salt-splits into ~12 bounded
+    sub-buckets; dedup stays complete WITHIN each sub-bucket, so the
+    survivor count collapses from 600 to ~#sub-buckets (the documented
+    recall trade confines misses to cross-sub pairs)."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        EMBED_DIM,
+        semantic_dedup,
+    )
+
+    base = [0.3 + 0.01 * (i % 7) for i in range(EMBED_DIM)]
+    vecs = spark.createDataFrame(
+        [(i, base) for i in range(600)], "vec_id long, embedding array<double>"
+    )
+    out = semantic_dedup(vecs, threshold=0.99, n_centroids=4, cluster_cap=50).collect()
+    survivors = {r["vec_id"] for r in out}
+    assert 1 <= len(survivors) <= 24  # ceil(600/50)=12 subs, md5 split ≤ ~2x uneven
+    assert len({r["cid"] for r in out}) == 1  # identical vectors, one cluster
