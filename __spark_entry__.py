@@ -1121,6 +1121,16 @@ def _q_p4b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-frequency quality score (CCNet-family
+    statistical filter) with a deliberately small top_k=100 vocabulary so
+    the out-of-vocabulary (maximally-rare) path is exercised under the
+    oracle too."""
+    from stock_chart_kafka_streams_spark.operators.text import unigram_rarity
+
+    return unigram_rarity(_docs(spark, sf_dir), top_k=100)
+
+
 def _q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup-style cluster-then-prune): k-means cluster
     the planted near-dup corpus, enumerate pairs only within clusters,
@@ -1133,6 +1143,23 @@ def _q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return semantic_dedup(planted_neardup_vectors(_embs(spark, sf_dir)), threshold=0.99)
+
+
+def _q_d8s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8 with centroid training on the 1/4 md5 hash-sample — the scale
+    form (the Lloyd rounds crossJoin only the sample); oracled separately
+    so the sampled-training path stays cross-engine pinned."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        planted_neardup_vectors,
+        semantic_dedup,
+    )
+
+    return semantic_dedup(
+        planted_neardup_vectors(_embs(spark, sf_dir)),
+        threshold=0.99,
+        sample_num=1,
+        sample_den=4,
+    )
 
 
 def _q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1310,7 +1337,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p9_curation_pipeline": _q_p9,
         "p9_curation_exact": _q_p9x,
         "d8_semantic_dedup": _q_d8,
+        "d8_semantic_dedup_sampled": _q_d8s,
         "p4b_ngram_collision": _q_p4b,
+        "t9_unigram_rarity": _q_t9,
         "p7a_quality_approx": _q_p7a,
         "i3_rsi": _q_i3,
         "i4_drawdown": _q_i4,
@@ -1459,7 +1488,15 @@ FROM documents
             source_cte=_sim.PLANTED_NEARDUP_CTE,
             source_name="aug",
         ),
+        "d8_semantic_dedup_sampled": _sim.semantic_dedup_sql(
+            threshold=0.99,
+            source_cte=_sim.PLANTED_NEARDUP_CTE,
+            source_name="aug",
+            sample_num=1,
+            sample_den=4,
+        ),
         "p4b_ngram_collision": _tx.ngram_collision_decontaminate_sql(),
+        "t9_unigram_rarity": _tx.unigram_rarity_sql(top_k=100),
         "p7a_quality_approx": _sampling.quality_quantile_filter_approx_sql(),
         "i3_rsi": _i3_sql(),
         "i4_drawdown": _i4_sql(),

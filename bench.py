@@ -168,6 +168,7 @@ def _tier2_queries(
     from stock_chart_kafka_streams_spark.operators.text import (
         ngram_collision_decontaminate,
         training_set_selection,
+        unigram_rarity,
     )
     from stock_chart_kafka_streams_spark.operators.similarity import (
         embedding_neardup_lsh,
@@ -255,6 +256,11 @@ def _tier2_queries(
         # and the candidate set (and its two vector fetch-back joins)
         # 16× larger, measured 118 s vs ~20 s.
         "t2_s4_knn_200k": lambda: knn_join(embs, k=10, n_bits=16),
+        # t9 unigram rarity over the 500k corpus: ONE token-keyed agg
+        # (partial aggregation pre-reduces stopword skew) -> broadcast
+        # top-k vocab -> one doc-keyed agg. The two shuffles are the
+        # operator's whole wire cost.
+        "t2_t9_unigram_rarity_100x": lambda: unigram_rarity(docs, top_k=50_000),
         # p4b exact n-gram collision decontamination over the 500k
         # corpus vs a ~50-doc benchmark slice: two map-side gram scans +
         # a broadcast semi-join — wall-clock is the tokenize+md5 scan,

@@ -924,3 +924,113 @@ SELECT t.doc_id,
        COALESCE(h.n_collisions, 0) > 0 AS contaminated
 FROM tk t LEFT JOIN hits h USING (doc_id)
 """
+
+
+# Rarity quantum: rarity(freq) = floor(1e12 / freq) as BIGINT. Integer
+# division keeps every per-token contribution and every per-document sum
+# EXACT (associative, partition-order-proof) — the libm-free stand-in for
+# a -log(p) unigram score (monotone in 1/freq, which is what threshold
+# filtering consumes). 1e12 >> any corpus frequency, so precision loss is
+# only the floor's sub-unit truncation.
+_RARITY_SCALE = 1_000_000_000_000
+
+
+def unigram_rarity(
+    docs: DataFrame,
+    top_k: int = 50_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-trained unigram-frequency quality score — the CCNet-family
+    statistical filter: score every document by the mean RARITY of its
+    tokens under the corpus's own unigram distribution (high mean rarity
+    = improbable token stream = gibberish/noise candidate; low = stopword
+    soup). The standard recipe scores -log p(token) under a reference LM;
+    this uses the monotone-equivalent integer rarity ``floor(1e12/freq)``
+    so every sum is an exact BIGINT and the DuckDB twin agrees bit-for-bit
+    (log() is libm and the engines may differ in the last ulp — the same
+    reason t5's TF-IDF uses rational scoring).
+
+    Returns (doc_id, n_tokens, rarity_sum, mean_rarity) for every doc;
+    empty docs score 0. Out-of-vocabulary tokens (outside the ``top_k``
+    most frequent) take frequency 1 — maximally rare — which is also what
+    caps the vocabulary state: at 100 TB the full vocab is unbounded
+    (typo/hash tokens), the top-k head is what a reference LM would model.
+
+    Scale shape: ONE token-keyed aggregation builds the frequency table
+    (count is algebraic — map-side partial aggregation collapses hot
+    stopwords before the shuffle, so token skew is benign); the top-k cut
+    is orderBy+limit (distributed TakeOrdered, s3's seeding discipline —
+    never a global row_number window); the vocabulary BROADCASTS (top_k
+    rows) so the exploded corpus side is a map-side join; the per-doc sum
+    is the one doc-keyed aggregation, again with partial aggregation
+    doing the heavy lifting before the shuffle. The corpus crosses the
+    wire once keyed by token (pre-reduced) and once keyed by doc."""
+    tok_rows = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
+    vocab = (
+        tok_rows.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(int(top_k))
+    )
+    rarity = F.floor(
+        F.lit(_RARITY_SCALE) / F.coalesce(F.col("freq"), F.lit(1))
+    ).cast("long")
+    scored = (
+        tok_rows.join(F.broadcast(vocab), on="tok", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(rarity).alias("rarity_sum"),
+        )
+    )
+    return docs.select(id_col).join(scored, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce(F.col("rarity_sum"), F.lit(0).cast("long")).alias("rarity_sum"),
+        F.when(
+            F.coalesce(F.col("n_tokens"), F.lit(0)) > 0,
+            F.col("rarity_sum").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_rarity"),
+    )
+
+
+def unigram_rarity_sql(
+    table: str = "documents", top_k: int = 50_000, col: str = "text"
+) -> str:
+    """DuckDB twin of ``unigram_rarity``: same tokenization, same top-k
+    vocabulary cut (freq DESC, token ASC), same integer rarity sums."""
+    toks = (
+        f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+    )
+    return f"""
+WITH tok_rows AS (
+    SELECT doc_id, unnest({toks}) AS tok FROM {table}
+),
+vocab AS (
+    SELECT tok, freq FROM (
+        SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        FROM tok_rows GROUP BY tok
+    ) WHERE rn <= {int(top_k)}
+),
+scored AS (
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(floor({_RARITY_SCALE} / COALESCE(v.freq, 1)) AS BIGINT)) AS BIGINT)
+               AS rarity_sum
+    FROM tok_rows t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.rarity_sum, 0) AS rarity_sum,
+       CASE WHEN COALESCE(s.n_tokens, 0) > 0
+            THEN CAST(s.rarity_sum AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+            ELSE 0.0 END AS mean_rarity
+FROM {table} d LEFT JOIN scored s USING (doc_id)
+"""

@@ -90,7 +90,9 @@ def _canon(rows, cols):
         "p9_curation_pipeline",
         "p9_curation_exact",
         "d8_semantic_dedup",
+        "d8_semantic_dedup_sampled",
         "p4b_ngram_collision",
+        "t9_unigram_rarity",
         "p7a_quality_approx",
         "i3_rsi",
         "i4_drawdown",

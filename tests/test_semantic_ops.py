@@ -165,3 +165,48 @@ def test_semantic_dedup_cluster_cap_bounds_mega_cluster(spark):
     survivors = {r["vec_id"] for r in out}
     assert 1 <= len(survivors) <= 24  # ceil(600/50)=12 subs, md5 split ≤ ~2x uneven
     assert len({r["cid"] for r in out}) == 1  # identical vectors, one cluster
+
+
+def test_unigram_rarity_orders_gibberish_above_stopword_soup(spark):
+    """The semantic claim behind the filter: a document of corpus-unique
+    tokens scores maximally rare, a document of the corpus's most common
+    tokens scores least rare, and an empty document scores 0."""
+    from stock_chart_kafka_streams_spark.operators.text import (
+        _RARITY_SCALE,
+        unigram_rarity,
+    )
+
+    common = "the " * 50  # will dominate the frequency table
+    docs = spark.createDataFrame(
+        [
+            (1, common),
+            (2, common),
+            (3, "zzqj xkvw qqpl mmzx"),  # singleton tokens: maximal rarity
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_rarity(docs, top_k=10).collect()}
+    assert out[4]["n_tokens"] == 0 and out[4]["mean_rarity"] == 0.0
+    assert out[3]["mean_rarity"] == float(_RARITY_SCALE)  # freq-1 tokens
+    assert out[1]["mean_rarity"] == out[2]["mean_rarity"]
+    assert out[1]["mean_rarity"] < out[3]["mean_rarity"]
+    # 'the' appears 100x corpus-wide -> rarity floor(1e12/100)
+    assert out[1]["mean_rarity"] == float(_RARITY_SCALE // 100)
+
+
+def test_unigram_rarity_oov_tokens_score_as_singletons(spark):
+    """Tokens outside the top_k vocabulary take frequency 1 regardless of
+    their true corpus frequency — the bounded-vocabulary contract."""
+    from stock_chart_kafka_streams_spark.operators.text import (
+        _RARITY_SCALE,
+        unigram_rarity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa bb bb cc")], "doc_id long, text string"
+    )
+    out = unigram_rarity(docs, top_k=1).collect()[0]
+    # vocab = {aa: 3}; bb (freq 2) and cc are OOV -> rarity 1e12 each
+    expected = (3 * (_RARITY_SCALE // 3) + 3 * _RARITY_SCALE) / 6.0
+    assert out["mean_rarity"] == expected
