@@ -1121,6 +1121,19 @@ def _q_p4b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling over the source column
+    (alpha=1/2): per-source keep rates derived from the corpus's own
+    counts (n^alpha quantized-BIGINT weights), md5-hash membership."""
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    return temperature_mixture_sample(
+        _docs(spark, sf_dir), target_frac=0.5, alpha_quarters=2
+    )
+
+
 def _q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram-frequency quality score (CCNet-family
     statistical filter) with a deliberately small top_k=100 vocabulary so
@@ -1340,6 +1353,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_semantic_dedup_sampled": _q_d8s,
         "p4b_ngram_collision": _q_p4b,
         "t9_unigram_rarity": _q_t9,
+        "p10_mixture_sample": _q_p10,
         "p7a_quality_approx": _q_p7a,
         "i3_rsi": _q_i3,
         "i4_drawdown": _q_i4,
@@ -1497,6 +1511,9 @@ FROM documents
         ),
         "p4b_ngram_collision": _tx.ngram_collision_decontaminate_sql(),
         "t9_unigram_rarity": _tx.unigram_rarity_sql(top_k=100),
+        "p10_mixture_sample": _sampling.temperature_mixture_sample_sql(
+            target_frac=0.5, alpha_quarters=2
+        ),
         "p7a_quality_approx": _sampling.quality_quantile_filter_approx_sql(),
         "i3_rsi": _i3_sql(),
         "i4_drawdown": _i4_sql(),

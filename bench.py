@@ -179,7 +179,10 @@ def _tier2_queries(
         pii_scrub,
         with_synthetic_pii,
     )
-    from stock_chart_kafka_streams_spark.operators.sampling import global_interleave
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        global_interleave,
+        temperature_mixture_sample,
+    )
     from stock_chart_kafka_streams_spark.operators.windows_ext import kmv_daily_stats
 
     trades = spark.read.parquet(trades_path)
@@ -256,6 +259,12 @@ def _tier2_queries(
         # and the candidate set (and its two vector fetch-back joins)
         # 16× larger, measured 118 s vs ~20 s.
         "t2_s4_knn_200k": lambda: knn_join(embs, k=10, n_bits=16),
+        # p10 temperature mixture sampling (keyed on lang — the replicated
+        # corpus drops the source column): one stratum-keyed count agg,
+        # rate table broadcasts, corpus filtered map-side.
+        "t2_p10_mixture_sample_100x": lambda: temperature_mixture_sample(
+            docs, target_frac=0.5, alpha_quarters=2, strata_col="lang"
+        ),
         # t9 unigram rarity over the 500k corpus: ONE token-keyed agg
         # (partial aggregation pre-reduces stopword skew) -> broadcast
         # top-k vocab -> one doc-keyed agg. The two shuffles are the

@@ -591,3 +591,154 @@ def approx_quality_thresholds_sql(
     ) ranked
     WHERE rn = greatest((ns * {int(keep_num)}) // {int(keep_den)}, 1)
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted mixture sampling — data-mixture rebalancing (p10)
+# ---------------------------------------------------------------------------
+
+# weight quantum for n^alpha: quantized to integer micros so the
+# cross-source weight TOTAL is an exact BIGINT sum (associative,
+# partition-order-proof) — a raw double sum's value would depend on
+# which engine/partition order added first (the _IVF_QUANT discipline).
+_MIX_QUANT = 1_000_000.0
+
+
+def _pow_quarters(n: Column, alpha_quarters: int) -> Column:
+    """n^(alpha_quarters/4) for alpha_quarters in 0..4 as a chain of
+    IEEE-correctly-rounded sqrt/multiply ops — libm pow() is NOT
+    correctly rounded and may differ across engines in the last ulp,
+    but sqrt is exact-rounded everywhere, so restricting temperatures to
+    quarter powers keeps the twin bit-identical. Quarter powers cover
+    the published data-mixture range (alpha in {1, 3/4, 1/2, 1/4})."""
+    d = n.cast("double")
+    q2 = F.sqrt(d)
+    q1 = F.sqrt(q2)
+    return {
+        0: F.lit(1.0),
+        1: q1,
+        2: q2,
+        3: q2 * q1,
+        4: d,
+    }[int(alpha_quarters)]
+
+
+def _pow_quarters_sql(n_sql: str, alpha_quarters: int) -> str:
+    d = f"CAST({n_sql} AS DOUBLE)"
+    return {
+        0: "1.0",
+        1: f"sqrt(sqrt({d}))",
+        2: f"sqrt({d})",
+        3: f"(sqrt({d}) * sqrt(sqrt({d})))",
+        4: d,
+    }[int(alpha_quarters)]
+
+
+def temperature_mixture_sample(
+    docs: DataFrame,
+    target_frac: float = 0.5,
+    alpha_quarters: int = 2,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixture-v1",
+) -> DataFrame:
+    """Temperature-weighted mixture sampling — the GPT-3/PaLM-family
+    data-mixture rebalancing rule: sample sources with probability
+    proportional to n_s^alpha (alpha = ``alpha_quarters``/4 < 1 flattens
+    the mix, upsampling tail sources relative to their natural share),
+    scaled so the EXPECTED kept volume is ``target_frac`` of the corpus.
+    Per-source keep rate::
+
+        rate_s = min(1, target_frac * N * w_s / (W * n_s)),
+        w_s = round(n_s^alpha * 1e6),  W = sum_s w_s,  N = sum_s n_s
+
+    Membership is the repo's deterministic md5-hash rule (p2/p3): a row
+    survives iff hash(salt|id) < rate_s — reproducible across runs,
+    clusters and engines; rows keep every column plus ``sample_rate``.
+
+    Determinism: n^alpha is a sqrt/multiply chain (``_pow_quarters`` —
+    libm pow() is not correctly rounded, sqrt is), weights quantize to
+    integer micros so W is an exact BIGINT sum, and the rate expression
+    fixes its operation order, so both engines compute the identical
+    IEEE double and the identical survivor set.
+
+    Scale shape: ONE stratum-keyed count (algebraic — map-side partial
+    agg absorbs source skew) over the corpus; the per-source rate table
+    is stratum-cardinality-sized, derives via a tiny self-agg crossJoin,
+    and BROADCASTS back — the corpus itself is filtered map-side, never
+    shuffled by stratum."""
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in (0,1], got {target_frac}")
+    if alpha_quarters not in (0, 1, 2, 3, 4):
+        raise ValueError("alpha_quarters must be an int in 0..4")
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    weighted = counts.withColumn(
+        "__w",
+        F.floor(_pow_quarters(F.col("__n"), alpha_quarters) * _MIX_QUANT + 0.5).cast(
+            "long"
+        ),
+    )
+    # totals derive from `weighted` itself, so the crossJoin is a
+    # self-join — explicit frame aliases keep attribute resolution
+    # unambiguous under shared lineage
+    totals = weighted.agg(
+        F.sum("__n").alias("__tn"), F.sum("__w").alias("__tw")
+    )
+    rates = (
+        weighted.alias("wd")
+        .crossJoin(F.broadcast(totals.alias("tt")))
+        .select(
+            F.col(f"wd.{strata_col}").alias(strata_col),
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_frac))
+                * (F.col("tt.__tn").cast("double") * F.col("wd.__w").cast("double"))
+                / (F.col("tt.__tw").cast("double") * F.col("wd.__n").cast("double")),
+            ).alias("sample_rate"),
+        )
+    )
+    h = _hash_unit(_salted_id(id_col, salt))
+    return (
+        docs.join(F.broadcast(rates), on=strata_col)
+        .where(h.cast("double") < F.col("sample_rate") * F.lit(float(_HASH_SPACE)))
+        .select(*docs.columns, "sample_rate")
+    )
+
+
+def temperature_mixture_sample_sql(
+    table: str = "documents",
+    target_frac: float = 0.5,
+    alpha_quarters: int = 2,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixture-v1",
+) -> str:
+    """DuckDB twin of ``temperature_mixture_sample`` (same quantized
+    weights, same fixed-order rate arithmetic, same hash membership)."""
+    h = f"('0x' || substr(md5({_salted_id_sql(id_col, salt)}), 1, 8))::BIGINT"
+    w = _pow_quarters_sql("c.n", alpha_quarters)
+    return f"""
+WITH counts AS (
+    SELECT {strata_col}, CAST(count(*) AS BIGINT) AS n
+    FROM {table} GROUP BY {strata_col}
+),
+weighted AS (
+    SELECT {strata_col}, n,
+           CAST(floor({w} * {_MIX_QUANT} + 0.5) AS BIGINT) AS w
+    FROM counts c
+),
+totals AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS tn, CAST(SUM(w) AS BIGINT) AS tw
+    FROM weighted
+),
+rates AS (
+    SELECT {strata_col},
+           least(1.0, {float(target_frac)}
+                 * (CAST(t.tn AS DOUBLE) * CAST(wd.w AS DOUBLE))
+                 / (CAST(t.tw AS DOUBLE) * CAST(wd.n AS DOUBLE))) AS sample_rate
+    FROM weighted wd CROSS JOIN totals t
+)
+SELECT d.*, r.sample_rate
+FROM {table} d JOIN rates r USING ({strata_col})
+WHERE CAST({h} AS DOUBLE) < r.sample_rate * {float(_HASH_SPACE)}
+"""

@@ -93,6 +93,7 @@ def _canon(rows, cols):
         "d8_semantic_dedup_sampled",
         "p4b_ngram_collision",
         "t9_unigram_rarity",
+        "p10_mixture_sample",
         "p7a_quality_approx",
         "i3_rsi",
         "i4_drawdown",

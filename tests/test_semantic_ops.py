@@ -210,3 +210,49 @@ def test_unigram_rarity_oov_tokens_score_as_singletons(spark):
     # vocab = {aa: 3}; bb (freq 2) and cc are OOV -> rarity 1e12 each
     expected = (3 * (_RARITY_SCALE // 3) + 3 * _RARITY_SCALE) / 6.0
     assert out["mean_rarity"] == expected
+
+
+def test_mixture_sample_flattens_skewed_sources(spark):
+    """The temperature property on a deliberately skewed corpus (900 head
+    / 100 tail): at alpha=1 rates are uniform across sources (natural
+    mix); at alpha=1/4 the tail source's keep RATE strictly exceeds the
+    head's (flattened mix), while the expected total stays ~target. Also
+    pins determinism: two runs keep the identical row set."""
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    rows = [(i, f"t{i}", "en", "head", 1) for i in range(900)]
+    rows += [(i + 1000, f"t{i}", "en", "tail", 1) for i in range(100)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    natural = temperature_mixture_sample(docs, target_frac=0.5, alpha_quarters=4)
+    flat = temperature_mixture_sample(docs, target_frac=0.5, alpha_quarters=1)
+    nat_rates = {r["source"]: r["sample_rate"] for r in natural.collect()}
+    flat_rates = {r["source"]: r["sample_rate"] for r in flat.collect()}
+    assert nat_rates["head"] == nat_rates["tail"]  # alpha=1: natural shares
+    assert flat_rates["tail"] > flat_rates["head"]  # alpha<1: tail upsampled
+    kept = flat.count()
+    assert 0.35 * 1000 <= kept <= 0.65 * 1000  # expectation ~ target_frac
+    again = {r["doc_id"] for r in temperature_mixture_sample(
+        docs, target_frac=0.5, alpha_quarters=1
+    ).collect()}
+    assert again == {r["doc_id"] for r in flat.collect()}
+
+
+def test_mixture_sample_rejects_bad_params(spark):
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x", "en", "a", 1)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mixture_sample(docs, target_frac=0.0)
+    with _pytest.raises(ValueError):
+        temperature_mixture_sample(docs, alpha_quarters=5)
