@@ -847,6 +847,15 @@ def _q_p9x(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(_docs(spark, sf_dir), threshold=0.4, quality_mode="exact")
 
 
+def _q_p9n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p9 with ``decontam_mode="ngram"`` — the exact 13-token-collision
+    decontamination stage (p4b) composed into the pipeline; oracled so
+    both decontamination modes are cross-engine pinned end-to-end."""
+    from stock_chart_kafka_streams_spark.operators.pipeline import curation_pipeline
+
+    return curation_pipeline(_docs(spark, sf_dir), threshold=0.4, decontam_mode="ngram")
+
+
 _P3_FRACTIONS = {"en": 0.5, "fr": 1.0, "zh": 0.25}
 
 
@@ -1354,6 +1363,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p4b_ngram_collision": _q_p4b,
         "t9_unigram_rarity": _q_t9,
         "p10_mixture_sample": _q_p10,
+        "p9_curation_ngram": _q_p9n,
         "p7a_quality_approx": _q_p7a,
         "i3_rsi": _q_i3,
         "i4_drawdown": _q_i4,
@@ -1513,6 +1523,9 @@ FROM documents
         "t9_unigram_rarity": _tx.unigram_rarity_sql(top_k=100),
         "p10_mixture_sample": _sampling.temperature_mixture_sample_sql(
             target_frac=0.5, alpha_quarters=2
+        ),
+        "p9_curation_ngram": _pipeline.curation_pipeline_sql(
+            threshold=0.4, decontam_mode="ngram"
         ),
         "p7a_quality_approx": _sampling.quality_quantile_filter_approx_sql(),
         "i3_rsi": _i3_sql(),

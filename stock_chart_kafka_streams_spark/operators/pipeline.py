@@ -137,6 +137,8 @@ def curation_pipeline(
     strata_col: str = "lang",
     quality_mode: str = "approx",
     persist_stages: bool = False,
+    decontam_mode: str = "winnow",
+    ngram_n: int = 13,
 ) -> DataFrame:
     """Run the full curation chain over ``docs`` and return the packed
     training sequences: ``(doc_id, shard, n_tokens, offset_in_shard,
@@ -153,6 +155,11 @@ def curation_pipeline(
     ``"exact"`` restores the integer-exact window cut where strata are
     known small. Both modes carry full DuckDB twins
     (``curation_pipeline_sql(quality_mode=...)``).
+
+    ``decontam_mode`` (default ``"winnow"``): the p4 fuzzy
+    winnow-overlap stage, or ``"ngram"`` for p4b's exact
+    ``ngram_n``-token collision rule — both broadcast the benchmark's
+    fingerprint/gram set; both carry full DuckDB twins.
 
     ``persist_stages`` (default False): when True, each stage boundary is
     eagerly ``localCheckpoint``-ed, so the final job reads materialized
@@ -185,14 +192,34 @@ def curation_pipeline(
     stage_dd = dedup_minhash(stage_q, id_col=id_col, text_col=text_col)
     if persist_stages:
         stage_dd = stage_dd.localCheckpoint(eager=True)
-    # p4: drop documents overlapping the held-out benchmark.
-    contam_ids = (
-        decontaminate(
-            stage_dd, bench, threshold=threshold, id_col=id_col, text_col=text_col
+    # decontamination: p4's fuzzy winnow-overlap (default) or p4b's exact
+    # n-gram collision rule (``decontam_mode="ngram"``) — both broadcast
+    # the benchmark's fingerprint/gram set, so the corpus side is
+    # identical map-side work either way.
+    if decontam_mode == "winnow":
+        contam_ids = (
+            decontaminate(
+                stage_dd, bench, threshold=threshold, id_col=id_col, text_col=text_col
+            )
+            .where(F.col("contaminated"))
+            .select(id_col)
         )
-        .where(F.col("contaminated"))
-        .select(id_col)
-    )
+    elif decontam_mode == "ngram":
+        from stock_chart_kafka_streams_spark.operators.text import (
+            ngram_collision_decontaminate,
+        )
+
+        contam_ids = (
+            ngram_collision_decontaminate(
+                stage_dd, bench, n=ngram_n, id_col=id_col, text_col=text_col
+            )
+            .where(F.col("contaminated"))
+            .select(id_col)
+        )
+    else:
+        raise ValueError(
+            f"decontam_mode must be 'winnow' or 'ngram', got {decontam_mode!r}"
+        )
     stage_cl = stage_dd.join(contam_ids, on=id_col, how="left_anti")
     if persist_stages:
         stage_cl = stage_cl.localCheckpoint(eager=True)
@@ -213,6 +240,8 @@ def curation_pipeline_sql(
     budget: int = 2048,
     n_shards: int = 64,
     quality_mode: str = "approx",
+    decontam_mode: str = "winnow",
+    ngram_n: int = 13,
 ) -> str:
     """DuckDB twin of ``curation_pipeline``: the same five stages chained
     as top-level CTEs. Each stage reuses the standalone operator's SQL
@@ -260,18 +289,12 @@ stage_q AS (
         raise ValueError(f"quality_mode must be 'approx' or 'exact', got {quality_mode!r}")
 
     dd = dedup_minhash_sql(table="stage_q")
-    dd_fps = winnow_fingerprints_sql("stage_dd")
-    bench_fps = winnow_fingerprints_sql(
-        f"(SELECT * FROM {table} WHERE doc_id % {bench_mod} = 0)"
-    )
-    sp = hash_split_sql(table="stage_cl")
-    pack = pack_sequences_sql(table="stage_sp", budget=budget, n_shards=n_shards)
-    return f"""
-WITH {stage_q},
-stage_dd AS (
-    {dd}
-),
-dd_fps AS (
+    if decontam_mode == "winnow":
+        dd_fps = winnow_fingerprints_sql("stage_dd")
+        bench_fps = winnow_fingerprints_sql(
+            f"(SELECT * FROM {table} WHERE doc_id % {bench_mod} = 0)"
+        )
+        decontam = f"""dd_fps AS (
     {dd_fps}
 ),
 bench_fps AS (
@@ -289,7 +312,39 @@ contam AS (
     FROM tot t LEFT JOIN hits h USING (doc_id)
     WHERE CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(t.n_fps AS DOUBLE)
           >= {threshold}
+)"""
+    elif decontam_mode == "ngram":
+        from stock_chart_kafka_streams_spark.operators.text import (
+            ngram_hash_list_sql,
+            tokens_sql,
+        )
+
+        decontam = f"""dd_grams AS (
+    SELECT DISTINCT doc_id, unnest({ngram_hash_list_sql('tk', ngram_n)}) AS g
+    FROM (SELECT doc_id, {tokens_sql('text')} AS tk FROM stage_dd)
 ),
+bench_grams AS (
+    SELECT DISTINCT unnest({ngram_hash_list_sql('tk', ngram_n)}) AS g
+    FROM (
+        SELECT doc_id, {tokens_sql('text')} AS tk
+        FROM {table} WHERE doc_id % {bench_mod} = 0
+    )
+),
+contam AS (
+    SELECT DISTINCT doc_id FROM dd_grams JOIN bench_grams USING (g)
+)"""
+    else:
+        raise ValueError(
+            f"decontam_mode must be 'winnow' or 'ngram', got {decontam_mode!r}"
+        )
+    sp = hash_split_sql(table="stage_cl")
+    pack = pack_sequences_sql(table="stage_sp", budget=budget, n_shards=n_shards)
+    return f"""
+WITH {stage_q},
+stage_dd AS (
+    {dd}
+),
+{decontam},
 stage_cl AS (
     SELECT s.* FROM stage_dd s
     WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = s.doc_id)

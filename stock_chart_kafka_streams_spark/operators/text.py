@@ -889,6 +889,24 @@ def ngram_collision_decontaminate(
     )
 
 
+
+def tokens_sql(col: str = "text") -> str:
+    """DuckDB twin of ``tokens`` (lowercased alphanumeric runs) — shared
+    by every SQL builder that tokenizes (p4b, t9, the p9 ngram stage)."""
+    return (
+        f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
+    )
+
+
+def ngram_hash_list_sql(tk: str, n: int) -> str:
+    """DuckDB list of 48-bit md5-prefix hashes of every ``n``-token gram
+    of token-list expression ``tk`` — the twin of p4b's gram builder."""
+    return (
+        f"list_transform(range(1, greatest(len({tk}) - {int(n) - 1}, 0) + 1), "
+        f"i -> ('0x' || substr(md5(array_to_string({tk}[i:i + {int(n) - 1}], ' ')), 1, 12))::BIGINT)"
+    )
+
+
 def ngram_collision_decontaminate_sql(
     table: str = "documents",
     bench_pred: str = "doc_id % 97 = 0",
@@ -899,19 +917,12 @@ def ngram_collision_decontaminate_sql(
     that is a predicate-selected subset of the corpus (the driver
     fixture). Same tokenization (lowercased alphanumeric runs), same
     48-bit md5-prefix gram keys."""
-    toks = (
-        f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
-    )
     return f"""
 WITH tk AS (
-    SELECT doc_id, {toks} AS tk FROM {table}
+    SELECT doc_id, {tokens_sql(col)} AS tk FROM {table}
 ),
 doc_grams AS (
-    SELECT DISTINCT doc_id,
-           unnest(list_transform(
-               range(1, greatest(len(tk) - {int(n) - 1}, 0) + 1),
-               i -> ('0x' || substr(md5(array_to_string(tk[i:i + {int(n) - 1}], ' ')), 1, 12))::BIGINT
-           )) AS g
+    SELECT DISTINCT doc_id, unnest({ngram_hash_list_sql('tk', n)}) AS g
     FROM tk
 ),
 bench AS (SELECT DISTINCT g FROM doc_grams WHERE {bench_pred}),
@@ -1004,12 +1015,9 @@ def unigram_rarity_sql(
 ) -> str:
     """DuckDB twin of ``unigram_rarity``: same tokenization, same top-k
     vocabulary cut (freq DESC, token ASC), same integer rarity sums."""
-    toks = (
-        f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
-    )
     return f"""
 WITH tok_rows AS (
-    SELECT doc_id, unnest({toks}) AS tok FROM {table}
+    SELECT doc_id, unnest({tokens_sql(col)}) AS tok FROM {table}
 ),
 vocab AS (
     SELECT tok, freq FROM (

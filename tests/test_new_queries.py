@@ -94,6 +94,7 @@ def _canon(rows, cols):
         "p4b_ngram_collision",
         "t9_unigram_rarity",
         "p10_mixture_sample",
+        "p9_curation_ngram",
         "p7a_quality_approx",
         "i3_rsi",
         "i4_drawdown",
