@@ -847,6 +847,29 @@ def _q_p9x(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(_docs(spark, sf_dir), threshold=0.4, quality_mode="exact")
 
 
+def _q_mm5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mm5: binary media payloads -> Arrow feature extraction (mm4) ->
+    exact pairwise cosine near-dup — the multimodal column flowing into
+    the dedup stack as one plan, over a planted-duplicate fixture so the
+    oracle checks real matches (byte-identical payloads => cosine 1)."""
+    from stock_chart_kafka_streams_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        media_from_documents,
+        planted_dup_documents,
+    )
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    feats = extract_features(
+        media_from_documents(planted_dup_documents(_docs(spark, sf_dir)))
+    )
+    return embedding_neardup_pairs(
+        feats, threshold=0.999, id_col="media_id", vec_col="feature", dim=FEATURE_DIM
+    )
+
+
 def _q_p9n(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p9 with ``decontam_mode="ngram"`` — the exact 13-token-collision
     decontamination stage (p4b) composed into the pipeline; oracled so
@@ -1364,6 +1387,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_unigram_rarity": _q_t9,
         "p10_mixture_sample": _q_p10,
         "p9_curation_ngram": _q_p9n,
+        "mm5_media_neardup": _q_mm5,
         "p7a_quality_approx": _q_p7a,
         "i3_rsi": _q_i3,
         "i4_drawdown": _q_i4,
@@ -1527,6 +1551,7 @@ FROM documents
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"
         ),
+        "mm5_media_neardup": _mm.media_neardup_sql(threshold=0.999),
         "p7a_quality_approx": _sampling.quality_quantile_filter_approx_sql(),
         "i3_rsi": _i3_sql(),
         "i4_drawdown": _i4_sql(),

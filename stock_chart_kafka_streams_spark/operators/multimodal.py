@@ -297,3 +297,55 @@ SELECT media_id,
        ) AS frame_digest
 FROM video
 """
+
+
+def planted_dup_documents(docs: DataFrame) -> DataFrame:
+    """Duplicate-payload fixture for the mm5 media near-dup query: every
+    40th document re-emitted under doc_id + 10_000_000 with the SAME
+    text, so its media payload (and therefore its sha-derived feature
+    vector) is byte-identical — cosine exactly 1 with the original.
+    DuckDB twin: PLANTED_DUP_DOCS_CTE."""
+    base = docs.select("doc_id", "text")
+    planted = base.where(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return base.unionByName(planted)
+
+
+PLANTED_DUP_DOCS_CTE = """
+docs_aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000 AS doc_id, text
+    FROM documents WHERE doc_id % 40 = 0
+)
+"""
+
+
+def media_neardup_sql(threshold: float = 0.999) -> str:
+    """DuckDB twin of the mm5 integration query: planted-dup documents ->
+    media payloads -> feature vectors (the mm4 stub) -> exact pairwise
+    cosine near-dup (``embedding_neardup_pairs`` at dim=FEATURE_DIM).
+    Same left-to-right dot order as the Spark side's unrolled chain."""
+    feat = ", ".join(
+        f"('0x' || substr(sha, {2 * i + 1}, 2))::BIGINT / 255.0"
+        for i in range(FEATURE_DIM)
+    )
+    dot = "list_sum(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]))".format
+    d_ab = dot(n=FEATURE_DIM + 1, a="a.v", b="b.v")
+    d_aa = dot(n=FEATURE_DIM + 1, a="a.v", b="a.v")
+    d_bb = dot(n=FEATURE_DIM + 1, a="b.v", b="b.v")
+    return f"""
+WITH {PLANTED_DUP_DOCS_CTE.strip()},
+media AS (
+    SELECT doc_id AS media_id, text AS payload_text FROM docs_aug
+),
+feats AS (
+    SELECT media_id, [{feat}] AS v
+    FROM (SELECT media_id, sha256(payload_text) AS sha FROM media)
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) AS cos
+FROM feats a JOIN feats b ON a.media_id < b.media_id
+WHERE {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) >= {threshold}
+"""

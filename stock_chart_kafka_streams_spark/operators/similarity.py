@@ -595,21 +595,24 @@ def embedding_neardup_pairs(
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with cosine >= threshold — exact quadratic
-    scan (the oracle-checkable form; LSH-bucket first at scale)."""
+    scan (the oracle-checkable form; LSH-bucket first at scale). ``dim``
+    must match the vector length (the unrolled dot is static-width; e.g.
+    the multimodal feature vectors are 8-dim)."""
     a = vectors.select(
         F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va")
-    ).withColumn("na", _norm(F.col("va")))
+    ).withColumn("na", _norm(F.col("va"), dim))
     b = vectors.select(
         F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb")
-    ).withColumn("nb", _norm(F.col("vb")))
+    ).withColumn("nb", _norm(F.col("vb"), dim))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",
         (
-            _dot_unrolled(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            _dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
         ).alias("cos"),
     ).where(F.col("cos") >= threshold)
 

@@ -95,6 +95,7 @@ def _canon(rows, cols):
         "t9_unigram_rarity",
         "p10_mixture_sample",
         "p9_curation_ngram",
+        "mm5_media_neardup",
         "p7a_quality_approx",
         "i3_rsi",
         "i4_drawdown",
