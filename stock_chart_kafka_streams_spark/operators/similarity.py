@@ -1108,6 +1108,11 @@ def semantic_dedup(
         train, n_centroids, iterations=iterations,
         id_col=id_col, vec_col=vec_col, dim=dim,
     )
+    if not centroids:
+        raise ValueError(
+            "centroid training set is empty (empty corpus, or sample_num/"
+            "sample_den left no training rows) — no assignment is possible"
+        )
     v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
         "nv", _norm(F.col("v"))
     )

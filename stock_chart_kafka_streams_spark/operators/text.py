@@ -846,6 +846,8 @@ def ngram_collision_decontaminate(
     precomputed token array — staged behind an alias boundary so
     tokenization runs once per document, not once per gram (the winnow
     staging lesson, text.py round 7)."""
+    if n < 1:
+        raise ValueError(f"n-gram width must be >= 1, got {n}")
     toks = tokens(text_col)
 
     def grams(df: DataFrame) -> DataFrame:
@@ -977,6 +979,8 @@ def unigram_rarity(
     is the one doc-keyed aggregation, again with partial aggregation
     doing the heavy lifting before the shuffle. The corpus crosses the
     wire once keyed by token (pre-reduced) and once keyed by doc."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
     tok_rows = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("tok")
     )
