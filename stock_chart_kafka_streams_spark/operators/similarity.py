@@ -1069,9 +1069,11 @@ def semantic_dedup(
     full vector payloads: at corpus scale that is the dominant cost
     and sampled centroid training is the published practice (measured
     here: 50k vectors x 256 centroids, end-to-end 149 s with
-    full-corpus training -> 64 s with the 1/10 hash-sample, survivor
-    set identical at the benched shape); the oracle fixture keeps 1/1
-    so the twin's CTE chain is unchanged; (2) assignment is a
+    full-corpus training -> ~65 s with the 1/10 hash-sample; the
+    sampled-training REMOVAL behavior is pinned cross-engine by the
+    ``d8_semantic_dedup_sampled`` oracle, which resolves every planted
+    pair); the oracle fixture keeps 1/1 so the twin's CTE chain is
+    unchanged; (2) assignment is a
     PURE MAP-SIDE projection — the k centroids are embedded as constant
     array literals and the argmax is a linear array_max/array_position
     over per-centroid cosine columns, so the corpus is never shuffled,
