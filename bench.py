@@ -397,6 +397,18 @@ def _tier2_queries(
     )
     timings["t2_p9_curation_persist_100x"] = round(time.perf_counter() - t0, 3)
 
+    # p9 with the exact n-gram collision decontamination stage (late r8):
+    # the composed alternative to the winnow stage, same one-plan form.
+    # bench_mod as above; gram collisions against ~50 benchmark docs.
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    _noop(
+        curation_pipeline(
+            docs, threshold=0.9, bench_mod=9973, decontam_mode="ngram"
+        )
+    )
+    timings["t2_p9_curation_ngram_100x"] = round(time.perf_counter() - t0, 3)
+
     # d8 semantic dedup at 50k vectors (the d5 slice), 256 clusters,
     # centroid training on the 1/10 hash-sample — the scale shape: the
     # Lloyd rounds crossJoin ONLY the sample (full-corpus training
