@@ -235,13 +235,23 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_feat, schema=FEATURES_SCHEMA)
 
 
+def _feature_terms_sql() -> list[str]:
+    """The sha-derived feature-dimension expressions — ONE source of
+    truth shared by ``extract_features_sql`` (column projection) and
+    ``media_neardup_sql`` (list form), so the stub arithmetic can never
+    silently diverge between the mm4 and mm5 twins."""
+    return [
+        f"('0x' || substr(sha, {2 * i + 1}, 2))::BIGINT / 255.0"
+        for i in range(FEATURE_DIM)
+    ]
+
+
 def extract_features_sql() -> str:
     """Twin projecting each feature dimension to its own DOUBLE column
     (float-vs-string formatting differs across engines; bare doubles
     compare safely under the oracle's 9dp rounding)."""
     terms = ", ".join(
-        f"('0x' || substr(sha, {2 * i + 1}, 2))::BIGINT / 255.0 AS f{i}"
-        for i in range(FEATURE_DIM)
+        f"{t} AS f{i}" for i, t in enumerate(_feature_terms_sql())
     )
     return f"""
 WITH {MEDIA_FROM_DOCUMENTS_CTE},
@@ -327,14 +337,10 @@ def media_neardup_sql(threshold: float = 0.999) -> str:
     media payloads -> feature vectors (the mm4 stub) -> exact pairwise
     cosine near-dup (``embedding_neardup_pairs`` at dim=FEATURE_DIM).
     Same left-to-right dot order as the Spark side's unrolled chain."""
-    feat = ", ".join(
-        f"('0x' || substr(sha, {2 * i + 1}, 2))::BIGINT / 255.0"
-        for i in range(FEATURE_DIM)
-    )
-    dot = "list_sum(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]))".format
-    d_ab = dot(n=FEATURE_DIM + 1, a="a.v", b="b.v")
-    d_aa = dot(n=FEATURE_DIM + 1, a="a.v", b="a.v")
-    d_bb = dot(n=FEATURE_DIM + 1, a="b.v", b="b.v")
+    from stock_chart_kafka_streams_spark.operators.similarity import _cos_sql
+
+    feat = ", ".join(_feature_terms_sql())
+    cos = _cos_sql("a.v", "b.v", FEATURE_DIM)
     return f"""
 WITH {PLANTED_DUP_DOCS_CTE.strip()},
 media AS (
@@ -345,7 +351,7 @@ feats AS (
     FROM (SELECT media_id, sha256(payload_text) AS sha FROM media)
 )
 SELECT a.media_id AS id_a, b.media_id AS id_b,
-       {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) AS cos
+       {cos} AS cos
 FROM feats a JOIN feats b ON a.media_id < b.media_id
-WHERE {d_ab} / (sqrt({d_aa}) * sqrt({d_bb})) >= {threshold}
+WHERE {cos} >= {threshold}
 """

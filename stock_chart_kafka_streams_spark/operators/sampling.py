@@ -714,7 +714,13 @@ def temperature_mixture_sample_sql(
     salt: str = "mixture-v1",
 ) -> str:
     """DuckDB twin of ``temperature_mixture_sample`` (same quantized
-    weights, same fixed-order rate arithmetic, same hash membership)."""
+    weights, same fixed-order rate arithmetic, same hash membership —
+    and the same parameter validation, so no generated twin corresponds
+    to an invalid Spark invocation)."""
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in (0,1], got {target_frac}")
+    if alpha_quarters not in (0, 1, 2, 3, 4):
+        raise ValueError("alpha_quarters must be an int in 0..4")
     h = f"('0x' || substr(md5({_salted_id_sql(id_col, salt)}), 1, 8))::BIGINT"
     w = _pow_quarters_sql("c.n", alpha_quarters)
     return f"""

@@ -343,19 +343,19 @@ def ivf_build_centroids(
     )
     centroids = [list(r["v"]) for r in seeds]
 
-    c = c.withColumn("nv", _norm(F.col("v")))
+    c = c.withColumn("nv", _norm(F.col("v"), dim))
     for _ in range(iterations):
         cent_df = F.broadcast(
             c.sparkSession.createDataFrame(
                 [(i, v) for i, v in enumerate(centroids)],
                 "cid int, cv array<double>",
-            ).withColumn("ncv", _norm(F.col("cv")))
+            ).withColumn("ncv", _norm(F.col("cv"), dim))
         )
         assigned = (
             c.crossJoin(cent_df)
             .withColumn(
                 "d",
-                _dot_unrolled(F.col("v"), F.col("cv"))
+                _dot_unrolled(F.col("v"), F.col("cv"), dim)
                 / (F.col("nv") * F.col("ncv")),
             )
             .withColumn(
@@ -687,10 +687,11 @@ def _apply_bucket_cap(
     corpus's near-constant vectors) can otherwise land a mega-bucket
     whose bucket² explosion runs on one task.
 
-    Returns (codes ⨝ sub, group_cols). Cost when no bucket exceeds the
-    cap: one co-partitioned count join on the slim (id, t, code) rows and
-    ``sub`` is constant 0 — grouping by (t, code, 0) ≡ (t, code), so
-    results (and the DuckDB twins) are bit-identical at default shapes.
+    Returns (codes + sub, group_cols). Cost when no bucket exceeds the
+    cap: one window count over the slim (id, t, code) rows (see the plan
+    shape note below) and ``sub`` is constant 0 — grouping by
+    (t, code, 0) ≡ (t, code), so results (and the DuckDB twins) are
+    bit-identical at default shapes.
 
     Recall effect when the cap TRIGGERS (documented trade): a pair inside
     an oversized bucket is enumerated only if both ids hash to the same
@@ -1116,7 +1117,7 @@ def semantic_dedup(
             "sample_den left no training rows) — no assignment is possible"
         )
     v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
-        "nv", _norm(F.col("v"))
+        "nv", _norm(F.col("v"), dim)
     )
     # map-side argmax assignment: one per-centroid cosine COLUMN via the
     # HOF FOLD dot (``_dot``), then a linear array argmax (below). The

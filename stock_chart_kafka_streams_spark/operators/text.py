@@ -893,11 +893,12 @@ def ngram_collision_decontaminate(
 
 
 def tokens_sql(col: str = "text") -> str:
-    """DuckDB twin of ``tokens`` (lowercased alphanumeric runs) — shared
-    by every SQL builder that tokenizes (p4b, t9, the p9 ngram stage)."""
-    return (
-        f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), t -> t <> '')"
-    )
+    """DuckDB twin of ``tokens`` (lowercased alphanumeric runs) — the
+    callable face of ``TOKENS_SQL``, shared by every SQL builder that
+    tokenizes (p4b, t9, the p9 ngram stage); ONE source of truth so a
+    tokenization change can never diverge the gram/rarity oracles from
+    the fingerprint oracles."""
+    return TOKENS_SQL.format(col=col)
 
 
 def ngram_hash_list_sql(tk: str, n: int) -> str:

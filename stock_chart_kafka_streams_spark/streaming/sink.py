@@ -231,6 +231,11 @@ class BatchedCompactionSink:
     ):
         if merge_every <= 0:
             raise ValueError("merge_every must be positive")
+        if files_per_batch is not None and files_per_batch <= 0:
+            # fail at construction, not inside the streaming foreachBatch
+            # hook (where repartition(0) would kill the query mid-run
+            # with a nested Py4J traceback)
+            raise ValueError("files_per_batch must be positive (or None)")
         self.path = path
         self.staging = staging or (path.rstrip("/") + ".staging")
         self.merge_every = merge_every
