@@ -696,6 +696,22 @@ FROM tot t LEFT JOIN hits h USING (doc_id)
 """
 
 
+def _vocab_top(
+    docs: DataFrame, top_n: int, text_col: str = "text"
+) -> DataFrame:
+    """The distributed top-``top_n`` vocabulary cut: explode -> token
+    count + doc-frequency aggregates -> ``orderBy(cnt desc, tok)
+    .limit(top_n)``, which Spark plans as TakeOrderedAndProject
+    (per-partition top-N, driver-side merge of top_n-sized heaps) —
+    NEVER a global row_number window (tests assert the plan shape)."""
+    toks = docs.select(F.col("doc_id"), F.explode(tokens(text_col)).alias("tok"))
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("cnt"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    return vocab.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(int(top_n))
+
+
 def vocabulary_stats(
     docs: DataFrame, top_n: int = 1000, text_col: str = "text"
 ) -> DataFrame:
@@ -707,36 +723,42 @@ def vocabulary_stats(
     hash-matches cross-engine — a windowed running sum over doubles would
     not be (segment-tree vs sequential accumulation).
 
-    Plan: explode -> (token) count + doc-frequency aggregates -> a
-    top_n-bounded window over the vocabulary (vocab-sized, tiny relative
-    to the corpus) -> broadcast 1-row total."""
-    toks = docs.select(F.col("doc_id"), F.explode(tokens(text_col)).alias("tok"))
-    vocab = toks.groupBy("tok").agg(
-        F.count("*").alias("cnt"),
-        F.count_distinct("doc_id").alias("doc_freq"),
-    )
-    total = toks.agg(F.count("*").alias("total_tokens"))
-    from pyspark.sql.window import Window
+    Scale shape (r8 verdict #1): the top_n cut is a distributed
+    TakeOrdered (``_vocab_top`` — the t9/s3 ``orderBy+limit``
+    discipline). The earlier form ranked the FULL vocabulary through one
+    unpartitioned row_number/running-sum window — at web-corpus scale
+    that funnels billions of distinct tokens into a single task (Spark's
+    own ``WindowExec: No Partition Defined`` warning named it). Rank and
+    the cumulative numerator are now computed driver-side over the
+    collected top_n rows — a BOUNDED collect, sized by the caller's
+    ``top_n`` parameter exactly like s3's centroid aggregates — with
+    exact Python-int accumulation, so the coverage column stays
+    order-of-summation-proof and hash-matches the DuckDB twin. The
+    returned plan contains NO window node (tests assert this); the only
+    corpus-scale jobs are the two token aggregations (count is algebraic,
+    map-side partial aggregation collapses hot stopwords pre-shuffle).
 
-    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    cum = (
-        Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Note: the top_n collect makes construction EAGER (it runs the
+    vocabulary job), the same trade s3/d8's centroid training makes."""
+    top = _vocab_top(docs, top_n, text_col).collect()
+    rows = []
+    cum = 0
+    for i, r in enumerate(sorted(top, key=lambda r: (-r["cnt"], r["tok"]))):
+        cum += int(r["cnt"])
+        rows.append((i + 1, r["tok"], int(r["cnt"]), int(r["doc_freq"]), cum))
+    ranked = docs.sparkSession.createDataFrame(
+        rows, schema="rank int, tok string, cnt long, doc_freq long, cum_cnt long"
     )
-    return (
-        vocab.withColumn("rank", F.row_number().over(w).cast("int"))
-        .withColumn("cum_cnt", F.sum("cnt").over(cum).cast("long"))
-        .where(F.col("rank") <= top_n)
-        .crossJoin(F.broadcast(total))
-        .select(
-            "rank",
-            "tok",
-            "cnt",
-            "doc_freq",
-            (F.col("cum_cnt").cast("double") / F.col("total_tokens").cast("double")).alias(
-                "cum_coverage"
-            ),
-        )
+    toks = docs.select(F.explode(tokens(text_col)).alias("tok"))
+    total = toks.agg(F.count("*").alias("total_tokens"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "tok",
+        "cnt",
+        "doc_freq",
+        (F.col("cum_cnt").cast("double") / F.col("total_tokens").cast("double")).alias(
+            "cum_coverage"
+        ),
     )
 
 
@@ -940,12 +962,16 @@ FROM tk t LEFT JOIN hits h USING (doc_id)
 """
 
 
-# Rarity quantum: rarity(freq) = floor(1e12 / freq) as BIGINT. Integer
-# division keeps every per-token contribution and every per-document sum
-# EXACT (associative, partition-order-proof) — the libm-free stand-in for
-# a -log(p) unigram score (monotone in 1/freq, which is what threshold
+# Rarity quantum: rarity(freq) = 1e12 div freq as BIGINT — TRUE integer
+# division on both engines (Spark `div`, DuckDB `//`), never a
+# floor-of-double-division (r8 advice: `lit(1e12)/freq` was IEEE double
+# division + floor, whose rounding at a quotient boundary is a property
+# of libm-free luck, not arithmetic). Integer division keeps every
+# per-token contribution and every per-document BIGINT sum EXACT
+# (associative, partition-order-proof) — the libm-free stand-in for a
+# -log(p) unigram score (monotone in 1/freq, which is what threshold
 # filtering consumes). 1e12 >> any corpus frequency, so precision loss is
-# only the floor's sub-unit truncation.
+# only the integer quotient's sub-unit truncation.
 _RARITY_SCALE = 1_000_000_000_000
 
 
@@ -960,7 +986,7 @@ def unigram_rarity(
     tokens under the corpus's own unigram distribution (high mean rarity
     = improbable token stream = gibberish/noise candidate; low = stopword
     soup). The standard recipe scores -log p(token) under a reference LM;
-    this uses the monotone-equivalent integer rarity ``floor(1e12/freq)``
+    this uses the monotone-equivalent integer rarity ``1e12 div freq``
     so every sum is an exact BIGINT and the DuckDB twin agrees bit-for-bit
     (log() is libm and the engines may differ in the last ulp — the same
     reason t5's TF-IDF uses rational scoring).
@@ -991,8 +1017,10 @@ def unigram_rarity(
         .orderBy(F.col("freq").desc(), F.col("tok"))
         .limit(int(top_k))
     )
-    rarity = F.floor(
-        F.lit(_RARITY_SCALE) / F.coalesce(F.col("freq"), F.lit(1))
+    # exact BIGINT quotient: Spark's `div` is integral division on longs
+    # (DuckDB twin uses `//`) — see the _RARITY_SCALE comment
+    rarity = F.expr(
+        f"{_RARITY_SCALE}L div coalesce(freq, 1L)"
     ).cast("long")
     scored = (
         tok_rows.join(F.broadcast(vocab), on="tok", how="left")
@@ -1034,7 +1062,7 @@ vocab AS (
 scored AS (
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(CAST(floor({_RARITY_SCALE} / COALESCE(v.freq, 1)) AS BIGINT)) AS BIGINT)
+           CAST(SUM({_RARITY_SCALE} // COALESCE(v.freq, 1)) AS BIGINT)
                AS rarity_sum
     FROM tok_rows t LEFT JOIN vocab v USING (tok)
     GROUP BY t.doc_id

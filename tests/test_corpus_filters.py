@@ -185,3 +185,56 @@ def test_connected_components_path_graph_rounds(spark):
     got = {r.doc_id: r.cluster_id for r in cc.collect()}
     assert got == {i: (i // chain) * chain for i in range(n)}
     assert stats["rounds"] == 9
+
+
+def test_vocabulary_top_cut_is_take_ordered_not_window(spark):
+    """r8 verdict #1: the t7 vocabulary cut must plan as a distributed
+    TakeOrderedAndProject (per-partition top-N heaps), never a global
+    unpartitioned row_number window funneling the full vocabulary
+    through one task (the `WindowExec: No Partition Defined` shape)."""
+    from stock_chart_kafka_streams_spark.operators.text import _vocab_top
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + f"tok{i}") for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    plan = _vocab_top(docs, 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_vocabulary_stats_plan_has_no_window_and_matches_exact(spark):
+    """The returned t7 plan must contain NO window node (rank/cum are
+    driver-side over the bounded top_n collect), and the values must be
+    the exact rank / cumulative coverage."""
+    from stock_chart_kafka_streams_spark.operators.text import vocabulary_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb cc"),
+            (2, "aa bb cc dd"),
+        ],
+        "doc_id long, text string",
+    )
+    out = vocabulary_stats(docs, top_n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = {r["tok"]: r for r in out.collect()}
+    # corpus: aa=4, bb=3, cc=2, dd=1 (10 tokens total); top 3 = aa bb cc
+    assert set(rows) == {"aa", "bb", "cc"}
+    assert rows["aa"]["rank"] == 1 and rows["aa"]["cnt"] == 4
+    assert rows["aa"]["doc_freq"] == 2
+    assert rows["aa"]["cum_coverage"] == 4 / 10
+    assert rows["bb"]["cum_coverage"] == 7 / 10
+    assert rows["cc"]["cum_coverage"] == 9 / 10
+
+
+def test_vocabulary_stats_empty_corpus(spark):
+    """Empty input yields an empty (schema-stable) result, not a crash in
+    the driver-side rank accumulation."""
+    from stock_chart_kafka_streams_spark.operators.text import vocabulary_stats
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    out = vocabulary_stats(docs, top_n=3)
+    assert out.columns == ["rank", "tok", "cnt", "doc_freq", "cum_coverage"]
+    assert out.count() == 0

@@ -41,6 +41,10 @@ SKIP = {
     "d3_ngram_jaccard_pairs",  # eager candidate checkpoint by design
     "c15_streaming_month",  # streaming replay (round 6)
     "ws1_streaming_sessions",  # streaming replay (round 6)
+    # t7's top_n cut collects eagerly (bounded TakeOrdered, round 9);
+    # its no-window plan shape is pytest-asserted in
+    # tests/test_corpus_filters.py::test_vocabulary_stats_plan_has_no_window*
+    "t7_vocabulary",
 }
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -78,6 +82,49 @@ def strata_windows_unsampled(df, strata_col: str = "lang") -> int:
     return n
 
 
+def unpartitioned_windows(df) -> int:
+    """Count logical Window nodes with an EMPTY partition spec — the
+    single-task funnel Spark warns about at runtime as
+    ``WindowExec: No Partition Defined`` (the r8 t7 finding). A
+    partitioned Window prints three top-level bracket groups
+    (``Window [exprs], [partition], [order]``); an unpartitioned one
+    prints two. Nonzero is only acceptable over an input already bounded
+    by a limit/aggregate (p8's n_shards offsets window is the documented
+    case)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    n = 0
+    for line in plan.splitlines():
+        s = line.lstrip(" +:-")
+        if not s.startswith("Window ["):
+            continue
+        # split the node's top-level [..] groups: [exprs], then an
+        # OPTIONAL [partitionSpec], then an OPTIONAL [orderSpec] (empty
+        # specs are omitted from simpleString, so group COUNT alone is
+        # ambiguous — a partition-only window and an order-only window
+        # both print two groups)
+        depth, groups, cur = 0, [], []
+        for ch in s[len("Window ") :]:
+            if ch == "[":
+                depth += 1
+                if depth == 1:
+                    cur = []
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        if len(groups) >= 3:
+            continue  # both partition and order specs present
+        # two groups: global iff the spec group is an ORDER spec (sort
+        # directions) rather than a bare partition attribute list
+        if len(groups) == 2 and re.search(r"(ASC|DESC) NULLS", groups[1]):
+            n += 1
+    return n
+
+
 def audit(name: str, df) -> dict:
     try:
         plan = df._jdf.queryExecution().explainString(
@@ -103,6 +150,7 @@ def audit(name: str, df) -> dict:
         "pushed": plan.count("PushedFilters: ["),
         "empty_pushed": plan.count("PushedFilters: []"),
         "stratum_sorts": strata_windows_unsampled(df),
+        "global_windows": unpartitioned_windows(df),
     }
 
 
@@ -117,7 +165,7 @@ for name, fn in {**e.queries(), **e.extra_queries()}.items():
 
 hdr = [
     "query", "exchanges", "bhj", "smj", "cartesian", "scans", "pushed",
-    "empty_pushed", "stratum_sorts",
+    "empty_pushed", "stratum_sorts", "global_windows",
 ]
 print("\t".join(hdr))
 for r in rows:
@@ -134,3 +182,13 @@ flags = [
 # Reviewed flags (see PERF.md round 5): t5's BroadcastNestedLoopJoin is
 # the 1-row corpus-count broadcast — constant build side, intended.
 print("\ncartesian to review (1-row count broadcasts are fine):", flags or "none")
+
+gw_flags = [
+    r["query"]
+    for r in rows
+    if "error" not in r and r.get("global_windows", 0) > 0
+]
+# Reviewed (round 9): p8's offsets window runs over n_shards rows (bounded
+# by construction); p7 exact's per-stratum cut windows are partitioned and
+# don't hit this. Anything NEW here is a t7-class single-task funnel.
+print("global windows to review (bounded-input ones are fine):", gw_flags or "none")
