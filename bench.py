@@ -424,24 +424,151 @@ def _tier2_queries(
     # measured 149 s vs 64 s end-to-end at this size), assignment is the
     # map-side fold argmax, pairs enumerate within clusters (~n x
     # mean-cluster candidates). Timed inclusively (the centroid build
-    # and assignment checkpoint run jobs inside the call); single-run —
-    # its dominant stages (fold scan + pair verify join) are the same
-    # cost classes s2/s4 already pin with best-of entries.
+    # and assignment checkpoint run jobs inside the call). BEST-OF-2
+    # with per-stage walls since round 9 (r8 verdict #3: it was the
+    # suite's slowest and only single-run entry, 68–113 s across runs);
+    # stats adds one trivial count job on the 50k-row checkpointed
+    # assignment. Round 9 also turns on the triangle-inequality verify
+    # prune by default (verdict #4) — pairs whose centroid-cosines bound
+    # them below the threshold never ship vector payloads.
     from stock_chart_kafka_streams_spark.operators.similarity import (
         semantic_dedup,
     )
 
+    d8_slice = embs.where(F.col("vec_id") < 2_500_000_000)
+    d8_runs: list[float] = []
+    d8_best: dict = {}
+    for _ in range(2):
+        st: dict = {}
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _noop(
+            semantic_dedup(
+                d8_slice, threshold=0.99, n_centroids=256, sample_den=10, stats=st
+            )
+        )
+        d8_runs.append(round(time.perf_counter() - t0, 3))
+        if d8_runs[-1] == min(d8_runs):
+            d8_best = dict(st)
+    timings["t2_d8_semdedup_50k"] = min(d8_runs)
+    extra["d8_runs_s"] = d8_runs
+    extra["d8_train_s"] = d8_best.get("train_s")
+    extra["d8_assign_s"] = d8_best.get("assign_s")
+    extra["d8_capped_clusters"] = d8_best.get("n_capped_clusters")
+
+    # d8 at the PAPER-scale configuration shape (r8 verdict #2): 2048
+    # centroids via assign_mode="matmul" — the fold would need 2048
+    # literal plan columns (infeasible: plan size/codegen), the matmul
+    # keeps the plan O(1) in k. One Lloyd round on the 1/10 sample
+    # (training crossJoins sample × k; at k=2048 training is the
+    # dominant cost and is NOT the stage under test — its wall is
+    # recorded separately). Sub-linear-in-k evidence: compare
+    # d8_matmul_2048_assign_s against d8_assign_s (fold, k=256).
+    st = {}
     spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter()
     _noop(
         semantic_dedup(
-            embs.where(F.col("vec_id") < 2_500_000_000),
+            d8_slice,
+            threshold=0.99,
+            n_centroids=2048,
+            iterations=1,
+            sample_den=10,
+            assign_mode="matmul",
+            stats=st,
+        )
+    )
+    timings["t2_d8_matmul_2048c_50k"] = round(time.perf_counter() - t0, 3)
+    extra["d8_matmul_2048_train_s"] = st.get("train_s")
+    extra["d8_matmul_2048_assign_s"] = st.get("assign_s")
+
+    # same-k control: matmul at the fold's own 256 centroids — the
+    # apples-to-apples assignment-stage comparison (d8_assign_s is the
+    # fold's wall at the same k).
+    st = {}
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    _noop(
+        semantic_dedup(
+            d8_slice,
             threshold=0.99,
             n_centroids=256,
             sample_den=10,
+            assign_mode="matmul",
+            stats=st,
         )
     )
-    timings["t2_d8_semdedup_50k"] = round(time.perf_counter() - t0, 3)
+    timings["t2_d8_matmul_256c_50k"] = round(time.perf_counter() - t0, 3)
+    extra["d8_matmul_256_train_s"] = st.get("train_s")
+    extra["d8_matmul_256_assign_s"] = st.get("assign_s")
+
+    # t7 vocabulary at the 500k-doc corpus (r8 verdict #1): the top_n
+    # cut is a distributed TakeOrdered since round 9 — no single-task
+    # full-vocabulary window. Timed inclusively (the bounded top_n
+    # collect runs at construction).
+    from stock_chart_kafka_streams_spark.operators.text import vocabulary_stats
+
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    _noop(vocabulary_stats(docs, top_n=10_000))
+    timings["t2_t7_vocabulary_500k"] = round(time.perf_counter() - t0, 3)
+
+    # ---- deliberate-skew entries (r8 verdict #6): every other tier-2
+    # fixture is near-uniform, so the skew guards never fire. These
+    # record BOTH paths on a skewed input.
+
+    # c1 under 80%-one-symbol skew: plain candles vs the salted
+    # two-phase variant. candles() is algebraic — map-side partial
+    # aggregation already collapses the hot key per input partition, so
+    # the HONEST expectation (candles_salted docstring) is plain ≈
+    # salted here; the entry exists to keep that claim measured, not
+    # assumed. Salting earns its keep for holistic aggregates.
+    from stock_chart_kafka_streams_spark.operators.candles import candles_salted
+
+    skew_trades = trades.withColumn(
+        "symbol",
+        F.when(
+            F.pmod(F.xxhash64("ts", "price"), F.lit(10)) < 8, F.lit("HOT")
+        ).otherwise(F.col("symbol")),
+    )
+    spark.sparkContext._jvm.System.gc()
+    timings["t2_c1_skew_plain_25m"] = _time_best(
+        lambda: candles(skew_trades, "MINUTE"), runs=2
+    )
+    timings["t2_c1_skew_salted_25m"] = _time_best(
+        lambda: candles_salted(skew_trades, "MINUTE"), runs=2
+    )
+
+    # d5 under a planted mega-bucket: 4000 copies of ONE vector over a
+    # 10k background slice, single SRP table so the effect is isolated.
+    # Uncapped, the mega-bucket explodes 4000²/2 = 8M pairs from ONE
+    # task and ships 8M vector-pair payloads to the verify join;
+    # capped at 256 the salt split bounds any task at ~cap²/2 and the
+    # verify join sees ~16×256²/2 ≈ 0.5M pairs (the documented recall
+    # trade above the cap).
+    mega = (
+        spark.range(4000)
+        .crossJoin(
+            F.broadcast(
+                embs.where(F.col("vec_id") == 0).select("embedding")
+            )
+        )
+        .select((F.col("id") + F.lit(9_000_000_000)).alias("vec_id"), "embedding")
+    )
+    skew_vecs = (
+        embs.where(F.col("vec_id") < 500_000_000)
+        .unionByName(mega)
+        .localCheckpoint(eager=True)
+    )
+    for label, cap in (("uncapped", None), ("capped", 256)):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _noop(
+            embedding_neardup_lsh(
+                skew_vecs, threshold=0.99, n_bits=8, n_tables=1, bucket_cap=cap
+            )
+        )
+        timings[f"t2_d5_skew_{label}_14k"] = round(time.perf_counter() - t0, 3)
     return timings, extra
 
 

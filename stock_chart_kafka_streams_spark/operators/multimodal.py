@@ -101,11 +101,23 @@ def _fake_decode(media_type: str, payload: bytes) -> dict:
     }
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def decode_media(media: DataFrame, decoder=None) -> DataFrame:
     """Arrow-batched metadata extraction over the binary payload column.
 
-    The closure is self-contained (stdlib + pandas only) so Python workers
-    can unpickle it without this package on their path.
+    ``decoder`` (round 9, r8 verdict #7 — the off-sandbox injection
+    point): a ``(media_type: str, payload: bytes) -> dict`` callable
+    returning the DECODED_SCHEMA metadata keys (n_bytes, sha, width,
+    height, duration_s). Default ``None`` keeps the deterministic
+    sha-derived stub (this container ships no codecs); a real deployment
+    passes e.g. ``lambda mt, p: pil_probe(p) if mt == 'image' else ...``
+    without touching the dataflow — the Arrow batching, schema and
+    partitioning are identical either way. The injected callable is
+    pickled into the worker closure, so it must be importable/self-
+    contained on the executors (a top-level function, not a lambda over
+    driver state).
+
+    The default closure is self-contained (stdlib + pandas only) so
+    Python workers can unpickle it without this package on their path.
     """
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -122,9 +134,10 @@ def decode_media(media: DataFrame) -> DataFrame:
                 "duration_s": n % 300 if media_type in ("audio", "video") else 0,
             }
 
+        dec = decoder or fake_decode
         for pdf in batches:
             meta = [
-                fake_decode(mt, bytes(p))
+                dec(mt, bytes(p))
                 for mt, p in zip(pdf["media_type"], pdf["payload"])
             ]
             out = pd.DataFrame(meta)

@@ -1044,6 +1044,9 @@ def semantic_dedup(
     cluster_cap: int | None = 4096,
     sample_num: int = 1,
     sample_den: int = 1,
+    assign_mode: str = "fold",
+    verify_prune: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup by cluster-then-prune — the
     SemDeDup recipe (Abbas et al., arXiv:2303.09540): k-means-cluster the
@@ -1090,9 +1093,66 @@ def semantic_dedup(
     bounds the skewed tail. Ties on (cent_cos) across engines are safe
     because both sides compute the identical IEEE double (see
     ``ivf_topk_sql``'s determinism argument; zero vectors excluded by
-    the no-NaN precondition documented there)."""
+    the no-NaN precondition documented there).
+
+    ``assign_mode`` (round 9, r8 verdict #2): ``"fold"`` (default) is the
+    oracle-exact per-centroid HOF-fold argmax above — perfect to a few
+    hundred centroids, but LINEAR in ``n_centroids`` as literal plan
+    columns, so the SemDeDup paper's ~50k-cluster configuration is out of
+    reach (plan size alone). ``"matmul"`` is the paper-scale path: an
+    Arrow-batched ``mapInPandas`` computing ONE ``(batch×dim)@(dim×k)``
+    numpy matmul per batch — still a pure map-side scan (no shuffle), but
+    k lives in a broadcast ndarray instead of the plan, so plan size and
+    codegen are O(1) in ``n_centroids``. The trade: numpy's pairwise/SIMD
+    summation order differs from the fold's left-to-right chain in the
+    last ulp, so matmul is NOT bit-exact against the DuckDB twin — keep
+    the default for oracle comparisons, use matmul at paper scale
+    (equivalence modulo ties is pytest-asserted; tier-2 benches it at
+    2048 centroids).
+
+    ``verify_prune`` (round 9): before fetching vector payloads for the
+    exact within-cluster verify, candidate pairs are pre-filtered by the
+    spherical triangle inequality — for unit-direction vectors a, b with
+    centroid c, ``angle(a,b) >= |angle(a,c) - angle(b,c)|``, hence
+    ``cos(a,b) <= ca*cb + sqrt(1-ca^2)*sqrt(1-cb^2)``. Pairs whose bound
+    is below ``threshold - 1e-9`` CANNOT pass the exact check (the 1e-9
+    slack dwarfs the bound's own ~1e-14 rounding), so dropping them
+    changes nothing — output and oracles are unchanged (pytest-asserted)
+    — while the expensive stage (shipping two dim-length arrays and the
+    unrolled dot per pair) runs only on survivors. At threshold 0.99 the
+    bound kills the great majority of intra-cluster pairs using the two
+    doubles already in hand.
+
+    ``cluster_cap`` (r8 advice): with the DEFAULT ``n_centroids=8``, any
+    corpus beyond ~``8*cluster_cap`` vectors makes the cap split
+    ORDINARY clusters, not just skewed ones — and with a single table
+    (t=0) a pair split across sub-buckets is permanently missed (no
+    multi-table miss-decay here). Scale ``n_centroids`` with the corpus
+    so MEAN cluster size stays well under ``cluster_cap`` (the paper runs
+    ~50k clusters for exactly this reason); the cap is the guard for the
+    skewed tail only. The DuckDB twin (``semantic_dedup_sql``) mirrors
+    the same salted sub-bucket split since round 9, so engine and oracle
+    agree even ABOVE the cap. When ``stats`` is supplied, the number of
+    over-cap clusters is recorded (``n_capped_clusters``) and a
+    ``UserWarning`` is emitted if any cluster was split.
+
+    ``stats`` (opt-in) also records per-stage walls: ``train_s`` (Lloyd
+    rounds incl. sampling) and ``assign_s`` (assignment scan +
+    checkpoint) — the d7/replay instrumentation discipline.
+
+    Degenerate-input asymmetry (r8 advice, documented): an EMPTY
+    centroid-training sample raises ``ValueError`` here, while the SQL
+    twin's empty ``seeds`` CTE silently yields an empty result — the
+    oracle cannot distinguish "no input" from "sample left nothing", so
+    the engine fails loudly and the twin is only meaningful on inputs
+    where training is possible."""
     if sample_num < 1 or sample_den < 1 or sample_num > sample_den:
         raise ValueError("sample fraction must satisfy 1 <= sample_num <= sample_den")
+    if assign_mode not in ("fold", "matmul"):
+        raise ValueError(f"assign_mode must be 'fold' or 'matmul', got {assign_mode!r}")
+    import time as _time
+
+    _t0 = _time.perf_counter()
     train = vectors
     if sample_den > 1:
         # deterministic md5 membership (the p2/p7a discipline — never
@@ -1116,51 +1176,14 @@ def semantic_dedup(
             "centroid training set is empty (empty corpus, or sample_num/"
             "sample_den left no training rows) — no assignment is possible"
         )
-    v = vectors.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
-        "nv", _norm(F.col("v"), dim)
-    )
-    # map-side argmax assignment: one per-centroid cosine COLUMN via the
-    # HOF FOLD dot (``_dot``), then a linear array argmax (below). The
-    # fold is deliberate: n_centroids x dim unrolled multiply-add terms
-    # in one fused projection blew janino's 64 KB method limit and
-    # silently fell back to interpreted execution for the WHOLE stage
-    # (verified here at 8x64; the same failure class _srp_code_fold
-    # documents), so this is the s2 trade — a small interpreted fold per
-    # centroid whose float order is bit-identical to the unrolled chain
-    # and to DuckDB's list_sum. Centroid norms are precomputed
-    # driver-side: Python's left-to-right float sum + correctly-rounded
-    # sqrt is the same IEEE double either engine computes. This stage is
-    # scan-shaped (perfectly parallel, no shuffle); where oracle
-    # exactness is not needed, the drop-in upgrade is an Arrow-batched
-    # pandas UDF doing one numpy matmul (batch x dim) @ (dim x k) per
-    # batch — faster, but numpy's pairwise/SIMD summation order breaks
-    # the bit-exact cross-engine contract, so this repo keeps the fold.
-    import math
-
-    cd_cols = []
-    for j, cvals in enumerate(centroids):
-        cv = F.array(*[F.lit(float(x)) for x in cvals])
-        acc = 0.0
-        for x in cvals:
-            acc += float(x) * float(x)
-        ncv = F.lit(math.sqrt(acc))
-        cd_cols.append((_dot(F.col("v"), cv) / (F.col("nv") * ncv)).alias(f"__cd{j}"))
-    scored = v.select(F.col(id_col), "v", "nv", *cd_cols)
-    # argmax over the cosine columns stays LINEAR in n_centroids:
-    # array_max picks the best cosine and array_position finds its FIRST
-    # index (ties to the lowest cid, matching the twin's row_number
-    # ORDER BY cos DESC, cid ASC). A greatest()+CASE chain would embed
-    # greatest(n) once per branch — O(n_centroids²) codegen that cannot
-    # survive the paper-scale configurations (hundreds of clusters).
-    arr = F.array(*[F.col(f"__cd{j}") for j in range(len(centroids))])
-    best = F.array_max(arr)
-    assigned = scored.select(
-        F.col(id_col),
-        "v",
-        "nv",
-        (F.array_position(arr, best) - 1).cast("int").alias("cid"),
-        best.alias("cent_cos"),
-    )
+    if stats is not None:
+        stats["train_s"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
+    base = vectors.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if assign_mode == "matmul":
+        assigned = _assign_matmul(base, centroids, id_col)
+    else:
+        assigned = _assign_fold(base, centroids, dim, id_col)
     # Materialize the assignment ONCE: it has four consumers (pair codes,
     # both fetch-back sides, the final anti-join), and Catalyst re-expands
     # shared stages per reference (the p9 lesson) — without the boundary
@@ -1170,31 +1193,77 @@ def semantic_dedup(
     # this boundary is the assignment table a real SemDeDup run writes
     # anyway (cluster ids are a reused artifact).
     assigned = assigned.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["assign_s"] = round(_time.perf_counter() - _t0, 3)
+        over = (
+            assigned.groupBy("cid").count()
+            if cluster_cap is not None
+            else None
+        )
+        n_capped = (
+            over.where(F.col("count") > int(cluster_cap)).count()
+            if over is not None
+            else 0
+        )
+        stats["n_capped_clusters"] = int(n_capped)
+        if n_capped:
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"semantic_dedup: {n_capped} cluster(s) exceed cluster_cap="
+                f"{cluster_cap} and were salt-split — near-dup pairs across "
+                "sub-buckets are missed; scale n_centroids so mean cluster "
+                "size stays below the cap (see docstring)",
+                UserWarning,
+                stacklevel=2,
+            )
     codes = assigned.select(
-        F.col(id_col).alias("id"), F.lit(0).alias("t"), F.col("cid").alias("code")
+        F.col(id_col).alias("id"),
+        F.lit(0).alias("t"),
+        F.col("cid").alias("code"),
+        "cent_cos",
     )
     codes, group_cols = _apply_bucket_cap(codes, cluster_cap)
     # ordered pairs within a cluster (sub-bucket when the cap triggers):
     # pairs are unique by construction (single t, disjoint sub-buckets),
-    # so no dedup shuffle is needed before the fetch-back joins
+    # so no dedup shuffle is needed before the fetch-back joins. Each
+    # member travels as a slim (id, cent_cos) struct so the prune bound
+    # below needs NO extra join.
     cands = (
         codes.groupBy(*group_cols)
-        .agg(F.collect_list("id").alias("ids"))
-        .select(F.explode("ids").alias("id_a"), "ids")
-        .select("id_a", F.explode("ids").alias("id_b"))
+        .agg(F.collect_list(F.struct(F.col("id"), F.col("cent_cos"))).alias("ms"))
+        .select(F.explode("ms").alias("a"), "ms")
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.cent_cos").alias("ca"),
+            F.explode("ms").alias("b"),
+        )
+        .select(
+            "id_a", "ca", F.col("b.id").alias("id_b"), F.col("b.cent_cos").alias("cb")
+        )
         .where(F.col("id_a") < F.col("id_b"))
     )
+    if verify_prune:
+        # spherical triangle inequality (docstring): the pair's cosine is
+        # AT MOST cos(|θa-θb|) = ca*cb + sin(θa)sin(θb); below the
+        # threshold (minus slack covering the bound's own rounding) the
+        # exact verify cannot pass, so skip the vector fetch entirely.
+        # greatest(0, ·) guards cent_cos values a rounded dot pushed past 1.
+        sin_a = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("ca") * F.col("ca")))
+        sin_b = F.sqrt(F.greatest(F.lit(0.0), F.lit(1.0) - F.col("cb") * F.col("cb")))
+        cands = cands.where(
+            F.col("ca") * F.col("cb") + sin_a * sin_b
+            >= F.lit(float(threshold) - 1e-9)
+        )
     side_a = assigned.select(
         F.col(id_col).alias("id_a"),
         F.col("v").alias("va"),
         F.col("nv").alias("na"),
-        F.col("cent_cos").alias("ca"),
     )
     side_b = assigned.select(
         F.col(id_col).alias("id_b"),
         F.col("v").alias("vb"),
         F.col("nv").alias("nb"),
-        F.col("cent_cos").alias("cb"),
     )
     dup_pairs = (
         cands.join(side_a, on="id_a")
@@ -1219,6 +1288,105 @@ def semantic_dedup(
     )
 
 
+def _assign_fold(
+    base: DataFrame, centroids: list[list[float]], dim: int, id_col: str
+) -> DataFrame:
+    # map-side argmax assignment: one per-centroid cosine COLUMN via the
+    # HOF FOLD dot (``_dot``), then a linear array argmax (below). The
+    # fold is deliberate: n_centroids x dim unrolled multiply-add terms
+    # in one fused projection blew janino's 64 KB method limit and
+    # silently fell back to interpreted execution for the WHOLE stage
+    # (verified here at 8x64; the same failure class _srp_code_fold
+    # documents), so this is the s2 trade — a small interpreted fold per
+    # centroid whose float order is bit-identical to the unrolled chain
+    # and to DuckDB's list_sum. Centroid norms are precomputed
+    # driver-side: Python's left-to-right float sum + correctly-rounded
+    # sqrt is the same IEEE double either engine computes. This stage is
+    # scan-shaped (perfectly parallel, no shuffle); where oracle
+    # exactness is not needed, the paper-scale upgrade is
+    # ``_assign_matmul`` below (opt-in via assign_mode="matmul").
+    import math
+
+    v = base.withColumn("nv", _norm(F.col("v"), dim))
+    cd_cols = []
+    for j, cvals in enumerate(centroids):
+        cv = F.array(*[F.lit(float(x)) for x in cvals])
+        acc = 0.0
+        for x in cvals:
+            acc += float(x) * float(x)
+        ncv = F.lit(math.sqrt(acc))
+        cd_cols.append((_dot(F.col("v"), cv) / (F.col("nv") * ncv)).alias(f"__cd{j}"))
+    scored = v.select(F.col(id_col), "v", "nv", *cd_cols)
+    # argmax over the cosine columns stays LINEAR in n_centroids:
+    # array_max picks the best cosine and array_position finds its FIRST
+    # index (ties to the lowest cid, matching the twin's row_number
+    # ORDER BY cos DESC, cid ASC). A greatest()+CASE chain would embed
+    # greatest(n) once per branch — O(n_centroids²) codegen that cannot
+    # survive the paper-scale configurations (hundreds of clusters).
+    arr = F.array(*[F.col(f"__cd{j}") for j in range(len(centroids))])
+    best = F.array_max(arr)
+    return scored.select(
+        F.col(id_col),
+        "v",
+        "nv",
+        (F.array_position(arr, best) - 1).cast("int").alias("cid"),
+        best.alias("cent_cos"),
+    )
+
+
+def _assign_matmul(
+    base: DataFrame, centroids: list[list[float]], id_col: str
+) -> DataFrame:
+    """Paper-scale centroid assignment (r8 verdict #2): Arrow-batched
+    ``mapInPandas``, one ``(batch×dim) @ (dim×k)`` float64 matmul per
+    batch. Same map-side scan shape as the fold (no shuffle, vectors
+    never leave their partition), but ``k`` lives in a broadcast ndarray
+    captured by the closure instead of k literal plan columns — plan
+    size, codegen and Catalyst time are O(1) in ``n_centroids``, which is
+    what makes the SemDeDup paper's ~50k-cluster configuration runnable
+    (the fold's k-column plan is not; see the janino note in
+    ``_assign_fold``). Ties: ``argmax`` returns the FIRST maximum —
+    lowest cid, the fold's (and the twin's) tie rule. NOT bit-exact vs
+    the fold/oracle in the last ulp (numpy pairwise/SIMD summation), so
+    this mode is opt-in; equivalence modulo ties is pytest-asserted.
+
+    The closure is self-contained (numpy + pandas only) so Python workers
+    can unpickle it without this package on their path."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    cn = np.sqrt((C * C).sum(axis=1))  # centroid norms, (k,)
+    id_type = base.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, v array<double>, nv double, "
+        "cid int, cent_cos double"
+    )
+
+    def _assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np.vstack([_np.asarray(x, dtype=_np.float64) for x in pdf["v"]])
+            nv = _np.sqrt((V * V).sum(axis=1))
+            S = (V @ C.T) / (nv[:, None] * cn[None, :])
+            cid = S.argmax(axis=1)
+            cent = S[_np.arange(len(cid)), cid]
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "v": pdf["v"].values,
+                    "nv": nv,
+                    "cid": cid.astype("int32"),
+                    "cent_cos": cent,
+                }
+            )
+
+    return base.mapInPandas(_assign, schema=out_schema)
+
+
 def semantic_dedup_sql(
     threshold: float = 0.99,
     n_centroids: int = 8,
@@ -1228,6 +1396,7 @@ def semantic_dedup_sql(
     source_name: str = "e",
     sample_num: int = 1,
     sample_den: int = 1,
+    cluster_cap: int | None = 4096,
 ) -> str:
     """DuckDB twin of ``semantic_dedup``: replays the deterministic
     k-means via ``_kmeans_ctes`` (shared with the s3 twin), the argmax
@@ -1237,7 +1406,16 @@ def semantic_dedup_sql(
     keep-low-centroid-sim removal rule. ``source_cte``/``source_name``
     inject the input fixture (the driver uses the planted near-dup
     corpus, PLANTED_NEARDUP_CTE's ``aug``); default is the raw
-    embeddings table."""
+    embeddings table.
+
+    ``cluster_cap`` (round 9, r8 advice): mirrors the engine's
+    ``_apply_bucket_cap`` salt-split — the same md5 sub-bucket hash
+    (``'lshsplit-v1|<id>|0'``, first 8 hex digits, mod
+    ceil(cluster_size/cap)) and the same pairs-join on (cid, sub) — so
+    engine and twin agree even when a cluster EXCEEDS the cap (before
+    round 9 the twin enumerated the uncapped pairs and silently diverged
+    above the cap). Keep the value equal to the engine call's; the
+    degenerate-empty-sample asymmetry is documented on the engine side."""
     if source_cte is None:
         source_cte = f"{source_name} AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
     ctes = [source_cte.strip()]
@@ -1268,11 +1446,33 @@ def semantic_dedup_sql(
     ) WHERE rk = 1
 )"""
     )
+    pair_src, pair_keys = "af", "a.cid = b.cid"
+    if cluster_cap is not None:
+        if cluster_cap <= 0:
+            raise ValueError("cluster_cap must be positive (or None to disable)")
+        # the engine's _apply_bucket_cap replay: bucket size via a window
+        # count over cid, nsub = ceil(size/cap), sub = md5-salted member
+        # hash mod nsub (0 when the cluster fits) — pairs only within
+        # (cid, sub)
+        ctes.append(
+            f"""afc AS (
+    SELECT vec_id, v, cid, cent_cos,
+           CASE WHEN CEIL(CAST(count(*) OVER (PARTITION BY cid) AS DOUBLE)
+                          / {int(cluster_cap)}) <= 1 THEN 0
+                ELSE ('0x' || substr(md5('lshsplit-v1|' ||
+                          CAST(vec_id AS VARCHAR) || '|0'), 1, 8))::BIGINT
+                     % CAST(CEIL(CAST(count(*) OVER (PARTITION BY cid) AS DOUBLE)
+                                 / {int(cluster_cap)}) AS BIGINT)
+           END AS sub
+    FROM af
+)"""
+        )
+        pair_src, pair_keys = "afc", "a.cid = b.cid AND a.sub = b.sub"
     ctes.append(
         f"""dup_pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            a.cent_cos AS ca, b.cent_cos AS cb
-    FROM af a JOIN af b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    FROM {pair_src} a JOIN {pair_src} b ON {pair_keys} AND a.vec_id < b.vec_id
     WHERE {_cos_sql('a.v', 'b.v', dim)} >= {threshold}
 )"""
     )

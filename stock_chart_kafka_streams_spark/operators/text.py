@@ -1075,3 +1075,249 @@ SELECT d.doc_id,
             ELSE 0.0 END AS mean_rarity
 FROM {table} d LEFT JOIN scored s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# t10: Gopher quality rules (round 9)
+# ---------------------------------------------------------------------------
+
+# The 8 required "stop words" of the Gopher rule set (Rae et al. 2021,
+# arXiv:2112.11446, Table A1): a document must contain at least 2.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher-rule document quality filter — the published heuristic set
+    of Rae et al. 2021 (arXiv:2112.11446, Table A1), the standard
+    first-pass web filter in LLM curation stacks (reused by MassiveText,
+    RefinedWeb, Dolma): word-count bounds, mean-word-length bounds
+    [3, 10], symbol-to-word ratio (# and ... vs words) <= 0.1, bullet- /
+    ellipsis-line ratios (< 90% bullet-starting, <= 30% ellipsis-ending),
+    >= 80% of words containing an alphabetic character, and >= 2 of the 8
+    required English function words. Returns every rule as its own flag
+    plus the conjunctive ``keep`` verdict, so a pipeline can audit WHICH
+    rule fired (the published practice — Dolma reports per-rule drop
+    rates).
+
+    Exactness discipline: every ratio threshold is evaluated by INTEGER
+    cross-multiplication over exact BIGINT counts (e.g. mean word length
+    in [3,10] is ``3*n <= sum_len AND sum_len <= 10*n``; the 80% alpha
+    rule is ``5*alpha >= 4*n``) — no doubles anywhere, so the DuckDB twin
+    (``gopher_quality_sql``) agrees bit-for-bit on every flag. "Words"
+    are whitespace runs (the paper's unit — NOT the lowercased alnum
+    ``tokens``, which would erase the mean-length and symbol signals);
+    the required-word containment uses ``tokens`` so punctuation never
+    blocks a hit.
+
+    100 TB shape: pure map-side projection — per-row split/regexp count
+    arithmetic inside whole-stage codegen, zero shuffles, zero Python;
+    scales with scan bandwidth exactly like t8's PII scrub."""
+    text = F.col(text_col)
+    words = F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+    lines = F.filter(F.split(text, r"\n"), lambda x: x != F.lit(""))
+    n_words = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        F.transform(words, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_sym = (
+        F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    ).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("•") | F.trim(l).startswith("- "),
+        )
+    ).cast("long")
+    n_ellipsis_end = F.size(
+        F.filter(lines, lambda l: F.trim(l).endswith("..."))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    toks = tokens(text_col)
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    n_required = F.size(
+        F.filter(req, lambda w: F.array_contains(toks, w))
+    ).cast("long")
+
+    flags = {
+        "ok_word_count": (n_words >= F.lit(int(min_words)))
+        & (n_words <= F.lit(int(max_words))),
+        # 3 <= sum/n <= 10 by cross-multiplication (n=0 handled by
+        # ok_word_count; the comparison itself stays false-safe: 0<=0<=0)
+        "ok_mean_word_len": (F.lit(3) * n_words <= sum_len)
+        & (sum_len <= F.lit(10) * n_words),
+        # sym/words <= 0.1  <=>  10*sym <= words
+        "ok_symbol_ratio": F.lit(10) * n_sym <= n_words,
+        # bullet lines < 90%  <=>  10*bullet < 9*lines
+        "ok_bullet_lines": F.lit(10) * n_bullet < F.lit(9) * F.greatest(n_lines, F.lit(1).cast("long")),
+        # ellipsis-ending lines <= 30%  <=>  10*ell <= 3*lines
+        "ok_ellipsis_lines": F.lit(10) * n_ellipsis_end
+        <= F.lit(3) * F.greatest(n_lines, F.lit(1).cast("long")),
+        # >= 80% words with an alphabetic char  <=>  5*alpha >= 4*words
+        "ok_alpha_words": F.lit(5) * n_alpha >= F.lit(4) * n_words,
+        "ok_required_words": n_required >= F.lit(2),
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        *[c.alias(name) for name, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_quality_sql(
+    table: str = "documents",
+    col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> str:
+    """DuckDB twin of ``gopher_quality``: identical whitespace/line
+    splits, identical integer cross-multiplied thresholds."""
+    req = "[" + ", ".join(f"'{w}'" for w in GOPHER_REQUIRED_WORDS) + "]"
+    toks = TOKENS_SQL.format(col=col)
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '') AS words,
+           list_filter(regexp_split_to_array({col}, '\\n'), x -> x <> '') AS lines,
+           CAST(length({col}) - length(replace({col}, '#', '')) AS BIGINT)
+               + CAST(len(regexp_extract_all({col}, '\\.\\.\\.')) AS BIGINT) AS n_sym,
+           len(list_filter({req}, w -> list_contains({toks}, w))) AS n_required
+    FROM {table}
+),
+counted AS (
+    SELECT doc_id, n_sym, n_required,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
+                AS BIGINT) AS sum_len,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(lines, l ->
+                starts_with(trim(l), chr(8226)) OR starts_with(trim(l), '- ')))
+                AS BIGINT) AS n_bullet,
+           CAST(len(list_filter(lines, l -> suffix(trim(l), '...')))
+                AS BIGINT) AS n_ellipsis_end,
+           CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+                AS BIGINT) AS n_alpha
+    FROM base
+)
+SELECT doc_id, n_words,
+       (n_words >= {int(min_words)} AND n_words <= {int(max_words)}) AS ok_word_count,
+       (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS ok_mean_word_len,
+       (10 * n_sym <= n_words) AS ok_symbol_ratio,
+       (10 * n_bullet < 9 * greatest(n_lines, 1)) AS ok_bullet_lines,
+       (10 * n_ellipsis_end <= 3 * greatest(n_lines, 1)) AS ok_ellipsis_lines,
+       (5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
+       (n_required >= 2) AS ok_required_words,
+       (n_words >= {int(min_words)} AND n_words <= {int(max_words)}
+        AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+        AND 10 * n_sym <= n_words
+        AND 10 * n_bullet < 9 * greatest(n_lines, 1)
+        AND 10 * n_ellipsis_end <= 3 * greatest(n_lines, 1)
+        AND 5 * n_alpha >= 4 * n_words
+        AND n_required >= 2) AS keep
+FROM counted
+"""
+
+
+# ---------------------------------------------------------------------------
+# t11: C4-style line-level cleaning (round 9)
+# ---------------------------------------------------------------------------
+
+
+def c4_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style line-level page cleaning — the published rule set of
+    Raffel et al. 2020 (arXiv:1910.10683 §2.2, the C4 corpus recipe),
+    still the canonical first pass for web text: keep only lines that end
+    in terminal punctuation (. ! ? ") AND contain at least 5 words AND do
+    not mention javascript; drop the whole page if it contains "lorem
+    ipsum" or a curly brace, or if fewer than 3 lines survive (the
+    paper's >= 3 sentences rule, with surviving terminal-punctuated
+    lines as the sentence proxy — documented divergence: C4 used a
+    sentence splitter; a line that passed the terminal-punctuation rule
+    IS a sentence boundary for web text).
+
+    Returns (doc_id, n_lines, n_kept_lines, has_lorem, has_brace, kept,
+    clean_text): per-page audit counters plus the reassembled cleaned
+    text (newline-joined surviving lines; empty string when the page is
+    dropped, so downstream consumers never see half-cleaned text).
+
+    100 TB shape: pure map-side higher-order functions over the line
+    array (split → filter with nested word-count filter → concat) inside
+    whole-stage codegen — zero shuffles, zero Python, scan-bandwidth
+    bound like t8/t10. The DuckDB twin (``c4_clean_sql``) replays the
+    identical lambdas."""
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != F.lit(""))
+
+    def _line_ok(l):
+        t = F.trim(l)
+        n_words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != F.lit("")))
+        return (
+            t.rlike('[.!?"]$')
+            & (n_words >= F.lit(5))
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept_lines = F.filter(lines, _line_ok)
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+    n_kept = F.size(kept_lines).cast("long")
+    page_ok = (~has_lorem) & (~has_brace) & (n_kept >= F.lit(3))
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        page_ok.alias("kept"),
+        F.when(page_ok, F.array_join(F.transform(kept_lines, F.trim), "\n"))
+        .otherwise(F.lit(""))
+        .alias("clean_text"),
+    )
+
+
+def c4_clean_sql(table: str = "documents", col: str = "text") -> str:
+    """DuckDB twin of ``c4_clean``: same line split, same per-line lambda
+    (terminal punctuation, >= 5 words, no 'javascript'), same page rules."""
+    line_ok = (
+        "regexp_matches(trim(l), '[.!?\"]$') "
+        "AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'), "
+        "w -> w <> '')) >= 5 "
+        "AND NOT contains(lower(trim(l)), 'javascript')"
+    )
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array({col}, '\\n'),
+                       x -> trim(x) <> '') AS lines,
+           contains(lower({col}), 'lorem ipsum') AS has_lorem,
+           contains({col}, '{{') AS has_brace
+    FROM {table}
+),
+cleaned AS (
+    SELECT doc_id, has_lorem, has_brace,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           list_filter(lines, l -> {line_ok}) AS kept_lines
+    FROM base
+)
+SELECT doc_id, n_lines,
+       CAST(len(kept_lines) AS BIGINT) AS n_kept_lines,
+       has_lorem, has_brace,
+       (NOT has_lorem AND NOT has_brace AND len(kept_lines) >= 3) AS kept,
+       CASE WHEN NOT has_lorem AND NOT has_brace AND len(kept_lines) >= 3
+            THEN array_to_string(list_transform(kept_lines, l -> trim(l)), chr(10))
+            ELSE '' END AS clean_text
+FROM cleaned
+"""

@@ -18,6 +18,7 @@ single-job rewrite even at scale.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -238,6 +239,38 @@ class BatchedCompactionSink:
             raise ValueError("files_per_batch must be positive (or None)")
         self.path = path
         self.staging = staging or (path.rstrip("/") + ".staging")
+        # Stale-staging guard (r8 advice): the staging dir is derived
+        # from the serving path, so a crashed or earlier run against the
+        # SAME serving table can leave rows behind — silently merged on
+        # the next flush, and their __bid values (from a DIFFERENT
+        # checkpoint's batch numbering) can win the max-batch-id dedup
+        # over fresh rows. Staging is by contract this sink's exclusive
+        # scratch space, so a pre-existing dir is always stale: warn and
+        # clear it at construction (local paths; a remote-scheme staging
+        # dir gets the warning only — clearing it is the operator's
+        # deployment-specific call).
+        if "://" not in self.staging and os.path.exists(self.staging):
+            import shutil as _shutil
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"BatchedCompactionSink: clearing pre-existing staging dir "
+                f"{self.staging!r} (stale rows from a prior run would be "
+                "merged with foreign batch ids)",
+                UserWarning,
+                stacklevel=2,
+            )
+            _shutil.rmtree(self.staging, ignore_errors=True)
+        elif "://" in self.staging:
+            import warnings as _warnings
+
+            _warnings.warn(
+                f"BatchedCompactionSink: cannot check remote staging dir "
+                f"{self.staging!r} for stale rows — ensure it is empty "
+                "before starting the query",
+                UserWarning,
+                stacklevel=2,
+            )
         self.merge_every = merge_every
         # A micro-batch of CLOSED windows is tiny relative to the corpus
         # (≤ symbols × minutes-closed rows), but the aggregation output

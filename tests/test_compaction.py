@@ -172,3 +172,47 @@ def test_batched_sink_rejects_bad_merge_every(tmp_path):
 
     with pytest.raises(ValueError):
         BatchedCompactionSink(str(tmp_path / "t"), merge_every=0)
+
+
+def test_batched_sink_clears_stale_staging_at_construction(spark, tmp_path):
+    """r8 advice: leftover staging from a crashed/earlier run against the
+    same serving path must not be silently merged (its __bid values come
+    from a FOREIGN batch numbering). Construction warns and clears a
+    pre-existing staging dir, so the first flush merges only this run's
+    rows."""
+    import os
+    import warnings
+
+    import pytest
+
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        BatchedCompactionSink,
+    )
+
+    candles = multi_frame_candles(load_trades(spark, SF_DIR), ["MINUTE"])
+    b0 = candles.where(F.col("symbol") == candles.select("symbol").first()[0])
+    path = str(tmp_path / "serving")
+
+    # a previous run leaves STALE staged rows with a sky-high batch id —
+    # doctored prices, so a wrongful merge is visible in the output
+    stale_sink = BatchedCompactionSink(path, merge_every=100)
+    stale_sink(b0.withColumn("close", F.lit(-1.0)), 999)
+    staging = path.rstrip("/") + ".staging"
+    assert os.path.exists(staging)
+
+    with pytest.warns(UserWarning, match="staging"):
+        sink = BatchedCompactionSink(path, merge_every=100)
+    assert not os.path.exists(staging)
+    sink(b0, 0)
+    sink.flush()
+    got = _snapshot(spark, path)
+    want = sorted(
+        map(
+            tuple,
+            b0.select(
+                "symbol", "time_frame", "bucket_start", "open", "high", "low",
+                "close", "volume",
+            ).collect(),
+        )
+    )
+    assert got == want  # the -1.0 doctored rows never reached serving

@@ -256,3 +256,102 @@ def test_mixture_sample_rejects_bad_params(spark):
         temperature_mixture_sample(docs, target_frac=0.0)
     with _pytest.raises(ValueError):
         temperature_mixture_sample(docs, alpha_quarters=5)
+
+
+# ---------------------------------------------------------------------------
+# round 9: matmul assignment, verify prune, cap-mirrored twin, stage stats
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_matmul_equivalent_to_fold(spark, planted):
+    """assign_mode='matmul' (the paper-scale Arrow matmul path) must pick
+    the same clusters and the same survivors as the oracle-exact fold on
+    the planted fixture — equivalence modulo argmax ties, which the
+    random corpus does not produce."""
+    from stock_chart_kafka_streams_spark.operators.similarity import semantic_dedup
+
+    fold = sorted(
+        (r["vec_id"], r["cid"])
+        for r in semantic_dedup(planted, threshold=0.99).collect()
+    )
+    matmul = sorted(
+        (r["vec_id"], r["cid"])
+        for r in semantic_dedup(
+            planted, threshold=0.99, assign_mode="matmul"
+        ).collect()
+    )
+    assert fold == matmul
+
+
+def test_semantic_dedup_verify_prune_is_lossless(spark, planted):
+    """The spherical-triangle-inequality prune is a NECESSARY-condition
+    filter: enabling it must not change a single output row (values
+    included) — it only skips pairs the exact verify would reject."""
+    from stock_chart_kafka_streams_spark.operators.similarity import semantic_dedup
+
+    on = sorted(
+        map(tuple, semantic_dedup(planted, threshold=0.99, verify_prune=True).collect())
+    )
+    off = sorted(
+        map(tuple, semantic_dedup(planted, threshold=0.99, verify_prune=False).collect())
+    )
+    assert on == off
+
+
+def test_semantic_dedup_sql_mirrors_cap_above_threshold(spark, duck):
+    """r8 advice: above the cap the twin used to enumerate UNCAPPED pairs
+    and silently diverge. The round-9 twin replays the same md5
+    salt-split, so a 600-member mega-cluster at cap=50 must now agree
+    cross-engine row-for-row (ids, cluster ids and cent_cos)."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        EMBED_DIM,
+        semantic_dedup,
+        semantic_dedup_sql,
+    )
+
+    base = [0.3 + 0.01 * (i % 7) for i in range(EMBED_DIM)]
+    vecs = spark.createDataFrame(
+        [(i, base) for i in range(600)], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        (r["vec_id"], r["cid"], round(r["cent_cos"], 9))
+        for r in semantic_dedup(
+            vecs, threshold=0.99, n_centroids=4, cluster_cap=50
+        ).collect()
+    )
+    lit = "[" + ", ".join(repr(x) for x in base) + "]"
+    cte = (
+        f"e AS (SELECT CAST(i AS BIGINT) AS vec_id, {lit}::DOUBLE[] AS v "
+        "FROM range(600) t(i))"
+    )
+    sql = semantic_dedup_sql(
+        threshold=0.99, n_centroids=4, cluster_cap=50, source_cte=cte
+    )
+    want = sorted((r[0], r[1], round(r[2], 9)) for r in duck.execute(sql).fetchall())
+    assert got == want
+    assert len(got) < 600  # the mega-cluster did dedup within sub-buckets
+
+
+def test_semantic_dedup_stats_and_cap_warning(spark):
+    """stats records the stage walls and the over-cap cluster count; a
+    UserWarning names the recall trade when the cap actually splits."""
+    import warnings
+
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        EMBED_DIM,
+        semantic_dedup,
+    )
+
+    base = [0.3 + 0.01 * (i % 7) for i in range(EMBED_DIM)]
+    vecs = spark.createDataFrame(
+        [(i, base) for i in range(200)], "vec_id long, embedding array<double>"
+    )
+    stats = {}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        semantic_dedup(
+            vecs, threshold=0.99, n_centroids=2, cluster_cap=50, stats=stats
+        ).collect()
+    assert stats["train_s"] >= 0 and stats["assign_s"] >= 0
+    assert stats["n_capped_clusters"] >= 1
+    assert any("cluster_cap" in str(w.message) for w in caught)
