@@ -1176,6 +1176,24 @@ def _q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_rarity(_docs(spark, sf_dir), top_k=100)
 
 
+def _q_t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality filter (Rae et al. 2021, Table A1): per-rule
+    flags + conjunctive keep, all thresholds as exact integer
+    cross-multiplication (operators/text.py::gopher_quality)."""
+    from stock_chart_kafka_streams_spark.operators.text import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+def _q_t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): terminal
+    punctuation / >=5 words / javascript line rules, lorem-ipsum / brace /
+    >=3-surviving-lines page rules (operators/text.py::c4_clean)."""
+    from stock_chart_kafka_streams_spark.operators.text import c4_clean
+
+    return c4_clean(_docs(spark, sf_dir))
+
+
 def _q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup-style cluster-then-prune): k-means cluster
     the planted near-dup corpus, enumerate pairs only within clusters,
@@ -1391,6 +1409,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7a_quality_approx": _q_p7a,
         "i3_rsi": _q_i3,
         "i4_drawdown": _q_i4,
+        "t10_gopher_quality": _q_t10,
+        "t11_c4_clean": _q_t11,
     }
 
 
@@ -1545,6 +1565,8 @@ FROM documents
         ),
         "p4b_ngram_collision": _tx.ngram_collision_decontaminate_sql(),
         "t9_unigram_rarity": _tx.unigram_rarity_sql(top_k=100),
+        "t10_gopher_quality": _tx.gopher_quality_sql(),
+        "t11_c4_clean": _tx.c4_clean_sql(),
         "p10_mixture_sample": _sampling.temperature_mixture_sample_sql(
             target_frac=0.5, alpha_quarters=2
         ),

@@ -166,6 +166,8 @@ def _tier2_queries(
     from stock_chart_kafka_streams_spark.operators.dedup import dedup_minhash
     from stock_chart_kafka_streams_spark.operators.joins import asof_join
     from stock_chart_kafka_streams_spark.operators.text import (
+        c4_clean,
+        gopher_quality,
         ngram_collision_decontaminate,
         training_set_selection,
         unigram_rarity,
@@ -270,6 +272,11 @@ def _tier2_queries(
         # top-k vocab -> one doc-keyed agg. The two shuffles are the
         # operator's whole wire cost.
         "t2_t9_unigram_rarity_100x": lambda: unigram_rarity(docs, top_k=50_000),
+        # t10/t11 (round 9): pure map-side rule filters — per-row
+        # split/regexp integer arithmetic in whole-stage codegen, zero
+        # shuffles; wall-clock IS the corpus scan (t8's cost class).
+        "t2_t10_gopher_100x": lambda: gopher_quality(docs),
+        "t2_t11_c4_clean_100x": lambda: c4_clean(docs),
         # p4b exact n-gram collision decontamination over the 500k
         # corpus vs a ~50-doc benchmark slice: two map-side gram scans +
         # a broadcast semi-join — wall-clock is the tokenize+md5 scan,

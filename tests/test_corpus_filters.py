@@ -238,3 +238,107 @@ def test_vocabulary_stats_empty_corpus(spark):
     out = vocabulary_stats(docs, top_n=3)
     assert out.columns == ["rank", "tok", "cnt", "doc_freq", "cum_coverage"]
     assert out.count() == 0
+
+
+# -- t10 Gopher rules / t11 C4 cleaning (round 9): planted-rule checks;
+# exact oracle parity is in test_new_queries --------------------------------
+
+
+def test_gopher_rules_fire_individually(spark):
+    """Each published rule (Rae et al. 2021 Table A1) trips on a doc
+    built to violate exactly that rule while a clean doc passes all."""
+    from stock_chart_kafka_streams_spark.operators.text import gopher_quality
+
+    clean = (
+        "the quick brown fox jumps over that lazy dog and we have "
+        "plenty of ordinary words to be well within every published "
+        "bound with room to spare because this sentence keeps going "
+        "and going with normal english words of usual length today "
+        "while adding several more everyday terms so the total word "
+        "count clears fifty comfortably for the filter under test"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "too short to have fifty words the of and that"),  # word count
+            (3, " ".join(["supercalifragilisticexpialidocious"] * 60) + " the of"),  # mean len
+            (4, clean + " " + "# " * 30),  # symbol ratio
+            (5, "\n".join(["• " + clean] * 10)),  # bullet lines
+            (6, "\n".join([clean + " so it trails off..."] * 10)),  # ellipsis lines
+            (7, clean + " " + "12345 " * 60),  # alpha words
+            (8, " ".join(["apple banana cherry grape melon"] * 12)),  # required words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_quality(docs, min_words=50).collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["keep"] is False
+    assert out[3]["ok_mean_word_len"] is False
+    assert out[4]["ok_symbol_ratio"] is False
+    assert out[5]["ok_bullet_lines"] is False
+    assert out[6]["ok_ellipsis_lines"] is False
+    assert out[7]["ok_alpha_words"] is False
+    assert out[8]["ok_required_words"] is False
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """Line rules: terminal punctuation, >=5 words, no 'javascript'.
+    Page rules: lorem ipsum, curly brace, >=3 surviving lines."""
+    from stock_chart_kafka_streams_spark.operators.text import c4_clean
+
+    good = "this line has plenty of words and ends properly."
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([good, "short line.", "no terminal punctuation here",
+                           "Enable JavaScript to view this page.", good, good])),
+            (2, "\n".join([good] * 5) + "\nlorem ipsum dolor sit amet."),
+            (3, "\n".join([good] * 5) + "\nvar x = { broken: true };"),
+            (4, "\n".join([good, good])),  # only 2 surviving lines
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert out[1]["kept"] is True
+    # the three bad lines (short, no punctuation, javascript) are gone
+    assert out[1]["n_kept_lines"] == 3
+    assert out[1]["clean_text"] == "\n".join([good, good, good])
+    assert out[2]["has_lorem"] is True and out[2]["kept"] is False
+    assert out[2]["clean_text"] == ""
+    assert out[3]["has_brace"] is True and out[3]["kept"] is False
+    assert out[4]["n_kept_lines"] == 2 and out[4]["kept"] is False
+
+
+def test_c4_and_gopher_planted_cross_engine(spark, duck):
+    """The planted rule-violating fixtures must agree cross-engine too —
+    the real corpus is punctuation-free, so without this the oracle never
+    exercises the rule branches."""
+    import pandas as pd
+
+    from stock_chart_kafka_streams_spark.operators.text import (
+        c4_clean,
+        c4_clean_sql,
+        gopher_quality,
+        gopher_quality_sql,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps. over that lazy dog we have gone.\n"
+            "a second proper sentence with enough words to count here.\n"
+            "and a third proper sentence with enough words to pass too."),
+        (2, "• bullet one\n• bullet two\nshort."),
+        (3, "lorem ipsum dolor { # ... the of and that have with be to"),
+        (4, " ".join(["word"] * 60) + " the of."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vals = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "')"
+        for i, t in rows
+    )
+    duck.execute(f"CREATE OR REPLACE TEMP VIEW planted_docs AS SELECT * FROM (VALUES {vals}) AS v(doc_id, text)")
+    for op, sql in (
+        (gopher_quality, gopher_quality_sql(table="planted_docs")),
+        (c4_clean, c4_clean_sql(table="planted_docs")),
+    ):
+        got = op(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+        want = duck.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)

@@ -99,6 +99,8 @@ def _canon(rows, cols):
         "p7a_quality_approx",
         "i3_rsi",
         "i4_drawdown",
+        "t10_gopher_quality",
+        "t11_c4_clean",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):
