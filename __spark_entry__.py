@@ -1194,6 +1194,24 @@ def _q_t11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_clean(_docs(spark, sf_dir))
 
 
+def _q_t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's corpus-level three-span dedup (Raffel et al. 2020 §2.2's
+    "discard all but one of any three-sentence span") over a
+    deterministically derived MULTI-LINE corpus — the raw documents are
+    single-line, so ' merge ' occurrences become line breaks in BOTH
+    engines (literal replace, exact) to give the global first-occurrence
+    rule real duplicate spans to resolve under the oracle
+    (operators/text.py::c4_span_dedup)."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.text import c4_span_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.replace(F.col("text"), F.lit(" merge "), F.lit("\n")).alias("text")
+    )
+    return c4_span_dedup(docs)
+
+
 def _q_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup (SemDeDup-style cluster-then-prune): k-means cluster
     the planted near-dup corpus, enumerate pairs only within clusters,
@@ -1411,6 +1429,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i4_drawdown": _q_i4,
         "t10_gopher_quality": _q_t10,
         "t11_c4_clean": _q_t11,
+        "t12_c4_span_dedup": _q_t12,
     }
 
 
@@ -1567,6 +1586,10 @@ FROM documents
         "t9_unigram_rarity": _tx.unigram_rarity_sql(top_k=100),
         "t10_gopher_quality": _tx.gopher_quality_sql(),
         "t11_c4_clean": _tx.c4_clean_sql(),
+        "t12_c4_span_dedup": _tx.c4_span_dedup_sql(
+            table="(SELECT doc_id, replace(text, ' merge ', chr(10)) AS text "
+            "FROM documents) mdocs"
+        ),
         "p10_mixture_sample": _sampling.temperature_mixture_sample_sql(
             target_frac=0.5, alpha_quarters=2
         ),

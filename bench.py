@@ -167,6 +167,7 @@ def _tier2_queries(
     from stock_chart_kafka_streams_spark.operators.joins import asof_join
     from stock_chart_kafka_streams_spark.operators.text import (
         c4_clean,
+        c4_span_dedup,
         gopher_quality,
         ngram_collision_decontaminate,
         training_set_selection,
@@ -277,6 +278,18 @@ def _tier2_queries(
         # shuffles; wall-clock IS the corpus scan (t8's cost class).
         "t2_t10_gopher_100x": lambda: gopher_quality(docs),
         "t2_t11_c4_clean_100x": lambda: c4_clean(docs),
+        # t12 corpus-level span dedup over a derived multi-line corpus
+        # (' merge ' -> newline, same derivation as the oracle entry):
+        # ONE hash-keyed window over slim (h, doc_id, start) rows + a
+        # doc-keyed removal aggregation — span strings never shuffle.
+        "t2_t12_span_dedup_100x": lambda: c4_span_dedup(
+            docs.select(
+                "doc_id",
+                F.replace(F.col("text"), F.lit(" merge "), F.lit("\n")).alias(
+                    "text"
+                ),
+            )
+        ),
         # p4b exact n-gram collision decontamination over the 500k
         # corpus vs a ~50-doc benchmark slice: two map-side gram scans +
         # a broadcast semi-join — wall-clock is the tokenize+md5 scan,

@@ -1321,3 +1321,128 @@ SELECT doc_id, n_lines,
             ELSE '' END AS clean_text
 FROM cleaned
 """
+
+
+def c4_span_dedup(
+    docs: DataFrame, text_col: str = "text", span: int = 3
+) -> DataFrame:
+    """C4's CORPUS-level dedup stage (Raffel et al. 2020 \u00a72.2: "we
+    discarded all but one of any three-sentence span occurring more than
+    once in the data set") --- the global companion to ``c4_clean``'s
+    per-page rules, with the same line-as-sentence proxy. Every sliding
+    ``span``-line window is hashed; the globally FIRST occurrence (by
+    lexicographic (doc_id, start) --- deterministic, engine-independent)
+    survives, and every line covered by a later duplicate occurrence is
+    dropped before the text is reassembled. Returns (doc_id, n_lines,
+    n_removed_lines, clean_text).
+
+    Scale shape: the span STRING never crosses the wire --- spans are
+    md5-hashed map-side inside the per-doc array transform (separator =
+    \\x01, a byte no cleaned text contains), so the only corpus-scale
+    shuffle carries (hash, doc_id, start) triples: one hash-partitioned
+    window ranks occurrences (row_number over a many-distinct-key
+    partition --- millions of tiny groups, the opposite of the t7
+    funnel), losers explode to (doc_id, pos) removals, and one doc-keyed
+    aggregation collects each doc's removal set for the array-filter
+    rebuild. Work is O(total lines), shuffle payload is O(spans x 48
+    bytes)."""
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    from pyspark.sql.window import Window
+
+    text = F.col(text_col)
+    lines_col = F.transform(
+        F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != F.lit("")),
+        F.trim,
+    )
+    base = docs.select("doc_id", lines_col.alias("lines"))
+    n = F.size(F.col("lines"))
+    span_hashes = F.when(
+        n >= F.lit(int(span)),
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(int(span))),
+            lambda i: F.md5(
+                F.concat_ws("\x01", F.slice(F.col("lines"), i + 1, int(span)))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = base.select(
+        "doc_id", F.posexplode(span_hashes).alias("start", "h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "start")
+    dups = (
+        spans.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(int(span) - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    rem = dups.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("pos")).alias("rem")
+    )
+    joined = base.join(rem, on="doc_id", how="left").select(
+        "doc_id",
+        "lines",
+        F.coalesce(F.col("rem"), F.array().cast("array<int>")).alias("rem"),
+    )
+    kept = F.filter(
+        F.col("lines"), lambda x, i: ~F.array_contains(F.col("rem"), i)
+    )
+    return joined.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size("rem").cast("long").alias("n_removed_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def c4_span_dedup_sql(
+    table: str = "documents", col: str = "text", span: int = 3
+) -> str:
+    """DuckDB twin of ``c4_span_dedup``: same trimmed-line split, same
+    md5 over the chr(1)-joined sliding window, same global
+    (doc_id, start) first-occurrence rule."""
+    return f"""
+WITH base AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(regexp_split_to_array({col}, '\\n'),
+                           x -> trim(x) <> ''),
+               x -> trim(x)) AS lines
+    FROM {table}
+),
+spans AS (
+    SELECT b.doc_id, u.i AS start,
+           md5(array_to_string(list_slice(b.lines, u.i + 1, u.i + {int(span)}),
+                               chr(1))) AS h
+    FROM base b, UNNEST(range(len(b.lines) - {int(span) - 1})) AS u(i)
+),
+dups AS (
+    SELECT doc_id, start FROM (
+        SELECT doc_id, start,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+        FROM spans
+    ) WHERE rn > 1
+),
+removed AS (
+    SELECT DISTINCT d.doc_id, d.start + o.o AS pos
+    FROM dups d, UNNEST(range({int(span)})) AS o(o)
+),
+rem AS (
+    SELECT doc_id, list_sort(list(pos)) AS rem FROM removed GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.lines) AS BIGINT) AS n_lines,
+       CAST(COALESCE(len(r.rem), 0) AS BIGINT) AS n_removed_lines,
+       COALESCE(array_to_string(
+           list_transform(
+               list_filter(range(len(b.lines)),
+                           i -> NOT list_contains(COALESCE(r.rem, []), i)),
+               i -> b.lines[i + 1]),
+           chr(10)), '') AS clean_text
+FROM base b LEFT JOIN rem r USING (doc_id)
+"""

@@ -342,3 +342,83 @@ def test_c4_and_gopher_planted_cross_engine(spark, duck):
         got = op(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
         want = duck.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_c4_span_dedup_global_first_occurrence(spark):
+    """The globally-first (doc_id, start) occurrence of a duplicated
+    3-line span survives; every line of the later occurrence is removed;
+    docs shorter than the span are untouched."""
+    from stock_chart_kafka_streams_spark.operators.text import c4_span_dedup
+
+    block = "alpha one two.\nbeta three four.\ngamma five six."
+    docs = spark.createDataFrame(
+        [
+            (1, "intro line here.\n" + block + "\nown outro line."),
+            (2, block + "\nunrelated closing line."),  # later dup of block
+            (3, "short doc.\nonly two lines."),  # < span: no spans at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_span_dedup(docs).collect()}
+    assert out[1]["n_removed_lines"] == 0  # first occurrence keeps all 5
+    assert out[2]["n_removed_lines"] == 3
+    assert out[2]["clean_text"] == "unrelated closing line."
+    assert out[3]["n_removed_lines"] == 0
+    assert out[3]["clean_text"] == "short doc.\nonly two lines."
+
+
+def test_c4_span_dedup_within_doc_repetition(spark):
+    """A doc repeating its own 3-line block keeps only the first copy —
+    the same rule applies intra-document."""
+    from stock_chart_kafka_streams_spark.operators.text import c4_span_dedup
+
+    block = "row a here now.\nrow b here now.\nrow c here now."
+    docs = spark.createDataFrame(
+        [(7, block + "\n" + block)], "doc_id long, text string"
+    )
+    out = c4_span_dedup(docs).collect()[0]
+    assert out["n_lines"] == 6
+    assert out["n_removed_lines"] == 3
+    assert out["clean_text"] == block
+
+
+def test_c4_span_dedup_planted_cross_engine(spark, duck):
+    """Planted multi-line fixture agrees cross-engine (the real corpus is
+    single-line, so this is what pins the removal path bit-for-bit)."""
+    import pandas as pd
+
+    from stock_chart_kafka_streams_spark.operators.text import (
+        c4_span_dedup,
+        c4_span_dedup_sql,
+    )
+
+    block = "one fine line.\ntwo fine lines.\nthree fine lines."
+    rows = [
+        (1, "lead.\n" + block),
+        (2, block + "\ntail."),
+        (3, block),
+        (4, "totally unrelated.\ncontent lives here.\nthird line present."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vals = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''").replace("\n", "' || chr(10) || '") + "')"
+        for i, t in rows
+    )
+    duck.execute(
+        f"CREATE OR REPLACE TEMP VIEW planted_span_docs AS "
+        f"SELECT * FROM (VALUES {vals}) AS v(doc_id, text)"
+    )
+    got = c4_span_dedup(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        duck.execute(c4_span_dedup_sql(table="planted_span_docs"))
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # docs 2 and 3 both lose the block (doc 1 is first), doc 4 untouched
+    by_id = {r["doc_id"]: r for _, r in got.iterrows()}
+    assert by_id[1]["n_removed_lines"] == 0
+    assert by_id[2]["n_removed_lines"] == 3 and by_id[2]["clean_text"] == "tail."
+    assert by_id[3]["n_removed_lines"] == 3 and by_id[3]["clean_text"] == ""
+    assert by_id[4]["n_removed_lines"] == 0

@@ -101,6 +101,7 @@ def _canon(rows, cols):
         "i4_drawdown",
         "t10_gopher_quality",
         "t11_c4_clean",
+        "t12_c4_span_dedup",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):
