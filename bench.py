@@ -479,10 +479,10 @@ def _tier2_queries(
     # d8 at the PAPER-scale configuration shape (r8 verdict #2): 2048
     # centroids via assign_mode="matmul" — the fold would need 2048
     # literal plan columns (infeasible: plan size/codegen), the matmul
-    # keeps the plan O(1) in k. One Lloyd round on the 1/10 sample
-    # (training crossJoins sample × k; at k=2048 training is the
-    # dominant cost and is NOT the stage under test — its wall is
-    # recorded separately). Sub-linear-in-k evidence: compare
+    # keeps the plan O(1) in k. One Lloyd round on the 1/10 sample;
+    # matmul mode applies to the TRAINING assignment too (the Lloyd
+    # crossJoin+window measured 93 s of a 107 s run at k=2048 before
+    # the passthrough). Sub-linear-in-k evidence: compare
     # d8_matmul_2048_assign_s against d8_assign_s (fold, k=256).
     st = {}
     spark.sparkContext._jvm.System.gc()

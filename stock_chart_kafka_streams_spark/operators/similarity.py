@@ -312,8 +312,10 @@ def ivf_build_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
+    assign_mode: str = "fold",
 ) -> list[list[float]]:
-    """Deterministic, CROSS-ENGINE-EXACT mini k-means.
+    """Deterministic, CROSS-ENGINE-EXACT mini k-means (in the default
+    ``assign_mode="fold"``).
 
     - Seeding: the ``n_centroids`` corpus vectors that sort first under
       ``(md5(cast(id as string)), id)`` — a deterministic pseudo-random
@@ -330,7 +332,21 @@ def ivf_build_centroids(
 
     Only centroid-sized aggregates (n_centroids × dim longs) reach the
     driver — assignment and summation are distributed.
-    """
+
+    ``assign_mode="matmul"`` (round 9): the Lloyd-round assignment runs
+    as the Arrow-batched numpy matmul (``_assign_matmul``) instead of
+    the crossJoin + per-id rank window — at paper-scale centroid counts
+    the crossJoin materializes train_rows × k wide rows and the window
+    re-sorts them (measured: 93 s of a 107 s d8 run at k=2048, sample
+    5k), while the matmul assigns each training batch in one
+    (batch × dim) @ (dim × k) product with nothing shuffled. The
+    quantized-BIGINT averaging is unchanged, but numpy's summation
+    order can flip a near-tied argmax, so this mode is NOT
+    bit-exact-oracle-safe — it exists for the paper-scale path
+    (``semantic_dedup(assign_mode="matmul")`` passes it through);
+    oracle comparisons keep the default fold."""
+    if assign_mode not in ("fold", "matmul"):
+        raise ValueError(f"assign_mode must be 'fold' or 'matmul', got {assign_mode!r}")
     c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
     # hash-ordered top-N seeding: orderBy+limit plans as a distributed
     # TakeOrdered (per-partition top-N then driver merge), unlike a global
@@ -345,27 +361,34 @@ def ivf_build_centroids(
 
     c = c.withColumn("nv", _norm(F.col("v"), dim))
     for _ in range(iterations):
-        cent_df = F.broadcast(
-            c.sparkSession.createDataFrame(
-                [(i, v) for i, v in enumerate(centroids)],
-                "cid int, cv array<double>",
-            ).withColumn("ncv", _norm(F.col("cv"), dim))
-        )
-        assigned = (
-            c.crossJoin(cent_df)
-            .withColumn(
-                "d",
-                _dot_unrolled(F.col("v"), F.col("cv"), dim)
-                / (F.col("nv") * F.col("ncv")),
+        if assign_mode == "matmul":
+            assigned = _assign_matmul(
+                c.select(F.col(id_col), "v"), centroids, id_col
             )
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy(F.col("d").desc(), F.col("cid"))
-                ),
+        else:
+            cent_df = F.broadcast(
+                c.sparkSession.createDataFrame(
+                    [(i, v) for i, v in enumerate(centroids)],
+                    "cid int, cv array<double>",
+                ).withColumn("ncv", _norm(F.col("cv"), dim))
             )
-            .where(F.col("rk") == 1)
-        )
+            assigned = (
+                c.crossJoin(cent_df)
+                .withColumn(
+                    "d",
+                    _dot_unrolled(F.col("v"), F.col("cv"), dim)
+                    / (F.col("nv") * F.col("ncv")),
+                )
+                .withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy(id_col).orderBy(
+                            F.col("d").desc(), F.col("cid")
+                        )
+                    ),
+                )
+                .where(F.col("rk") == 1)
+            )
         sums = (
             assigned.select(
                 "cid",
@@ -1170,6 +1193,10 @@ def semantic_dedup(
     centroids = ivf_build_centroids(
         train, n_centroids, iterations=iterations,
         id_col=id_col, vec_col=vec_col, dim=dim,
+        # matmul mode applies to TRAINING assignment too — at paper-scale
+        # k the Lloyd crossJoin+window dominates end-to-end wall (93 s of
+        # 107 s at k=2048 measured before this passthrough)
+        assign_mode=assign_mode,
     )
     if not centroids:
         raise ValueError(
