@@ -363,7 +363,7 @@ def ivf_build_centroids(
     for _ in range(iterations):
         if assign_mode == "matmul":
             assigned = _assign_matmul(
-                c.select(F.col(id_col), "v"), centroids, id_col
+                c.select(F.col(id_col), "v"), centroids, id_col, dim
             )
         else:
             cent_df = F.broadcast(
@@ -1070,6 +1070,7 @@ def semantic_dedup(
     assign_mode: str = "fold",
     verify_prune: bool = True,
     stats: dict | None = None,
+    warn_over_cap: bool = True,
 ) -> DataFrame:
     """Semantic (embedding-space) dedup by cluster-then-prune — the
     SemDeDup recipe (Abbas et al., arXiv:2303.09540): k-means-cluster the
@@ -1155,9 +1156,12 @@ def semantic_dedup(
     ~50k clusters for exactly this reason); the cap is the guard for the
     skewed tail only. The DuckDB twin (``semantic_dedup_sql``) mirrors
     the same salted sub-bucket split since round 9, so engine and oracle
-    agree even ABOVE the cap. When ``stats`` is supplied, the number of
-    over-cap clusters is recorded (``n_capped_clusters``) and a
-    ``UserWarning`` is emitted if any cluster was split.
+    agree even ABOVE the cap. The over-cap check runs UNCONDITIONALLY
+    (``warn_over_cap=True`` default — one cheap count over the
+    checkpointed assignment): a ``UserWarning`` names the recall trade
+    whenever any cluster was split, and ``stats`` (when supplied)
+    records the count as ``n_capped_clusters``; pass
+    ``warn_over_cap=False`` to skip the extra pass.
 
     ``stats`` (opt-in) also records per-stage walls: ``train_s`` (Lloyd
     rounds incl. sampling) and ``assign_s`` (assignment scan +
@@ -1208,7 +1212,7 @@ def semantic_dedup(
     _t0 = _time.perf_counter()
     base = vectors.select(F.col(id_col), _as_double(vec_col).alias("v"))
     if assign_mode == "matmul":
-        assigned = _assign_matmul(base, centroids, id_col)
+        assigned = _assign_matmul(base, centroids, id_col, dim)
     else:
         assigned = _assign_fold(base, centroids, dim, id_col)
     # Materialize the assignment ONCE: it has four consumers (pair codes,
@@ -1222,17 +1226,20 @@ def semantic_dedup(
     assigned = assigned.localCheckpoint(eager=True)
     if stats is not None:
         stats["assign_s"] = round(_time.perf_counter() - _t0, 3)
-        over = (
-            assigned.groupBy("cid").count()
-            if cluster_cap is not None
-            else None
+    if cluster_cap is not None and warn_over_cap:
+        # UNCONDITIONAL over-cap check (r9 review: gating it on the
+        # opt-in stats dict left default callers with silent recall
+        # loss): one cheap count over the already-checkpointed
+        # assignment. warn_over_cap=False opts out where that extra
+        # pass matters.
+        n_capped = int(
+            assigned.groupBy("cid")
+            .count()
+            .where(F.col("count") > int(cluster_cap))
+            .count()
         )
-        n_capped = (
-            over.where(F.col("count") > int(cluster_cap)).count()
-            if over is not None
-            else 0
-        )
-        stats["n_capped_clusters"] = int(n_capped)
+        if stats is not None:
+            stats["n_capped_clusters"] = n_capped
         if n_capped:
             import warnings as _warnings
 
@@ -1244,6 +1251,8 @@ def semantic_dedup(
                 UserWarning,
                 stacklevel=2,
             )
+    elif stats is not None and cluster_cap is not None:
+        stats["n_capped_clusters"] = None  # check skipped (warn_over_cap=False)
     codes = assigned.select(
         F.col(id_col).alias("id"),
         F.lit(0).alias("t"),
@@ -1335,14 +1344,24 @@ def _assign_fold(
     import math
 
     v = base.withColumn("nv", _norm(F.col("v"), dim))
+    # dim-prefix semantics on BOTH sides of the HOF dot (r9 review): seed
+    # centroids are full-width raw vectors, trained ones are dim-length,
+    # and physical arrays may be wider than the latent dim — an unsliced
+    # zip_with would pad the shorter side with nulls and poison the fold
+    # (null cosines silently skipped by array_max). Slicing is a no-op
+    # when dim == width (every oracle fixture), so float order — and
+    # hence every oracle hash — is unchanged; the DuckDB twin
+    # (``_cos_sql``) has always been dim-prefix.
+    vp = F.slice(F.col("v"), 1, int(dim))
     cd_cols = []
     for j, cvals in enumerate(centroids):
+        cvals = list(cvals)[: int(dim)]
         cv = F.array(*[F.lit(float(x)) for x in cvals])
         acc = 0.0
         for x in cvals:
             acc += float(x) * float(x)
         ncv = F.lit(math.sqrt(acc))
-        cd_cols.append((_dot(F.col("v"), cv) / (F.col("nv") * ncv)).alias(f"__cd{j}"))
+        cd_cols.append((_dot(vp, cv) / (F.col("nv") * ncv)).alias(f"__cd{j}"))
     scored = v.select(F.col(id_col), "v", "nv", *cd_cols)
     # argmax over the cosine columns stays LINEAR in n_centroids:
     # array_max picks the best cosine and array_position finds its FIRST
@@ -1362,7 +1381,7 @@ def _assign_fold(
 
 
 def _assign_matmul(
-    base: DataFrame, centroids: list[list[float]], id_col: str
+    base: DataFrame, centroids: list[list[float]], id_col: str, dim: int
 ) -> DataFrame:
     """Paper-scale centroid assignment (r8 verdict #2): Arrow-batched
     ``mapInPandas``, one ``(batch×dim) @ (dim×k)`` float64 matmul per
@@ -1377,11 +1396,19 @@ def _assign_matmul(
     the fold/oracle in the last ulp (numpy pairwise/SIMD summation), so
     this mode is opt-in; equivalence modulo ties is pytest-asserted.
 
+    ``dim`` semantics match the fold exactly (r9 review: the first cut
+    ignored it): cosines are computed over the FIRST ``dim`` components
+    of both vectors and centroids — seed centroids are full-width raw
+    vectors while trained ones are dim-length, and physical arrays may
+    be wider than the latent dim (the mm5 lesson, `17eca68`) — and the
+    emitted ``nv`` is the dim-prefix norm the downstream exact verify
+    divides by. The full-width vector still passes through untouched.
+
     The closure is self-contained (numpy + pandas only) so Python workers
     can unpickle it without this package on their path."""
     import numpy as np
 
-    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    C = np.asarray([list(c[:dim]) for c in centroids], dtype=np.float64)  # (k, dim)
     cn = np.sqrt((C * C).sum(axis=1))  # centroid norms, (k,)
     id_type = base.schema[id_col].dataType.simpleString()
     out_schema = (
@@ -1396,7 +1423,9 @@ def _assign_matmul(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            V = _np.vstack([_np.asarray(x, dtype=_np.float64) for x in pdf["v"]])
+            V = _np.vstack(
+                [_np.asarray(x, dtype=_np.float64)[: int(dim)] for x in pdf["v"]]
+            )
             nv = _np.sqrt((V * V).sum(axis=1))
             S = (V @ C.T) / (nv[:, None] * cn[None, :])
             cid = S.argmax(axis=1)

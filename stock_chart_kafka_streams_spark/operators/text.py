@@ -1336,9 +1336,12 @@ def c4_span_dedup(
     dropped before the text is reassembled. Returns (doc_id, n_lines,
     n_removed_lines, clean_text).
 
-    Scale shape: the span STRING never crosses the wire --- spans are
-    md5-hashed map-side inside the per-doc array transform (separator =
-    \\x01, a byte no cleaned text contains), so the only corpus-scale
+    Scale shape: the span STRING never crosses the wire --- each line is
+    md5-hashed once per doc and a span's hash is the md5 of its lines'
+    FIXED-WIDTH hash concatenation (r9 review: a separator-joined hash
+    is boundary-ambiguous when raw text can contain the separator byte;
+    32-hex blocks need no separator), all inside the per-doc array
+    transform, so the only corpus-scale
     shuffle carries (hash, doc_id, start) triples: one hash-partitioned
     window ranks occurrences (row_number over a many-distinct-key
     partition --- millions of tiny groups, the opposite of the t7
@@ -1357,12 +1360,13 @@ def c4_span_dedup(
     )
     base = docs.select("doc_id", lines_col.alias("lines"))
     n = F.size(F.col("lines"))
+    line_hashes = F.transform(F.col("lines"), F.md5)
     span_hashes = F.when(
         n >= F.lit(int(span)),
         F.transform(
             F.sequence(F.lit(0), n - F.lit(int(span))),
             lambda i: F.md5(
-                F.concat_ws("\x01", F.slice(F.col("lines"), i + 1, int(span)))
+                F.concat_ws("", F.slice(line_hashes, i + 1, int(span)))
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -1404,7 +1408,7 @@ def c4_span_dedup_sql(
     table: str = "documents", col: str = "text", span: int = 3
 ) -> str:
     """DuckDB twin of ``c4_span_dedup``: same trimmed-line split, same
-    md5 over the chr(1)-joined sliding window, same global
+    md5-of-concatenated-line-md5s span hash, same global
     (doc_id, start) first-occurrence rule."""
     return f"""
 WITH base AS (
@@ -1417,8 +1421,11 @@ WITH base AS (
 ),
 spans AS (
     SELECT b.doc_id, u.i AS start,
-           md5(array_to_string(list_slice(b.lines, u.i + 1, u.i + {int(span)}),
-                               chr(1))) AS h
+           md5(array_to_string(
+               list_transform(
+                   list_slice(b.lines, u.i + 1, u.i + {int(span)}),
+                   l -> md5(l)),
+               '')) AS h
     FROM base b, UNNEST(range(len(b.lines) - {int(span) - 1})) AS u(i)
 ),
 dups AS (

@@ -239,34 +239,39 @@ class BatchedCompactionSink:
             raise ValueError("files_per_batch must be positive (or None)")
         self.path = path
         self.staging = staging or (path.rstrip("/") + ".staging")
-        # Stale-staging guard (r8 advice): the staging dir is derived
-        # from the serving path, so a crashed or earlier run against the
-        # SAME serving table can leave rows behind — silently merged on
-        # the next flush, and their __bid values (from a DIFFERENT
-        # checkpoint's batch numbering) can win the max-batch-id dedup
-        # over fresh rows. Staging is by contract this sink's exclusive
-        # scratch space, so a pre-existing dir is always stale: warn and
-        # clear it at construction (local paths; a remote-scheme staging
-        # dir gets the warning only — clearing it is the operator's
-        # deployment-specific call).
+        # Inherited-staging guard (r8 advice, revised in r9 review): a
+        # crashed run leaves staged-but-unmerged rows behind. Deleting
+        # them would LOSE data on the legitimate recovery path — restart
+        # from the SAME checkpoint replays only uncommitted batches, and
+        # in append mode each closed window is emitted exactly once, so
+        # the staged windows would never re-arrive. Instead the inherited
+        # rows are MERGED into the serving table (under their own batch
+        # numbering) BEFORE the first new append, then staging is
+        # cleared. That also defuses the foreign-__bid hazard the r8
+        # advice named: old and new bid numberings never coexist in one
+        # dedup, and later fresh flushes overwrite recovered keys via
+        # the serving MERGE anyway. The merge happens lazily at the
+        # first __call__/finalize (no SparkSession exists at
+        # construction); the constructor only warns.
+        self._recover_pending = False
         if "://" not in self.staging and os.path.exists(self.staging):
-            import shutil as _shutil
             import warnings as _warnings
 
             _warnings.warn(
-                f"BatchedCompactionSink: clearing pre-existing staging dir "
-                f"{self.staging!r} (stale rows from a prior run would be "
-                "merged with foreign batch ids)",
+                f"BatchedCompactionSink: pre-existing staging dir "
+                f"{self.staging!r} from a prior run will be merged into "
+                f"{path!r} before the first new batch (staged rows are "
+                "recovered, not dropped)",
                 UserWarning,
                 stacklevel=2,
             )
-            _shutil.rmtree(self.staging, ignore_errors=True)
+            self._recover_pending = True
         elif "://" in self.staging:
             import warnings as _warnings
 
             _warnings.warn(
                 f"BatchedCompactionSink: cannot check remote staging dir "
-                f"{self.staging!r} for stale rows — ensure it is empty "
+                f"{self.staging!r} for leftover rows — ensure it is empty "
                 "before starting the query",
                 UserWarning,
                 stacklevel=2,
@@ -291,6 +296,12 @@ class BatchedCompactionSink:
         if batch.isEmpty():
             return
         self._spark = batch.sparkSession
+        if self._recover_pending:
+            # merge the inherited rows BEFORE this run's first append so
+            # the old bid numbering never competes with the new one in
+            # the same max-batch-id dedup (see __init__)
+            self._recover_pending = False
+            self.flush()
         staged = batch.select(*CANDLE_COLUMNS).withColumn(
             "__bid", F.lit(int(batch_id))
         )
@@ -326,6 +337,7 @@ class BatchedCompactionSink:
         # writing, so staging is no longer referenced once it returns
         _shutil.rmtree(self.staging, ignore_errors=True)
         self._pending = 0
+        self._recover_pending = False
 
     def finalize(self, frames: list[str] | None = None) -> None:
         """Flush remaining staged batches, then (optionally) recompute the

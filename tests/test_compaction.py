@@ -174,14 +174,15 @@ def test_batched_sink_rejects_bad_merge_every(tmp_path):
         BatchedCompactionSink(str(tmp_path / "t"), merge_every=0)
 
 
-def test_batched_sink_clears_stale_staging_at_construction(spark, tmp_path):
-    """r8 advice: leftover staging from a crashed/earlier run against the
-    same serving path must not be silently merged (its __bid values come
-    from a FOREIGN batch numbering). Construction warns and clears a
-    pre-existing staging dir, so the first flush merges only this run's
-    rows."""
+def test_batched_sink_recovers_inherited_staging(spark, tmp_path):
+    """r8 advice + r9 review: leftover staging from a crashed run holds
+    staged-but-unmerged CLOSED windows, and a same-checkpoint restart
+    will never re-deliver them (append mode emits each window once) — so
+    construction must RECOVER them, not delete them. The inherited rows
+    are merged before the first new append (their old bid numbering
+    never competes with the new one), and later fresh flushes overwrite
+    recovered keys via the serving MERGE."""
     import os
-    import warnings
 
     import pytest
 
@@ -190,29 +191,40 @@ def test_batched_sink_clears_stale_staging_at_construction(spark, tmp_path):
     )
 
     candles = multi_frame_candles(load_trades(spark, SF_DIR), ["MINUTE"])
-    b0 = candles.where(F.col("symbol") == candles.select("symbol").first()[0])
+    symbols = sorted(r[0] for r in candles.select("symbol").distinct().collect())
+    assert len(symbols) >= 2
+    b0 = candles.where(F.col("symbol") == symbols[0])
+    other = candles.where(F.col("symbol") == symbols[1])
     path = str(tmp_path / "serving")
 
-    # a previous run leaves STALE staged rows with a sky-high batch id —
-    # doctored prices, so a wrongful merge is visible in the output
-    stale_sink = BatchedCompactionSink(path, merge_every=100)
-    stale_sink(b0.withColumn("close", F.lit(-1.0)), 999)
+    # a crashed run left two kinds of staged rows behind, under a batch
+    # numbering unrelated to the new run's: (a) rows for symbols[0] with
+    # doctored closes, (b) the ONLY copy of symbols[1]'s windows
+    crashed = BatchedCompactionSink(path, merge_every=100)
+    crashed(b0.withColumn("close", F.lit(-1.0)), 999)
+    crashed(other, 1000)
     staging = path.rstrip("/") + ".staging"
     assert os.path.exists(staging)
 
-    with pytest.warns(UserWarning, match="staging"):
+    with pytest.warns(UserWarning, match="recovered"):
         sink = BatchedCompactionSink(path, merge_every=100)
-    assert not os.path.exists(staging)
-    sink(b0, 0)
+    # recovery is lazy: nothing merged (or deleted!) until a batch arrives
+    assert os.path.exists(staging)
+    sink(b0, 0)  # same keys as (a), real values, NEW bid numbering
     sink.flush()
     got = _snapshot(spark, path)
     want = sorted(
         map(
             tuple,
-            b0.select(
+            b0.unionByName(other)
+            .select(
                 "symbol", "time_frame", "bucket_start", "open", "high", "low",
                 "close", "volume",
-            ).collect(),
+            )
+            .collect(),
         )
     )
-    assert got == want  # the -1.0 doctored rows never reached serving
+    # symbols[1]'s windows were recovered (not lost), and symbols[0]'s
+    # fresh values overwrote the doctored recovered ones
+    assert got == want
+    assert not os.path.exists(staging)

@@ -355,3 +355,43 @@ def test_semantic_dedup_stats_and_cap_warning(spark):
     assert stats["train_s"] >= 0 and stats["assign_s"] >= 0
     assert stats["n_capped_clusters"] >= 1
     assert any("cluster_cap" in str(w.message) for w in caught)
+
+
+def test_semantic_dedup_latent_dim_prefix_both_modes(spark):
+    """r9 review regression: with dim SMALLER than the physical array
+    width, both assignment modes must (a) agree with each other and
+    (b) actually resolve pairs that are near-dups in the dim-prefix —
+    the unsliced fold used full-width cosines against dim-length trained
+    centroids (null-poisoned zip_with), and the first matmul cut crashed
+    outright."""
+    import random
+
+    from stock_chart_kafka_streams_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    for i in range(5):
+        base = rows[i][1]
+        rows.append(
+            (
+                1000 + i,
+                [x * 1.0001 for x in base[:4]]
+                + [rng.uniform(-1, 1) for _ in range(4)],
+            )
+        )
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fold = sorted(
+        (r["vec_id"], r["cid"])
+        for r in semantic_dedup(vecs, threshold=0.99, n_centroids=3, dim=4).collect()
+    )
+    matmul = sorted(
+        (r["vec_id"], r["cid"])
+        for r in semantic_dedup(
+            vecs, threshold=0.99, n_centroids=3, dim=4, assign_mode="matmul"
+        ).collect()
+    )
+    assert fold == matmul
+    survivors = {v for v, _ in fold}
+    for pid in range(5):
+        kept = {pid, 1000 + pid} & survivors
+        assert len(kept) == 1, f"prefix pair {pid} kept {kept}"
