@@ -879,6 +879,24 @@ def _q_p9n(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(_docs(spark, sf_dir), threshold=0.4, decontam_mode="ngram")
 
 
+def _q_p9g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p9 with ``quality_mode="gopher"`` — the published Gopher RULE set
+    (t10) as the quality stage instead of a quantile cut: pure map-side
+    boolean, no threshold election, no sample, no join. min_words=40 /
+    required_min=1 because the synthetic word-soup corpus contains only
+    'the' of the 8 required function words (the operator docstring
+    documents the corpus-sensitivity of exactly these two rules)."""
+    from stock_chart_kafka_streams_spark.operators.pipeline import curation_pipeline
+
+    return curation_pipeline(
+        _docs(spark, sf_dir),
+        threshold=0.4,
+        quality_mode="gopher",
+        gopher_min_words=40,
+        gopher_required_min=1,
+    )
+
+
 _P3_FRACTIONS = {"en": 0.5, "fr": 1.0, "zh": 0.25}
 
 
@@ -1423,6 +1441,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_unigram_rarity": _q_t9,
         "p10_mixture_sample": _q_p10,
         "p9_curation_ngram": _q_p9n,
+        "p9_curation_gopher": _q_p9g,
         "mm5_media_neardup": _q_mm5,
         "p7a_quality_approx": _q_p7a,
         "i3_rsi": _q_i3,
@@ -1595,6 +1614,12 @@ FROM documents
         ),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"
+        ),
+        "p9_curation_gopher": _pipeline.curation_pipeline_sql(
+            threshold=0.4,
+            quality_mode="gopher",
+            gopher_min_words=40,
+            gopher_required_min=1,
         ),
         "mm5_media_neardup": _mm.media_neardup_sql(threshold=0.999),
         "p7a_quality_approx": _sampling.quality_quantile_filter_approx_sql(),

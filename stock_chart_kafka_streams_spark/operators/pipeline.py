@@ -67,6 +67,8 @@ def quality_stage(
     id_col: str = "doc_id",
     text_col: str = "text",
     strata_col: str = "lang",
+    gopher_min_words: int = 50,
+    gopher_required_min: int = 2,
 ) -> DataFrame:
     """The pipeline's quality filter, keeping EVERY input column (no
     semi-join back, so downstream stages reference one branch).
@@ -79,7 +81,13 @@ def quality_stage(
     through a single sort partition. ``"exact"`` keeps the integer-exact
     whole-stratum window cut (rank*den <= num*n) for small-strata /
     audit runs — that window IS a per-stratum single-task sort, which is
-    exactly why it is not the default."""
+    exactly why it is not the default. ``"gopher"`` (round 9) swaps the
+    quantile cut for the published Gopher RULE set (t10,
+    ``gopher_keep``) — a pure map-side boolean over the raw text, no
+    threshold election, no sample, no join at all; keep_num/keep_den are
+    ignored and the keep rate is whatever the rules decide
+    (``gopher_min_words`` / ``gopher_required_min`` tune the two
+    corpus-sensitive rules)."""
     from stock_chart_kafka_streams_spark.operators.sampling import (
         approx_quality_thresholds,
     )
@@ -102,8 +110,20 @@ def quality_stage(
             .drop("__q", "q_threshold")
             .select(*docs.columns)
         )
+    if quality_mode == "gopher":
+        from stock_chart_kafka_streams_spark.operators.text import gopher_keep
+
+        return docs.where(
+            gopher_keep(
+                text_col,
+                min_words=gopher_min_words,
+                required_min=gopher_required_min,
+            )
+        )
     if quality_mode != "exact":
-        raise ValueError(f"quality_mode must be 'approx' or 'exact', got {quality_mode!r}")
+        raise ValueError(
+            f"quality_mode must be 'approx', 'exact' or 'gopher', got {quality_mode!r}"
+        )
     from pyspark.sql.window import Window
 
     if keep_num < 0 or keep_den <= 0:
@@ -139,6 +159,8 @@ def curation_pipeline(
     persist_stages: bool = False,
     decontam_mode: str = "winnow",
     ngram_n: int = 13,
+    gopher_min_words: int = 50,
+    gopher_required_min: int = 2,
 ) -> DataFrame:
     """Run the full curation chain over ``docs`` and return the packed
     training sequences: ``(doc_id, shard, n_tokens, offset_in_shard,
@@ -181,6 +203,8 @@ def curation_pipeline(
         id_col=id_col,
         text_col=text_col,
         strata_col=strata_col,
+        gopher_min_words=gopher_min_words,
+        gopher_required_min=gopher_required_min,
     )
     # p4's benchmark slice scans the original corpus; checkpoint it with
     # the stages so the persisted form's final plan has no source scans.
@@ -242,6 +266,8 @@ def curation_pipeline_sql(
     quality_mode: str = "approx",
     decontam_mode: str = "winnow",
     ngram_n: int = 13,
+    gopher_min_words: int = 50,
+    gopher_required_min: int = 2,
 ) -> str:
     """DuckDB twin of ``curation_pipeline``: the same five stages chained
     as top-level CTEs. Each stage reuses the standalone operator's SQL
@@ -285,8 +311,29 @@ stage_q AS (
     ) ranked
     WHERE rn * {int(keep_den)} <= n * {int(keep_num)}
 )"""
+    elif quality_mode == "gopher":
+        from stock_chart_kafka_streams_spark.operators.text import (
+            gopher_quality_sql,
+        )
+
+        g = gopher_quality_sql(
+            table=table,
+            min_words=gopher_min_words,
+            required_min=gopher_required_min,
+        ).strip()
+        # one source of truth: the t10 twin itself decides keep, this
+        # stage only semi-joins the verdict (DuckDB allows a WITH chain
+        # inside a derived table)
+        stage_q = f"""stage_q AS (
+    SELECT doc_id, text, lang FROM {table}
+    WHERE doc_id IN (SELECT doc_id FROM (
+{g}
+    ) g WHERE g.keep)
+)"""
     else:
-        raise ValueError(f"quality_mode must be 'approx' or 'exact', got {quality_mode!r}")
+        raise ValueError(
+            f"quality_mode must be 'approx', 'exact' or 'gopher', got {quality_mode!r}"
+        )
 
     dd = dedup_minhash_sql(table="stage_q")
     if decontam_mode == "winnow":

@@ -1086,37 +1086,16 @@ FROM {table} d LEFT JOIN scored s USING (doc_id)
 GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_quality(
-    docs: DataFrame,
-    text_col: str = "text",
-    min_words: int = 50,
-    max_words: int = 100_000,
-) -> DataFrame:
-    """Gopher-rule document quality filter — the published heuristic set
-    of Rae et al. 2021 (arXiv:2112.11446, Table A1), the standard
-    first-pass web filter in LLM curation stacks (reused by MassiveText,
-    RefinedWeb, Dolma): word-count bounds, mean-word-length bounds
-    [3, 10], symbol-to-word ratio (# and ... vs words) <= 0.1, bullet- /
-    ellipsis-line ratios (< 90% bullet-starting, <= 30% ellipsis-ending),
-    >= 80% of words containing an alphabetic character, and >= 2 of the 8
-    required English function words. Returns every rule as its own flag
-    plus the conjunctive ``keep`` verdict, so a pipeline can audit WHICH
-    rule fired (the published practice — Dolma reports per-rule drop
-    rates).
-
-    Exactness discipline: every ratio threshold is evaluated by INTEGER
-    cross-multiplication over exact BIGINT counts (e.g. mean word length
-    in [3,10] is ``3*n <= sum_len AND sum_len <= 10*n``; the 80% alpha
-    rule is ``5*alpha >= 4*n``) — no doubles anywhere, so the DuckDB twin
-    (``gopher_quality_sql``) agrees bit-for-bit on every flag. "Words"
-    are whitespace runs (the paper's unit — NOT the lowercased alnum
-    ``tokens``, which would erase the mean-length and symbol signals);
-    the required-word containment uses ``tokens`` so punctuation never
-    blocks a hit.
-
-    100 TB shape: pure map-side projection — per-row split/regexp count
-    arithmetic inside whole-stage codegen, zero shuffles, zero Python;
-    scales with scan bandwidth exactly like t8's PII scrub."""
+def _gopher_flags(
+    text_col: str,
+    min_words: int,
+    max_words: int,
+    required_min: int,
+) -> tuple[Column, dict[str, Column]]:
+    """(n_words, per-rule flag columns) for the Gopher rule set — shared
+    by ``gopher_quality`` (audit table) and the p9 pipeline's
+    ``quality_mode="gopher"`` map-side filter, so the two can never
+    drift."""
     text = F.col(text_col)
     words = F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
     lines = F.filter(F.split(text, r"\n"), lambda x: x != F.lit(""))
@@ -1147,7 +1126,6 @@ def gopher_quality(
     n_required = F.size(
         F.filter(req, lambda w: F.array_contains(toks, w))
     ).cast("long")
-
     flags = {
         "ok_word_count": (n_words >= F.lit(int(min_words)))
         & (n_words <= F.lit(int(max_words))),
@@ -1158,14 +1136,72 @@ def gopher_quality(
         # sym/words <= 0.1  <=>  10*sym <= words
         "ok_symbol_ratio": F.lit(10) * n_sym <= n_words,
         # bullet lines < 90%  <=>  10*bullet < 9*lines
-        "ok_bullet_lines": F.lit(10) * n_bullet < F.lit(9) * F.greatest(n_lines, F.lit(1).cast("long")),
+        "ok_bullet_lines": F.lit(10) * n_bullet
+        < F.lit(9) * F.greatest(n_lines, F.lit(1).cast("long")),
         # ellipsis-ending lines <= 30%  <=>  10*ell <= 3*lines
         "ok_ellipsis_lines": F.lit(10) * n_ellipsis_end
         <= F.lit(3) * F.greatest(n_lines, F.lit(1).cast("long")),
         # >= 80% words with an alphabetic char  <=>  5*alpha >= 4*words
         "ok_alpha_words": F.lit(5) * n_alpha >= F.lit(4) * n_words,
-        "ok_required_words": n_required >= F.lit(2),
+        "ok_required_words": n_required >= F.lit(int(required_min)),
     }
+    return n_words, flags
+
+
+def gopher_keep(
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    required_min: int = 2,
+) -> Column:
+    """The conjunctive Gopher keep verdict as ONE boolean column — the
+    map-side filter form the p9 pipeline composes (no flags
+    materialized, no join)."""
+    _, flags = _gopher_flags(text_col, min_words, max_words, required_min)
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return keep
+
+
+def gopher_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    required_min: int = 2,
+) -> DataFrame:
+    """Gopher-rule document quality filter — the published heuristic set
+    of Rae et al. 2021 (arXiv:2112.11446, Table A1), the standard
+    first-pass web filter in LLM curation stacks (reused by MassiveText,
+    RefinedWeb, Dolma): word-count bounds, mean-word-length bounds
+    [3, 10], symbol-to-word ratio (# and ... vs words) <= 0.1, bullet- /
+    ellipsis-line ratios (< 90% bullet-starting, <= 30% ellipsis-ending),
+    >= 80% of words containing an alphabetic character, and >= 2 of the 8
+    required English function words. Returns every rule as its own flag
+    plus the conjunctive ``keep`` verdict, so a pipeline can audit WHICH
+    rule fired (the published practice — Dolma reports per-rule drop
+    rates).
+
+    Exactness discipline: every ratio threshold is evaluated by INTEGER
+    cross-multiplication over exact BIGINT counts (e.g. mean word length
+    in [3,10] is ``3*n <= sum_len AND sum_len <= 10*n``; the 80% alpha
+    rule is ``5*alpha >= 4*n``) — no doubles anywhere, so the DuckDB twin
+    (``gopher_quality_sql``) agrees bit-for-bit on every flag. "Words"
+    are whitespace runs (the paper's unit — NOT the lowercased alnum
+    ``tokens``, which would erase the mean-length and symbol signals);
+    the required-word containment uses ``tokens`` so punctuation never
+    blocks a hit.
+
+    ``required_min`` (default 2 = the published rule) exists because the
+    required-word containment is corpus-language-sensitive — a synthetic
+    or non-English corpus may legitimately relax it (the p9 pipeline's
+    gopher variant does on the driver fixture).
+
+    100 TB shape: pure map-side projection — per-row split/regexp count
+    arithmetic inside whole-stage codegen, zero shuffles, zero Python;
+    scales with scan bandwidth exactly like t8's PII scrub."""
+    n_words, flags = _gopher_flags(text_col, min_words, max_words, required_min)
     keep = None
     for c in flags.values():
         keep = c if keep is None else (keep & c)
@@ -1182,6 +1218,7 @@ def gopher_quality_sql(
     col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
+    required_min: int = 2,
 ) -> str:
     """DuckDB twin of ``gopher_quality``: identical whitespace/line
     splits, identical integer cross-multiplied thresholds."""
@@ -1219,14 +1256,14 @@ SELECT doc_id, n_words,
        (10 * n_bullet < 9 * greatest(n_lines, 1)) AS ok_bullet_lines,
        (10 * n_ellipsis_end <= 3 * greatest(n_lines, 1)) AS ok_ellipsis_lines,
        (5 * n_alpha >= 4 * n_words) AS ok_alpha_words,
-       (n_required >= 2) AS ok_required_words,
+       (n_required >= {int(required_min)}) AS ok_required_words,
        (n_words >= {int(min_words)} AND n_words <= {int(max_words)}
         AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
         AND 10 * n_sym <= n_words
         AND 10 * n_bullet < 9 * greatest(n_lines, 1)
         AND 10 * n_ellipsis_end <= 3 * greatest(n_lines, 1)
         AND 5 * n_alpha >= 4 * n_words
-        AND n_required >= 2) AS keep
+        AND n_required >= {int(required_min)}) AS keep
 FROM counted
 """
 

@@ -118,3 +118,26 @@ def test_pipeline_rejects_unknown_quality_mode(spark):
         curation_pipeline(_docs(spark), quality_mode="bogus")
     with pytest.raises(ValueError):
         quality_stage(_docs(spark), "bogus")
+
+
+def test_quality_stage_gopher_is_pure_filter(spark):
+    """quality_mode='gopher' (round 9): the stage is a map-side WHERE over
+    the raw text — no join, no window, no sample election in the plan —
+    and its survivors are exactly the docs gopher_quality keeps."""
+    from stock_chart_kafka_streams_spark.operators.pipeline import quality_stage
+    from stock_chart_kafka_streams_spark.operators.text import gopher_quality
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stage = quality_stage(
+        docs, quality_mode="gopher", gopher_min_words=40, gopher_required_min=1
+    )
+    plan = stage._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    got = {r["doc_id"] for r in stage.collect()}
+    want = {
+        r["doc_id"]
+        for r in gopher_quality(docs, min_words=40, required_min=1)
+        .where(F.col("keep"))
+        .collect()
+    }
+    assert got == want and len(got) > 0

@@ -102,6 +102,7 @@ def _canon(rows, cols):
         "t10_gopher_quality",
         "t11_c4_clean",
         "t12_c4_span_dedup",
+        "p9_curation_gopher",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):
