@@ -1319,7 +1319,9 @@ def c4_clean(docs: DataFrame, text_col: str = "text") -> DataFrame:
         has_lorem.alias("has_lorem"),
         has_brace.alias("has_brace"),
         page_ok.alias("kept"),
-        F.when(page_ok, F.array_join(F.transform(kept_lines, F.trim), "\n"))
+        # explicit lambda, NOT F.trim itself — trim's optional second
+        # parameter would receive the element index (see c4_span_dedup)
+        F.when(page_ok, F.array_join(F.transform(kept_lines, lambda l: F.trim(l)), "\n"))
         .otherwise(F.lit(""))
         .alias("clean_text"),
     )
@@ -1391,13 +1393,18 @@ def c4_span_dedup(
     from pyspark.sql.window import Window
 
     text = F.col(text_col)
+    # NOTE: the HOF callable must be an explicit single-arg lambda —
+    # passing F.trim directly is a trap: pyspark's trim(col, trim=None)
+    # takes a SECOND parameter, so transform feeds it the element INDEX
+    # as the trim character set and silently strips index digits from
+    # line boundaries (caught by the round-9 cross-engine fuzz).
     lines_col = F.transform(
         F.filter(F.split(text, r"\n"), lambda x: F.trim(x) != F.lit("")),
-        F.trim,
+        lambda x: F.trim(x),
     )
     base = docs.select("doc_id", lines_col.alias("lines"))
     n = F.size(F.col("lines"))
-    line_hashes = F.transform(F.col("lines"), F.md5)
+    line_hashes = F.transform(F.col("lines"), lambda l: F.md5(l))
     span_hashes = F.when(
         n >= F.lit(int(span)),
         F.transform(

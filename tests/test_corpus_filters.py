@@ -422,3 +422,63 @@ def test_c4_span_dedup_planted_cross_engine(spark, duck):
     assert by_id[2]["n_removed_lines"] == 3 and by_id[2]["clean_text"] == "tail."
     assert by_id[3]["n_removed_lines"] == 3 and by_id[3]["clean_text"] == ""
     assert by_id[4]["n_removed_lines"] == 0
+
+
+def test_t10_t11_t12_cross_engine_fuzz(spark, duck):
+    """Seeded fuzz over a rule-adjacent alphabet (newlines, bullets,
+    terminal punctuation, '#', '...', braces, digit runs, repeated
+    blocks): Spark's Java-regex/HOF results must equal DuckDB's RE2/list
+    results byte-for-byte for all three round-9 text operators — the
+    dialect-drift detector the t8 fuzz pioneered."""
+    import random
+
+    import pandas as pd
+
+    from stock_chart_kafka_streams_spark.operators.text import (
+        c4_clean,
+        c4_clean_sql,
+        c4_span_dedup,
+        c4_span_dedup_sql,
+        gopher_quality,
+        gopher_quality_sql,
+    )
+
+    rng = random.Random(20260814)
+    words = ["the", "of", "and", "be", "to", "data", "lorem", "ipsum",
+             "javascript", "x", "supercalifragilistic", "12345", "a#b",
+             "...", "word", "line", "•", "-"]
+    enders = [".", "!", "?", '"', "", "...", " "]
+    blocks = []
+    for _ in range(10):  # shared blocks so span dedup fires across docs
+        blocks.append(
+            "\n".join(
+                " ".join(rng.choice(words) for _ in range(rng.randint(3, 8)))
+                + rng.choice(enders)
+                for _ in range(3)
+            )
+        )
+    rows = []
+    for i in range(200):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.3:
+                parts.append(rng.choice(blocks))
+            else:
+                parts.append(
+                    " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+                    + rng.choice(enders)
+                )
+        rows.append((i, "\n".join(parts)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    duck.register("fuzz_corpus", pdf)
+    docs = spark.createDataFrame(pdf)
+    for op, sql in (
+        (gopher_quality, gopher_quality_sql(table="fuzz_corpus")),
+        (c4_clean, c4_clean_sql(table="fuzz_corpus")),
+        (c4_span_dedup, c4_span_dedup_sql(table="fuzz_corpus")),
+    ):
+        got = op(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+        want = duck.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+        )
