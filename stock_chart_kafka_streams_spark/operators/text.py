@@ -1404,17 +1404,26 @@ def c4_span_dedup(
     )
     base = docs.select("doc_id", lines_col.alias("lines"))
     n = F.size(F.col("lines"))
-    line_hashes = F.transform(F.col("lines"), lambda l: F.md5(l))
+    # materialize the per-line hashes as a COLUMN in a lower projection:
+    # referencing the transform expression inside the span lambda would
+    # re-hash every line once PER SPAN (O(lines x spans) md5s on
+    # many-line docs) — as a column it is evaluated once per row and the
+    # span lambda only slices it
+    hashed = base.select(
+        "doc_id",
+        "lines",
+        F.transform(F.col("lines"), lambda l: F.md5(l)).alias("lh"),
+    )
     span_hashes = F.when(
         n >= F.lit(int(span)),
         F.transform(
             F.sequence(F.lit(0), n - F.lit(int(span))),
             lambda i: F.md5(
-                F.concat_ws("", F.slice(line_hashes, i + 1, int(span)))
+                F.concat_ws("", F.slice(F.col("lh"), i + 1, int(span)))
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    spans = base.select(
+    spans = hashed.select(
         "doc_id", F.posexplode(span_hashes).alias("start", "h")
     )
     w = Window.partitionBy("h").orderBy("doc_id", "start")
