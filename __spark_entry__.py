@@ -1184,6 +1184,34 @@ def _q_p10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed n-gram importance scoring (Xie et al. 2023,
+    arXiv:2302.03169): quantized target/raw probability-ratio weights
+    over hashed unigram+bigram buckets, exact-BIGINT per-doc sums. The
+    target is the ``doc_id % 97`` held-out slice (p4/p4b's convention)."""
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.sampling import dsir_importance
+
+    docs = _docs(spark, sf_dir)
+    return dsir_importance(
+        docs, docs.where((_F.col("doc_id") % 97) == 0), n_buckets=1024
+    )
+
+
+def _q_p11b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DSIR selection: top-50 documents by importance score
+    (mean_score DESC, doc_id tiebreak) via distributed TakeOrdered."""
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.sampling import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs, docs.where((_F.col("doc_id") % 97) == 0), k=50, n_buckets=1024
+    )
+
+
 def _q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram-frequency quality score (CCNet-family
     statistical filter) with a deliberately small top_k=100 vocabulary so
@@ -1449,6 +1477,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_gopher_quality": _q_t10,
         "t11_c4_clean": _q_t11,
         "t12_c4_span_dedup": _q_t12,
+        "p11_dsir_importance": _q_p11,
+        "p11b_dsir_select": _q_p11b,
     }
 
 
@@ -1612,6 +1642,8 @@ FROM documents
         "p10_mixture_sample": _sampling.temperature_mixture_sample_sql(
             target_frac=0.5, alpha_quarters=2
         ),
+        "p11_dsir_importance": _sampling.dsir_importance_sql(n_buckets=1024),
+        "p11b_dsir_select": _sampling.dsir_select_sql(k=50, n_buckets=1024),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"
         ),

@@ -748,3 +748,256 @@ SELECT d.*, r.sample_rate
 FROM {table} d JOIN rates r USING ({strata_col})
 WHERE CAST({h} AS DOUBLE) < r.sample_rate * {float(_HASH_SPACE)}
 """
+
+
+# ---------------------------------------------------------------------------
+# p11: DSIR — hashed n-gram importance scoring / selection (round 9)
+# ---------------------------------------------------------------------------
+
+# Fixed-point quantum for the per-bucket importance ratio, and the cap the
+# ratio saturates at before quantization. Both are applied in DOUBLE
+# arithmetic using only IEEE-correctly-rounded operations (two divisions,
+# one multiplication, least, floor) so Spark and DuckDB produce the SAME
+# BIGINT weight for every bucket; all downstream per-document sums are then
+# exact-BIGINT (associative, partition-order-proof) — the same discipline
+# as t9's rarity and p10's quantized mixture weights.
+_DSIR_SCALE = 1_000_000.0
+_DSIR_CAP = 1_000_000_000_000.0
+
+
+def _dsir_gram_rows(
+    df: DataFrame, n_buckets: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, b) rows — one per unigram AND bigram occurrence (multiplicity
+    preserved: DSIR features are hashed n-gram COUNTS), where b is the
+    48-bit md5-prefix hash of the gram modulo ``n_buckets``. Tokenization
+    is staged behind an alias boundary so it runs once per document, not
+    once per gram (the winnow staging lesson, text.py round 7)."""
+    from stock_chart_kafka_streams_spark.operators.text import tokens
+
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__tk"))
+    tk = F.col("__tk")
+    uni = F.transform(
+        tk,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 12), 16, 10).cast("long"),
+    )
+    m = F.size(tk) - 1
+    bi = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(tk, i, 2))), 1, 12),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return staged.select(
+        F.col(id_col), F.explode(F.concat(uni, bi)).alias("g")
+    ).select(F.col(id_col), (F.col("g") % F.lit(int(n_buckets))).alias("b"))
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance scoring (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): fit bag-of-hashed-ngram distributions on a small
+    TARGET corpus (the domain you want more of) and on the RAW corpus,
+    then score every raw document by how much its grams look like the
+    target — the weight of bucket b is the probability ratio
+    p_target(b) / p_raw(b), and a document's score is the mean bucket
+    weight over its gram occurrences.
+
+    Two documented divergences from the paper, both in the repo's
+    exact-arithmetic house style:
+
+    * the per-bucket weight is the probability RATIO quantized to a
+      BIGINT (``floor(min(ratio, cap) * 1e6)``), not ``log p - log q``,
+      and a document aggregates by SUM of bucket weights rather than the
+      log-domain sum — monotone in each bucket's ratio, and libm-free:
+      log() is not correctly rounded and the engines may diverge in the
+      last ulp (the t5/t9 rationale). The double divisions themselves ARE
+      IEEE-correctly-rounded, so the quantized weights are cross-engine
+      bit-identical.
+    * selection (``dsir_select``) is deterministic top-k by score instead
+      of Gumbel-perturbed sampling — reproducible across runs/clusters
+      with no RNG state to ship (the paper's appendix notes top-k as the
+      variance-free variant).
+
+    Returns (id, n_grams, score_sum, mean_score) for EVERY raw document
+    (empty docs score 0). Degenerate case: a target with no grams yields
+    all-zero weights and all-zero scores — in BOTH engines (the twin has
+    no hidden error asymmetry; cf. the r8 ADVICE on semantic_dedup).
+
+    Scale shape (100 TB): grams are a map-side projection; bucket counts
+    are ONE gram-keyed aggregation each for raw and target (count is
+    algebraic — map-side partial aggregation collapses hot buckets before
+    the shuffle, and the reduce side is at most ``n_buckets`` rows); the
+    weight table is <= n_buckets rows and BROADCASTS, so scoring is a
+    map-side join + one doc-keyed aggregation. The corpus never shuffles
+    by gram. The raw-count lineage is re-evaluated for its total (a
+    <=n_buckets-row aggregate) rather than held in a global window —
+    at production scale persist the bucket-count stage; the paper's
+    configuration is 10k buckets, well inside broadcast range."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    raw_rows = _dsir_gram_rows(docs, n_buckets, id_col, text_col)
+    tgt_rows = _dsir_gram_rows(target, n_buckets, id_col, text_col)
+    raw_counts = raw_rows.groupBy("b").agg(F.count("*").alias("raw_cnt"))
+    tgt_counts = tgt_rows.groupBy("b").agg(F.count("*").alias("tgt_cnt"))
+    raw_tot = raw_counts.agg(F.sum("raw_cnt").alias("raw_total"))
+    tgt_tot = tgt_counts.agg(F.sum("tgt_cnt").alias("tgt_total"))
+    # ((p) / (q)) * SCALE with p, q each a single correctly-rounded double
+    # division — the exact parenthesization the SQL twin spells out.
+    p = F.col("tgt_cnt").cast("double") / F.col("tgt_total").cast("double")
+    q = F.col("raw_cnt").cast("double") / F.col("raw_total").cast("double")
+    w = F.when(
+        F.coalesce(F.col("tgt_cnt"), F.lit(0)) == 0, F.lit(0).cast("long")
+    ).otherwise(
+        F.floor(F.least((p / q) * F.lit(_DSIR_SCALE), F.lit(_DSIR_CAP))).cast(
+            "long"
+        )
+    )
+    weights = (
+        raw_counts.join(tgt_counts, on="b", how="left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select("b", w.alias("w"))
+    )
+    scored = (
+        raw_rows.join(F.broadcast(weights), on="b", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("score_sum"),
+        )
+    )
+    return docs.select(id_col).join(scored, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias("n_grams"),
+        F.coalesce(F.col("score_sum"), F.lit(0).cast("long")).alias("score_sum"),
+        F.when(
+            F.coalesce(F.col("n_grams"), F.lit(0)) > 0,
+            F.col("score_sum").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_score"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    k: int,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``k`` raw documents whose hashed
+    n-gram distribution best matches the target, by (mean_score DESC, id)
+    — orderBy+limit compiles to a distributed TakeOrdered (per-partition
+    top-k then a k-row driver merge; t9's vocabulary discipline), never a
+    global sort. Ties break on id so the selected set is reproducible."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    scored = dsir_importance(docs, target, n_buckets, id_col, text_col)
+    return scored.orderBy(F.col("mean_score").desc(), F.col(id_col)).limit(int(k))
+
+
+def _dsir_gram_rows_sql(table: str, pred: str | None, n_buckets: int, col: str) -> str:
+    """DuckDB (doc_id, b) gram-bucket rows over ``table`` (optionally
+    predicate-filtered) — same tokenization, same 48-bit md5-prefix gram
+    hashes, same modulo bucketing as ``_dsir_gram_rows``."""
+    from stock_chart_kafka_streams_spark.operators.text import (
+        ngram_hash_list_sql,
+        tokens_sql,
+    )
+
+    where = f" WHERE {pred}" if pred else ""
+    uni = "list_transform(tk, t -> ('0x' || substr(md5(t), 1, 12))::BIGINT)"
+    return (
+        f"SELECT doc_id, g % {int(n_buckets)} AS b FROM ("
+        f"SELECT doc_id, unnest({uni} || {ngram_hash_list_sql('tk', 2)}) AS g "
+        f"FROM (SELECT doc_id, {tokens_sql(col)} AS tk FROM {table}{where}))"
+    )
+
+
+def _dsir_sql(
+    table: str, target_pred: str, n_buckets: int, col: str, suffix: str
+) -> str:
+    scale, cap = _DSIR_SCALE, _DSIR_CAP
+    return f"""
+WITH raw_rows AS ({_dsir_gram_rows_sql(table, None, n_buckets, col)}),
+tgt_rows AS ({_dsir_gram_rows_sql(table, target_pred, n_buckets, col)}),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS raw_cnt FROM raw_rows GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS tgt_cnt FROM tgt_rows GROUP BY b),
+tot AS (
+    SELECT (SELECT CAST(SUM(raw_cnt) AS BIGINT) FROM raw) AS raw_total,
+           (SELECT CAST(SUM(tgt_cnt) AS BIGINT) FROM tgt) AS tgt_total
+),
+w AS (
+    SELECT r.b,
+           CASE WHEN COALESCE(t.tgt_cnt, 0) = 0 THEN 0
+                ELSE CAST(floor(least(
+                    ((CAST(t.tgt_cnt AS DOUBLE) / CAST(tot.tgt_total AS DOUBLE))
+                     / (CAST(r.raw_cnt AS DOUBLE) / CAST(tot.raw_total AS DOUBLE)))
+                    * {scale}, {cap})) AS BIGINT)
+           END AS w
+    FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+),
+scored AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS score_sum
+    FROM raw_rows LEFT JOIN w USING (b)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.score_sum, 0) AS score_sum,
+       CASE WHEN COALESCE(s.n_grams, 0) > 0
+            THEN CAST(s.score_sum AS DOUBLE) / CAST(s.n_grams AS DOUBLE)
+            ELSE 0.0 END AS mean_score
+FROM {table} d LEFT JOIN scored s USING (doc_id)
+{suffix}"""
+
+
+def dsir_importance_sql(
+    table: str = "documents",
+    target_pred: str = "doc_id % 97 = 0",
+    n_buckets: int = 4096,
+    col: str = "text",
+) -> str:
+    """DuckDB twin of ``dsir_importance`` for a target that is a
+    predicate-selected subset of the corpus (the driver fixture — p4b's
+    convention). Same gram hashing, same quantized ratio weights, same
+    exact BIGINT sums."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    return _dsir_sql(table, target_pred, n_buckets, col, "")
+
+
+def dsir_select_sql(
+    table: str = "documents",
+    target_pred: str = "doc_id % 97 = 0",
+    k: int = 50,
+    n_buckets: int = 4096,
+    col: str = "text",
+) -> str:
+    """DuckDB twin of ``dsir_select`` (same tie-broken top-k order)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    return _dsir_sql(
+        table,
+        target_pred,
+        n_buckets,
+        col,
+        f"ORDER BY mean_score DESC, d.doc_id LIMIT {int(k)}",
+    )

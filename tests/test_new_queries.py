@@ -103,6 +103,8 @@ def _canon(rows, cols):
         "t11_c4_clean",
         "t12_c4_span_dedup",
         "p9_curation_gopher",
+        "p11_dsir_importance",
+        "p11b_dsir_select",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):

@@ -151,3 +151,83 @@ def test_quality_approx_rejects_bad_fractions(spark):
         quality_quantile_filter_approx(docs, keep_num=0)
     with _pytest.raises(ValueError):
         quality_quantile_filter_approx(docs, keep_num=3, keep_den=2)
+
+
+# ---------------------------------------------------------------------------
+# p11: DSIR hashed n-gram importance (oracle parity in test_new_queries)
+# ---------------------------------------------------------------------------
+
+
+def _styled_corpus(spark):
+    """60 docs in two disjoint vocabularies: 'chem' style vs 'law' style.
+    A chem-flavored target must score chem docs strictly above law docs."""
+    chem = "benzene reacts with chlorine under ultraviolet light forming rings"
+    law = "the plaintiff filed an appeal against the verdict of the court"
+    rows = [(i, chem if i % 2 == 0 else law) for i in range(60)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dsir_target_style_outranks_off_style(spark):
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        dsir_importance,
+        dsir_select,
+    )
+
+    docs = _styled_corpus(spark)
+    # target: chem docs only (a strict subset of the chem half)
+    target = docs.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 20))
+    scored = dsir_importance(docs, target, n_buckets=512).collect()
+    chem_scores = [r["mean_score"] for r in scored if r["doc_id"] % 2 == 0]
+    law_scores = [r["mean_score"] for r in scored if r["doc_id"] % 2 == 1]
+    assert min(chem_scores) > max(law_scores)
+    # deterministic top-30 = exactly the chem half
+    picked = {r["doc_id"] for r in dsir_select(docs, target, k=30, n_buckets=512).collect()}
+    assert picked == {i for i in range(60) if i % 2 == 0}
+
+
+def test_dsir_empty_target_scores_zero_both_engines(spark):
+    import duckdb
+
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        dsir_importance,
+        dsir_importance_sql,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = dsir_importance(docs, docs.where(F.lit(False)), n_buckets=256)
+    assert out.where(F.col("score_sum") != 0).count() == 0
+    # the twin's degenerate path agrees (no hidden error asymmetry)
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = con.sql(dsir_importance_sql(target_pred="FALSE", n_buckets=256)).df()
+    con.close()
+    assert (want["score_sum"] == 0).all()
+
+
+def test_dsir_rejects_degenerate_parameters(spark):
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        dsir_importance,
+        dsir_select,
+        dsir_select_sql,
+    )
+
+    docs = _styled_corpus(spark)
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance(docs, docs, n_buckets=0)
+    with pytest.raises(ValueError, match="k must"):
+        dsir_select(docs, docs, k=0)
+    with pytest.raises(ValueError, match="k must"):
+        dsir_select_sql(k=0)
+
+
+def test_dsir_scores_are_run_deterministic(spark):
+    from stock_chart_kafka_streams_spark.operators.sampling import dsir_importance
+
+    docs = _styled_corpus(spark).repartition(7)
+    target = docs.where(F.col("doc_id") % 2 == 0)
+    a = dsir_importance(docs, target, n_buckets=512)
+    b = dsir_importance(docs.repartition(3), target, n_buckets=512)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
