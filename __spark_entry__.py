@@ -1316,6 +1316,20 @@ def _q_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, embs.where(_F.col("vec_id") < 5), k=10)
 
 
+def _q_s5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-k (Jégou et al. 2011): normalized
+    sub-vector codebooks (deterministic per-subspace k-means), m-code
+    corpus encoding, ADC candidate scan, exact rerank. The DuckDB twin
+    replays the whole procedure (normalization, m k-means chains, argmin
+    encode, ADC, rerank) as chained CTEs."""
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    return pq_topk(embs, embs.where(_F.col("vec_id") < 5), k=10)
+
+
 def _q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.text import text_features
 
@@ -1479,6 +1493,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_c4_span_dedup": _q_t12,
         "p11_dsir_importance": _q_p11,
         "p11b_dsir_select": _q_p11b,
+        "s5_pq_topk": _q_s5,
     }
 
 
@@ -1644,6 +1659,7 @@ FROM documents
         ),
         "p11_dsir_importance": _sampling.dsir_importance_sql(n_buckets=1024),
         "p11b_dsir_select": _sampling.dsir_select_sql(k=50, n_buckets=1024),
+        "s5_pq_topk": _sim.pq_topk_sql(k=10),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"
         ),

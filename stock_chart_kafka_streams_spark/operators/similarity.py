@@ -1548,3 +1548,472 @@ SELECT af.vec_id, af.cid, af.cent_cos
 FROM af
 WHERE NOT EXISTS (SELECT 1 FROM removed r WHERE r.vec_id = af.vec_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# s5: product-quantization ANN (round 9)
+# ---------------------------------------------------------------------------
+
+
+def _l2_unrolled(a: Column, b: Column, n: int, a_off: int = 0) -> Column:
+    """Codegen'd squared-L2 between ``a[a_off : a_off+n]`` and ``b[0:n]``
+    as a left-associated chain of ``(x - y) * (x - y)`` additions — the
+    bit-identical IEEE order of the DuckDB twin's
+    ``list_sum(list_transform(range(1, n+1), i -> (a[off+i]-b[i])*(a[off+i]-b[i])))``.
+    No sqrt: argmin over squared distances is the same argmin, division-
+    and libm-free."""
+    t: Column | None = None
+    for i in range(n):
+        d = F.get(a, a_off + i) - F.get(b, i)
+        term = d * d
+        t = term if t is None else t + term
+    assert t is not None
+    return t
+
+
+def _dot_off(a: Column, b: Column, n: int, a_off: int = 0) -> Column:
+    """Codegen'd dot between ``a[a_off : a_off+n]`` and ``b[0:n]`` — same
+    left-fold order as ``_dot_unrolled`` / DuckDB ``list_sum``."""
+    t: Column | None = None
+    for i in range(n):
+        term = F.get(a, a_off + i) * F.get(b, i)
+        t = term if t is None else t + term
+    assert t is not None
+    return t
+
+
+def _normalized(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame:
+    """(id, vn) with vn = v / ||v|| — one norm per vector (projected
+    column, not re-derived per element); zero-norm vectors divide by 1 so
+    they pass through unchanged instead of NaN-ing (the twin mirrors the
+    CASE). Per-element division is IEEE-correctly-rounded, so normalized
+    components are cross-engine bit-identical."""
+    staged = df.select(
+        F.col(id_col), _as_double(vec_col).alias("v")
+    ).withColumn("n0", _norm(F.col("v"), dim))
+    nv = F.when(F.col("n0") == 0, F.lit(1.0)).otherwise(F.col("n0"))
+    return staged.select(
+        F.col(id_col),
+        F.transform(F.col("v"), lambda x: x / nv).alias("vn"),
+    )
+
+
+def _pq_train(
+    corpus_norm: DataFrame,
+    m: int,
+    sub_dim: int,
+    n_codes: int,
+    iterations: int,
+    id_col: str,
+) -> list[list[list[float]]]:
+    """Per-subspace deterministic k-means over the NORMALIZED corpus —
+    ``ivf_build_centroids``' exact-replay discipline (md5-ordered seeding,
+    fixed Lloyd rounds, quantized-BIGINT averaging) with squared-L2
+    assignment (the PQ metric: sub-vectors are not unit, cosine would
+    divide by near-zero norms). Returns codebooks[m][n_codes][sub_dim].
+
+    All m subspaces seed from the SAME md5-ordered prefix (one driver
+    fetch of n_codes full vectors, sliced in Python), and each Lloyd
+    round runs one Spark job per subspace over the training set; only
+    (n_codes x sub_dim) BIGINT sums reach the driver."""
+    seed_rows = (
+        corpus_norm.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .select("vn")
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError(
+            "PQ codebook training set is empty (empty corpus, or sample_num/"
+            "sample_den left no training rows) — no encoding is possible"
+        )
+    if len(seed_rows) < n_codes:
+        # no silent padding: the SQL twin's seeds CTE would yield fewer
+        # centroids and diverge — surface the misconfiguration instead
+        # (the d8 empty-sample discipline, r8 ADVICE #4).
+        raise ValueError(
+            f"training set has {len(seed_rows)} rows < n_codes={n_codes}; "
+            "shrink n_codes or widen the training sample"
+        )
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        off = j * sub_dim
+        books.append([list(r["vn"])[off : off + sub_dim] for r in seed_rows])
+
+    for j in range(m):
+        off = j * sub_dim
+        sv = corpus_norm.select(
+            F.col(id_col),
+            F.array(*[F.get("vn", off + i) for i in range(sub_dim)]).alias("sv"),
+        )
+        cents = books[j]
+        for _ in range(iterations):
+            cent_df = F.broadcast(
+                sv.sparkSession.createDataFrame(
+                    [(i, v) for i, v in enumerate(cents)],
+                    "cid int, cv array<double>",
+                )
+            )
+            assigned = (
+                sv.crossJoin(cent_df)
+                .withColumn("d", _l2_unrolled(F.col("sv"), F.col("cv"), sub_dim))
+                .withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("cid"))
+                    ),
+                )
+                .where(F.col("rk") == 1)
+            )
+            sums = (
+                assigned.select(
+                    "cid",
+                    *[
+                        F.floor(F.element_at("sv", i + 1) * _IVF_QUANT + 0.5).alias(f"x{i}")
+                        for i in range(sub_dim)
+                    ],
+                )
+                .groupBy("cid")
+                .agg(
+                    F.count("*").alias("n"),
+                    *[F.sum(f"x{i}").alias(f"s{i}") for i in range(sub_dim)],
+                )
+                .collect()
+            )
+            new = {
+                r["cid"]: [
+                    float(r[f"s{i}"]) / float(r["n"]) / _IVF_QUANT
+                    for i in range(sub_dim)
+                ]
+                for r in sums
+            }
+            cents = [new.get(i, cents[i]) for i in range(len(cents))]
+        books[j] = cents
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+    candidates: int | None = None,
+    shards: int = 32,
+    sample_num: int = 1,
+    sample_den: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Product-quantization ANN top-k (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)): split
+    each L2-NORMALIZED vector into ``m`` sub-vectors, k-means each
+    subspace into ``n_codes`` centroids, store each corpus vector as m
+    small codes, and score query-to-corpus dot products by summing the
+    per-subspace query x codebook-centroid dots (asymmetric distance
+    computation — on normalized vectors dot IS cosine). The ADC top
+    ``candidates`` per query are exact-reranked to the final top-k.
+
+    Returns (query_id, vec_id, cos, rank) — the s1/s2/s3 shape; `cos` is
+    the EXACT cosine of the reranked survivors.
+
+    100 TB posture: this is the memory story of large-scale ANN — the
+    scan side carries ``m`` small ints per vector (codes), never the
+    dim-double embedding; the ADC scan is a pure map-side projection
+    against broadcast codebooks (m x n_codes x sub_dim doubles). The
+    per-query candidate cut is TWO-PHASE top-k — per (query, shard) first,
+    then over the shards x candidates survivors — so no task ever sorts a
+    whole corpus partition per query (the t7 lesson; a flat per-query
+    window would funnel the corpus through one task per query). Codebook
+    training subsamples via the d8 md5 predicate (``sample_num/den``) and
+    only n_codes x sub_dim quantized sums reach the driver. Exact rerank
+    touches only candidates x queries rows, joined back by id. Composition
+    with an IVF coarse quantizer (scan only probed lists) is the standard
+    next step at extreme scale; flat-PQ here is the published base form.
+
+    Cross-engine exactness: normalization, L2 argmin encode, ADC sums and
+    the final cosines are all IEEE-correctly-rounded chains in the twin's
+    evaluation order, and k-means averaging uses the quantized-BIGINT
+    trick — so ``pq_topk_sql`` replays the WHOLE procedure and
+    hash-matches, like s3/d8."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
+    if n_codes < 1:
+        raise ValueError(f"n_codes must be >= 1, got {n_codes}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if sample_num < 1 or sample_den < 1 or sample_num > sample_den:
+        raise ValueError("sample fraction must satisfy 1 <= sample_num <= sample_den")
+    cand = 4 * k if candidates is None else int(candidates)
+    if cand < k:
+        raise ValueError(f"candidates={cand} must be >= k={k}")
+    sub_dim = dim // m
+
+    cn = _normalized(corpus, id_col, vec_col, dim)
+    train = cn
+    if sample_den > 1:
+        train = cn.where(
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+                .cast("long"),
+                F.lit(int(sample_den)),
+            )
+            < F.lit(int(sample_num))
+        )
+    books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
+
+    # encode: per subspace, argmin squared-L2 against the codebook literals
+    # (array_position finds the FIRST minimum -> ties to the lowest cid,
+    # the twin's row_number ORDER BY d ASC, cid).
+    code_cols = []
+    for j in range(m):
+        off = j * sub_dim
+        dists = F.array(
+            *[
+                _l2_unrolled(F.col("vn"), F.array(*[F.lit(x) for x in c]), sub_dim, off)
+                for c in books[j]
+            ]
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"code{j}")
+        )
+    codes = cn.select(F.col(id_col), *code_cols)
+
+    qn = _normalized(queries, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"), F.col("vn").alias("qvn")
+    )
+    # ADC: adc = sum_j dot(q_sub_j, codebook_j[code_j]) in fixed j order
+    adc: Column | None = None
+    for j in range(m):
+        off = j * sub_dim
+        book_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[j]])
+        contrib = _dot_off(
+            F.col("qvn"), F.element_at(book_lit, F.col(f"code{j}") + 1), sub_dim, off
+        )
+        adc = contrib if adc is None else adc + contrib
+    scored = codes.crossJoin(F.broadcast(qn)).select(
+        "query_id", F.col(id_col), adc.alias("adc")
+    )
+
+    # two-phase candidate cut: per-(query, shard) top-cand, then global
+    # per-query top-cand over the <= shards*cand survivors — identical
+    # result to a flat per-query window (every global top-cand row is in
+    # its shard's top-cand), without the one-task-per-query funnel.
+    sharded = scored.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shards)))
+    )
+    w1 = Window.partitionBy("query_id", "__shard").orderBy(
+        F.col("adc").desc(), F.col(id_col).asc()
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col(id_col).asc())
+    cands = (
+        sharded.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= cand)
+        .withColumn("r2", F.row_number().over(w2))
+        .where(F.col("r2") <= cand)
+        .select("query_id", id_col)
+    )
+
+    # exact rerank: candidates x queries rows only, vectors joined back by id
+    c_vec = corpus.select(F.col(id_col), _as_double(vec_col).alias("cv")).withColumn(
+        "cn2", _norm(F.col("cv"), dim)
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn2", _norm(F.col("qv"), dim))
+    exact = (
+        cands.join(c_vec, on=id_col)
+        .join(F.broadcast(q_vec), on="query_id")
+        .select(
+            "query_id",
+            id_col,
+            (
+                _dot_unrolled(F.col("qv"), F.col("cv"), dim)
+                / (F.col("qn2") * F.col("cn2"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _l2_sql(a: str, b: str, n: int, a_off: int = 0) -> str:
+    """DuckDB squared-L2 between ``a[a_off+1 .. a_off+n]`` (1-based) and
+    ``b[1..n]`` — list_sum's left fold matches ``_l2_unrolled``'s chain."""
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}), "
+        f"i -> ({a}[i + {a_off}] - {b}[i]) * ({a}[i + {a_off}] - {b}[i])))"
+    )
+
+
+def _dot_off_sql(a: str, b: str, n: int, a_off: int = 0) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {n + 1}), "
+        f"i -> {a}[i + {a_off}] * {b}[i]))"
+    )
+
+
+def pq_topk_sql(
+    table: str = "embeddings",
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+    candidates: int | None = None,
+    sample_num: int = 1,
+    sample_den: int = 1,
+    query_pred: str = "vec_id < 5",
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of ``pq_topk``: replays normalization, the m per-
+    subspace deterministic k-means chains (md5-ordered seeding, L2
+    assignment, quantized-BIGINT averaging), the argmin encode, the ADC
+    scoring, the candidate cut and the exact rerank as ONE chained-CTE
+    statement. The candidate cut is a flat per-query window here — at
+    DuckDB's oracle scale that is the same row set the Spark side's
+    two-phase cut selects (per-shard top-c always covers global top-c),
+    so the compared output is identical."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
+    if n_codes < 1:
+        raise ValueError(f"n_codes must be >= 1, got {n_codes}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if sample_num < 1 or sample_den < 1 or sample_num > sample_den:
+        raise ValueError("sample fraction must satisfy 1 <= sample_num <= sample_den")
+    cand = 4 * k if candidates is None else int(candidates)
+    if cand < k:
+        raise ValueError(f"candidates={cand} must be >= k={k}")
+    sub = dim // m
+    quant = int(_IVF_QUANT)
+    dot_full = "list_sum(list_transform(range(1, {n}), i -> {a}[i] * {b}[i]))".format
+
+    ctes = [
+        f"e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table})",
+        f"""en AS (
+    SELECT vec_id, list_transform(v, x -> x / nv) AS vn FROM (
+        SELECT vec_id, v, CASE WHEN n0 = 0 THEN 1.0 ELSE n0 END AS nv FROM (
+            SELECT vec_id, v, sqrt({dot_full(n=dim + 1, a='v', b='v')}) AS n0 FROM e
+        )
+    )
+)""",
+    ]
+    if sample_den > 1:
+        ctes.append(
+            f"""train AS (
+    SELECT * FROM en
+    WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+          % {int(sample_den)} < {int(sample_num)}
+)"""
+        )
+        train = "train"
+    else:
+        train = "en"
+
+    code_joins = []
+    adc_joins = []
+    adc_terms = []
+    for j in range(m):
+        off = j * sub
+        sj = f"s{j}"
+        slice_j = f"list_transform(range({off + 1}, {off + sub + 1}), i -> vn[i])"
+        ctes.append(
+            f"""seeds_{sj} AS (
+    SELECT CAST(rn - 1 AS INT) AS cid, {slice_j} AS cv FROM (
+        SELECT vn, row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM {train}
+    ) WHERE rn <= {n_codes}
+)"""
+        )
+        prev = f"seeds_{sj}"
+        for it in range(1, iterations + 1):
+            ctes.append(
+                f"""assign{it}_{sj} AS (
+    SELECT vec_id, vn, cid FROM (
+        SELECT t.vec_id, t.vn, s.cid,
+               row_number() OVER (
+                   PARTITION BY t.vec_id
+                   ORDER BY {_l2_sql('t.vn', 's.cv', sub, off)} ASC, s.cid
+               ) AS rk
+        FROM {train} t CROSS JOIN {prev} s
+    ) WHERE rk = 1
+)"""
+            )
+            ctes.append(
+                f"""cent{it}_{sj} AS (
+    SELECT s.cid, COALESCE(u.cv, s.cv) AS cv
+    FROM {prev} s LEFT JOIN (
+        SELECT cid, list(mv ORDER BY i) AS cv FROM (
+            SELECT cid, i,
+                   CAST(SUM(CAST(floor(vn[i + {off}] * {quant}.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / {quant}.0 AS mv
+            FROM assign{it}_{sj} CROSS JOIN range(1, {sub + 1}) AS t(i)
+            GROUP BY cid, i
+        ) GROUP BY cid
+    ) u ON u.cid = s.cid
+)"""
+            )
+            prev = f"cent{it}_{sj}"
+        ctes.append(
+            f"""code_{sj} AS (
+    SELECT vec_id, cid AS code{j} FROM (
+        SELECT en.vec_id, s.cid,
+               row_number() OVER (
+                   PARTITION BY en.vec_id
+                   ORDER BY {_l2_sql('en.vn', 's.cv', sub, off)} ASC, s.cid
+               ) AS rk
+        FROM en CROSS JOIN {prev} s
+    ) WHERE rk = 1
+)"""
+        )
+        code_joins.append(f"JOIN code_{sj} USING (vec_id)")
+        adc_joins.append(f"JOIN {prev} cb{j} ON cb{j}.cid = c.code{j}")
+        adc_terms.append(_dot_off_sql("q.qvn", f"cb{j}.cv", sub, off))
+
+    ctes.append(
+        "codes AS (SELECT en.vec_id, "
+        + ", ".join(f"code{j}" for j in range(m))
+        + f" FROM en {' '.join(code_joins)})"
+    )
+    ctes.append(
+        f"qn AS (SELECT vec_id AS query_id, vn AS qvn FROM en WHERE {query_pred})"
+    )
+    ctes.append(
+        "scored AS (SELECT q.query_id, c.vec_id, "
+        + " + ".join(adc_terms)
+        + f" AS adc FROM codes c CROSS JOIN qn q {' '.join(adc_joins)})"
+    )
+    ctes.append(
+        f"""cand AS (
+    SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {cand}
+)"""
+    )
+    ctes.append(
+        f"""exact AS (
+    SELECT r.query_id, r.vec_id, {_cos_sql('qe.v', 'ce.v', dim)} AS cos
+    FROM cand r
+    JOIN e ce ON ce.vec_id = r.vec_id
+    JOIN e qe ON qe.vec_id = r.query_id
+)"""
+    )
+    ctes.append(
+        """ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos DESC, vec_id ASC
+    ) AS rank
+    FROM exact
+)"""
+    )
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, vec_id, cos, CAST(rank AS INT) AS rank "
+        f"FROM ranked WHERE rank <= {k}"
+    )

@@ -105,6 +105,7 @@ def _canon(rows, cols):
         "p9_curation_gopher",
         "p11_dsir_importance",
         "p11b_dsir_select",
+        "s5_pq_topk",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):

@@ -346,3 +346,66 @@ def test_bucket_cap_preserves_cluster_connectivity(spark):
         vecs.select("vec_id"), pairs, id_col="vec_id", max_iter=30
     )
     assert cc.select("cluster_id").distinct().count() == 1
+
+
+def test_pq_recall_against_brute_force(embs):
+    from stock_chart_kafka_streams_spark.operators.similarity import pq_topk
+
+    queries = embs.where(F.col("vec_id") < 10)
+    brute = cosine_topk(embs, queries, k=5)
+    # near-orthogonal random vectors are the hardest ANN input; widen the
+    # codebook and the ADC candidate cut (~10% of this 500-vector corpus,
+    # the same recall/scan trade the IVF test makes probing 3/8 cells)
+    approx = pq_topk(embs, queries, k=5, m=4, n_codes=16, candidates=50)
+    hits = brute.join(approx, on=["query_id", "vec_id"], how="left_semi").count()
+    recall = hits / brute.count()
+    assert recall >= 0.5, f"PQ recall {recall:.2f} too low"
+    # the exact rerank must surface the query itself at rank 1 whenever it
+    # survives the ADC candidate cut; with candidates=4k that is all 10
+    self_hits = approx.where(
+        (F.col("rank") == 1) & (F.col("query_id") == F.col("vec_id"))
+    ).count()
+    assert self_hits == 10
+
+
+def test_pq_two_phase_cut_equals_flat_cut(embs):
+    """The sharded two-phase ADC candidate cut must select the SAME final
+    top-k as a degenerate single-shard run — per-shard top-c always covers
+    the global top-c (the correctness argument for the no-funnel plan)."""
+    from stock_chart_kafka_streams_spark.operators.similarity import pq_topk
+
+    queries = embs.where(F.col("vec_id") < 5)
+    sharded = pq_topk(embs, queries, k=5, shards=16)
+    flat = pq_topk(embs, queries, k=5, shards=1)
+    assert sharded.exceptAll(flat).count() == 0
+    assert flat.exceptAll(sharded).count() == 0
+
+
+def test_pq_sampled_training_still_ranks_self_first(embs):
+    from stock_chart_kafka_streams_spark.operators.similarity import pq_topk
+
+    queries = embs.where(F.col("vec_id") < 5)
+    out = pq_topk(embs, queries, k=3, sample_num=1, sample_den=2)
+    firsts = out.where(F.col("rank") == 1).collect()
+    assert len(firsts) == 5
+    for r in firsts:
+        assert r["vec_id"] == r["query_id"] and abs(r["cos"] - 1.0) < 1e-9
+
+
+def test_pq_rejects_degenerate_parameters(embs):
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_sql,
+    )
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_topk(embs, embs, m=7)
+    with pytest.raises(ValueError, match="candidates"):
+        pq_topk(embs, embs, k=10, candidates=5)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_topk_sql(m=7)
+    with pytest.raises(ValueError, match="sample fraction"):
+        pq_topk(embs, embs, sample_num=3, sample_den=2)
+    # training set smaller than the codebook: explicit error, no padding
+    with pytest.raises(ValueError, match="n_codes"):
+        pq_topk(embs.limit(4), embs.limit(1), n_codes=8)
