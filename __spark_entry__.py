@@ -1316,6 +1316,54 @@ def _q_s3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, embs.where(_F.col("vec_id") < 5), k=10)
 
 
+def _d9_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Incremental-dedup fixture: EXISTING = even doc_ids; INCOMING = odd
+    doc_ids PLUS exact copies of every ``doc_id % 10 == 0`` existing doc
+    under shifted ids — so the removal path provably fires under the
+    oracle (an all-survivors result would also 'match')."""
+    from pyspark.sql import functions as _F
+
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(_F.col("doc_id") % 2 == 0)
+    copies = docs.where(_F.col("doc_id") % 10 == 0).select(
+        (_F.col("doc_id") + _F.lit(10_000_000_000)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    incoming = docs.where(_F.col("doc_id") % 2 == 1).unionByName(copies)
+    return existing, incoming
+
+
+_D9_EXISTING_SQL = "(SELECT * FROM documents WHERE doc_id % 2 = 0)"
+_D9_INCOMING_SQL = (
+    "(SELECT * FROM documents WHERE doc_id % 2 = 1 "
+    "UNION ALL "
+    "SELECT doc_id + 10000000000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id % 10 = 0)"
+)
+
+
+def _q_d9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: new-snapshot rows whose content
+    fingerprint already exists in the corpus are dropped (one
+    fingerprint-keyed anti-join)."""
+    from stock_chart_kafka_streams_spark.operators.dedup import incremental_dedup
+
+    existing, incoming = _d9_sides(spark, sf_dir)
+    return incremental_dedup(existing, incoming, mode="exact")
+
+
+def _q_d9b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: minhash-band candidates across snapshots,
+    hashed-shingle Jaccard verification, anti-join of confirmed dups."""
+    from stock_chart_kafka_streams_spark.operators.dedup import incremental_dedup
+
+    existing, incoming = _d9_sides(spark, sf_dir)
+    return incremental_dedup(existing, incoming, mode="minhash", threshold=0.5)
+
+
 def _q_s5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN top-k (Jégou et al. 2011): normalized
     sub-vector codebooks (deterministic per-subspace k-means), m-code
@@ -1494,6 +1542,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11_dsir_importance": _q_p11,
         "p11b_dsir_select": _q_p11b,
         "s5_pq_topk": _q_s5,
+        "d9_incremental_exact": _q_d9,
+        "d9b_incremental_minhash": _q_d9b,
     }
 
 
@@ -1660,6 +1710,12 @@ FROM documents
         "p11_dsir_importance": _sampling.dsir_importance_sql(n_buckets=1024),
         "p11b_dsir_select": _sampling.dsir_select_sql(k=50, n_buckets=1024),
         "s5_pq_topk": _sim.pq_topk_sql(k=10),
+        "d9_incremental_exact": _dd.incremental_dedup_sql(
+            _D9_EXISTING_SQL, _D9_INCOMING_SQL, mode="exact"
+        ),
+        "d9b_incremental_minhash": _dd.incremental_dedup_sql(
+            _D9_EXISTING_SQL, _D9_INCOMING_SQL, mode="minhash", threshold=0.5
+        ),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"
         ),

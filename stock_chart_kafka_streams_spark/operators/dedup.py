@@ -302,30 +302,33 @@ def _band_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 _BUCKETS_CTE = """
-hashed AS (
+hashed{sfx} AS (
     SELECT doc_id,
            list_transform({sh}, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hl
     FROM {table}
 ),
-sig AS (
-    SELECT doc_id, {mh_exprs} FROM hashed
+sig{sfx} AS (
+    SELECT doc_id, {mh_exprs} FROM hashed{sfx}
 ),
-banded AS (
-    SELECT doc_id, {band_exprs} FROM sig
+banded{sfx} AS (
+    SELECT doc_id, {band_exprs} FROM sig{sfx}
 ),
-buckets AS (
+buckets{sfx} AS (
     {band_union}
 )
 """
 
 
-def _buckets_cte_sql(table: str = "documents") -> str:
+def _buckets_cte_sql(table: str = "documents", suffix: str = "") -> str:
+    """Bucket CTE chain; ``suffix`` disambiguates the CTE names so two
+    chains (e.g. d9's existing vs incoming sides) can share one WITH."""
     band_union = "\n    UNION ALL\n    ".join(
-        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_val FROM banded"
+        f"SELECT doc_id, {b} AS band_idx, band_{b} AS band_val FROM banded{suffix}"
         for b in range(LSH_BANDS)
     )
     return _BUCKETS_CTE.format(
         table=table,
+        sfx=suffix,
         sh=SHINGLES_SQL("text"),
         mh_exprs=", ".join(_minhash_sql_exprs()),
         band_exprs=", ".join(_bands_sql_exprs()),
@@ -727,4 +730,153 @@ reach(id, r) AS (
 SELECT id AS doc_id, min(r) AS cluster_id,
        (id = min(r)) AS is_canonical
 FROM reach GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# d9: incremental (cross-snapshot) dedup (round 9)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    mode: str = "exact",
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the operational form
+    continuous ingestion needs (C4/CCNet-style pipelines re-crawl
+    periodically; each snapshot must drop documents already held, without
+    ever re-deduplicating the accumulated corpus against itself). Returns
+    the incoming rows (all columns) that are NOT duplicates of any
+    existing document. Intra-batch duplicates are deliberately NOT
+    removed here — compose d1/d2 over the batch first; this operator's
+    contract is purely incoming-vs-existing.
+
+    ``mode="exact"``: duplicate = same content fingerprint (md5 of the
+    whitespace/case-normalized text, ``text.fingerprint``). One anti-join
+    keyed by fingerprint — both sides shuffle by fingerprint once; at
+    100 TB the existing side's distinct-fingerprint table is the thing a
+    production deployment materializes (bucketed by fingerprint) so each
+    new snapshot joins against it shuffle-free, and its size is bounded
+    by distinct content, not corpus bytes.
+
+    ``mode="minhash"``: duplicate = shares ANY full MinHash-LSH band with
+    an existing doc AND the hashed-shingle Jaccard clears ``threshold``
+    (d2's banding + d3's verification, across tables). Band buckets are
+    map-side per row; the candidate join is band-keyed and carries ids
+    only; verification shingle sets are built ONLY for candidate ids
+    (semi-join) on each side. The existing side's buckets are likewise
+    the incremental artifact to materialize once per corpus — each
+    snapshot then re-buckets only its own (small) batch.
+    """
+    if mode not in ("exact", "minhash"):
+        raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")
+    from stock_chart_kafka_streams_spark.operators.text import fingerprint
+
+    if mode == "exact":
+        ex_fp = existing.select(fingerprint(text_col).alias("__fp")).distinct()
+        return (
+            incoming.withColumn("__fp", fingerprint(text_col))
+            .join(ex_fp, on="__fp", how="left_anti")
+            .drop("__fp")
+        )
+
+    inc_b = _band_buckets(incoming, id_col, text_col)
+    ex_b = _band_buckets(existing, id_col, text_col)
+    cands = (
+        inc_b.alias("n")
+        .join(
+            ex_b.alias("e"),
+            (F.col("n.band_idx") == F.col("e.band_idx"))
+            & (F.col("n.band_val") == F.col("e.band_val")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("inc_id"),
+            F.col(f"e.{id_col}").alias("ex_id"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _cand_shingles(df: DataFrame, key: str, out: str) -> DataFrame:
+        ids = cands.select(F.col(key).alias(id_col)).distinct()
+        return (
+            shingle_rows(df.join(ids, on=id_col, how="left_semi"), id_col, text_col)
+            .groupBy(id_col)
+            .agg(F.collect_set(_hash60(F.col("__sh"))).alias(out))
+        )
+
+    sh_in = _cand_shingles(incoming, "inc_id", "sh_a")
+    sh_ex = _cand_shingles(existing, "ex_id", "sh_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    dup_ids = (
+        cands.join(sh_in.withColumnRenamed(id_col, "inc_id"), on="inc_id")
+        .join(sh_ex.withColumnRenamed(id_col, "ex_id"), on="ex_id")
+        .where(jac >= F.lit(float(threshold)))
+        .select(F.col("inc_id").alias(id_col))
+        .distinct()
+    )
+    return incoming.join(dup_ids, on=id_col, how="left_anti")
+
+
+def incremental_dedup_sql(
+    existing: str,
+    incoming: str,
+    mode: str = "exact",
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB twin of ``incremental_dedup``. ``existing``/``incoming``
+    are table expressions (a view name or a parenthesized subquery,
+    WITHOUT an alias — the twin binds its own). NOT EXISTS mirrors the
+    anti-join's NULL semantics."""
+    if mode not in ("exact", "minhash"):
+        raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")
+    from stock_chart_kafka_streams_spark.operators.text import fingerprint_sql
+
+    if mode == "exact":
+        return f"""
+WITH exfp AS (SELECT DISTINCT {fingerprint_sql('text')} AS fp FROM {existing})
+SELECT i.* FROM {incoming} AS i
+WHERE NOT EXISTS (
+    SELECT 1 FROM exfp e WHERE e.fp = {fingerprint_sql('i.text')}
+)
+"""
+    sh = SHINGLES_SQL("text")
+    hashed = (
+        f"list_distinct(list_transform({sh}, "
+        "s -> ('0x' || substr(md5(s), 1, 15))::BIGINT))"
+    )
+    return f"""
+WITH {_buckets_cte_sql(incoming, suffix='_in')},
+{_buckets_cte_sql(existing, suffix='_ex').lstrip()},
+cands AS (
+    SELECT DISTINCT n.doc_id AS inc_id, e.doc_id AS ex_id
+    FROM buckets_in n
+    JOIN buckets_ex e
+      ON n.band_idx = e.band_idx AND n.band_val = e.band_val
+),
+sh_in AS (
+    SELECT doc_id, {hashed} AS s FROM {incoming} AS t_in
+    WHERE doc_id IN (SELECT inc_id FROM cands)
+),
+sh_ex AS (
+    SELECT doc_id, {hashed} AS s FROM {existing} AS t_ex
+    WHERE doc_id IN (SELECT ex_id FROM cands)
+),
+dup AS (
+    SELECT DISTINCT c.inc_id
+    FROM cands c
+    JOIN sh_in a ON a.doc_id = c.inc_id
+    JOIN sh_ex b ON b.doc_id = c.ex_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE)
+          >= {float(threshold)}
+)
+SELECT i.* FROM {incoming} AS i
+WHERE NOT EXISTS (SELECT 1 FROM dup d WHERE d.inc_id = i.doc_id)
 """

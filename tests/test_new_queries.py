@@ -106,6 +106,8 @@ def _canon(rows, cols):
         "p11_dsir_importance",
         "p11b_dsir_select",
         "s5_pq_topk",
+        "d9_incremental_exact",
+        "d9b_incremental_minhash",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):

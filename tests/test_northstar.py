@@ -409,3 +409,61 @@ def test_pq_rejects_degenerate_parameters(embs):
     # training set smaller than the codebook: explicit error, no padding
     with pytest.raises(ValueError, match="n_codes"):
         pq_topk(embs.limit(4), embs.limit(1), n_codes=8)
+
+
+# -- incremental (cross-snapshot) dedup ------------------------------------
+
+
+def test_incremental_dedup_exact_drops_only_cross_snapshot_copies(spark):
+    from stock_chart_kafka_streams_spark.operators.dedup import incremental_dedup
+
+    existing = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),  # exact copy
+            (11, "The  quick BROWN fox jumps over the lazy dog"),  # normalized copy
+            (12, "a completely different document about spark"),
+            (13, "a completely different document about spark"),  # intra-batch dup
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in incremental_dedup(existing, incoming).collect()}
+    # copies of EXISTING go; intra-batch dups are out of contract and stay
+    assert kept == {12, 13}
+
+
+def test_incremental_dedup_minhash_drops_near_dups(spark):
+    from stock_chart_kafka_streams_spark.operators.dedup import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    existing = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [
+            (10, base.replace("kappa", "lambda")),  # near-dup of existing
+            (11, "totally unrelated words about weather and sailing boats"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_dedup(
+            existing, incoming, mode="minhash", threshold=0.5
+        ).collect()
+    }
+    assert kept == {11}
+
+
+def test_incremental_dedup_rejects_unknown_mode(spark):
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_dedup_sql,
+    )
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="mode"):
+        incremental_dedup(df, df, mode="fuzzy")
+    with pytest.raises(ValueError, match="mode"):
+        incremental_dedup_sql("documents", "documents", mode="fuzzy")
