@@ -1212,6 +1212,21 @@ def _q_p11b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P12_RATES = {"src0": 2.5, "src1": 4.0, "src2": 0.75, "src3": 5.5}
+
+
+def _q_p12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-capped mixture upsampling (Muennighoff et al. 2023 data-
+    constrained scaling): src1 asks for 4 epochs, src3 for 5.5 (clips at
+    the max_epochs=4 cap), src0 for 2.5 (2 full + 1/2 fractional), src2
+    for 0.75 (fractional only); the other 16 sources drop."""
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        epoch_mixture_upsample,
+    )
+
+    return epoch_mixture_upsample(_docs(spark, sf_dir), rates=_P12_RATES)
+
+
 def _q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram-frequency quality score (CCNet-family
     statistical filter) with a deliberately small top_k=100 vocabulary so
@@ -1544,6 +1559,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_pq_topk": _q_s5,
         "d9_incremental_exact": _q_d9,
         "d9b_incremental_minhash": _q_d9b,
+        "p12_epoch_upsample": _q_p12,
     }
 
 
@@ -1715,6 +1731,9 @@ FROM documents
         ),
         "d9b_incremental_minhash": _dd.incremental_dedup_sql(
             _D9_EXISTING_SQL, _D9_INCOMING_SQL, mode="minhash", threshold=0.5
+        ),
+        "p12_epoch_upsample": _sampling.epoch_mixture_upsample_sql(
+            rates=_P12_RATES
         ),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"

@@ -264,15 +264,6 @@ def _tier2_queries(
         # and the candidate set (and its two vector fetch-back joins)
         # 16× larger, measured 118 s vs ~20 s.
         "t2_s4_knn_200k": lambda: knn_join(embs, k=10, n_bits=16),
-        # p11 DSIR importance over the 500k corpus vs a ~50-doc target
-        # slice: gram-keyed bucket aggs (map-side pre-reduced, reduce side
-        # <= n_buckets rows), broadcast weights, one doc-keyed agg — the
-        # corpus never shuffles by gram (p4b's cost class plus one agg).
-        "t2_p11_dsir_100x": lambda: dsir_importance(
-            docs,
-            docs.where(F.pmod(F.col("doc_id"), 9973) == 0),
-            n_buckets=10_000,
-        ),
         # p10 temperature mixture sampling (keyed on lang — the replicated
         # corpus drops the source column): one stratum-keyed count agg,
         # rate table broadcasts, corpus filtered map-side.
@@ -532,6 +523,27 @@ def _tier2_queries(
     timings["t2_d8_matmul_256c_50k"] = round(time.perf_counter() - t0, 3)
     extra["d8_matmul_256_train_s"] = st.get("train_s")
     extra["d8_matmul_256_assign_s"] = st.get("assign_s")
+
+    # p11 DSIR importance over the 500k corpus vs a ~50-doc target slice:
+    # gram-keyed bucket aggs (map-side pre-reduced, reduce side
+    # <= n_buckets rows, eagerly checkpointed), broadcast weights, one
+    # doc-keyed agg — the corpus never shuffles by gram (p4b's cost class
+    # plus one agg). Timed inclusively (the bucket-count checkpoints run
+    # jobs at construction); best-of-2.
+    p11_runs: list[float] = []
+    for _ in range(2):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _noop(
+            dsir_importance(
+                docs,
+                docs.where(F.pmod(F.col("doc_id"), 9973) == 0),
+                n_buckets=10_000,
+            )
+        )
+        p11_runs.append(round(time.perf_counter() - t0, 3))
+    timings["t2_p11_dsir_100x"] = min(p11_runs)
+    extra["p11_dsir_runs_s"] = p11_runs
 
     # s5 PQ ANN over the full 200k corpus: codebooks train on a 1/16 md5
     # sample (the d8 sampled-training discipline), the corpus encodes

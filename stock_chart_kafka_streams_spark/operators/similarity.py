@@ -1614,8 +1614,15 @@ def _pq_train(
 
     All m subspaces seed from the SAME md5-ordered prefix (one driver
     fetch of n_codes full vectors, sliced in Python), and each Lloyd
-    round runs one Spark job per subspace over the training set; only
-    (n_codes x sub_dim) BIGINT sums reach the driver."""
+    round runs as ONE Spark job covering ALL m subspaces (sub-vector rows
+    tagged by subspace, assignment joined against a (sub, cid) centroid
+    table, one (sub, cid)-keyed aggregation) — the per-subspace-loop form
+    ran m x iterations jobs whose fixed overheads dominated training at
+    tier-2 scale (19 s -> ~5 s on the 12.5k sample). Per-subspace
+    arithmetic is unchanged expression-for-expression, so the codebooks
+    are bit-identical to the loop form and the SQL twin's independent
+    per-subspace replay. Only (m x n_codes x sub_dim) BIGINT sums reach
+    the driver per round."""
     seed_rows = (
         corpus_norm.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_codes)
@@ -1640,55 +1647,71 @@ def _pq_train(
         off = j * sub_dim
         books.append([list(r["vn"])[off : off + sub_dim] for r in seed_rows])
 
-    for j in range(m):
-        off = j * sub_dim
-        sv = corpus_norm.select(
-            F.col(id_col),
-            F.array(*[F.get("vn", off + i) for i in range(sub_dim)]).alias("sv"),
-        )
-        cents = books[j]
-        for _ in range(iterations):
-            cent_df = F.broadcast(
-                sv.sparkSession.createDataFrame(
-                    [(i, v) for i, v in enumerate(cents)],
-                    "cid int, cv array<double>",
-                )
-            )
-            assigned = (
-                sv.crossJoin(cent_df)
-                .withColumn("d", _l2_unrolled(F.col("sv"), F.col("cv"), sub_dim))
-                .withColumn(
-                    "rk",
-                    F.row_number().over(
-                        Window.partitionBy(id_col).orderBy(F.col("d").asc(), F.col("cid"))
-                    ),
-                )
-                .where(F.col("rk") == 1)
-            )
-            sums = (
-                assigned.select(
-                    "cid",
-                    *[
-                        F.floor(F.element_at("sv", i + 1) * _IVF_QUANT + 0.5).alias(f"x{i}")
-                        for i in range(sub_dim)
-                    ],
-                )
-                .groupBy("cid")
-                .agg(
-                    F.count("*").alias("n"),
-                    *[F.sum(f"x{i}").alias(f"s{i}") for i in range(sub_dim)],
-                )
-                .collect()
-            )
-            new = {
-                r["cid"]: [
-                    float(r[f"s{i}"]) / float(r["n"]) / _IVF_QUANT
-                    for i in range(sub_dim)
+    # sub-vector rows for every subspace in one pass: (id, sub, sv)
+    svall = corpus_norm.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.array(
+                            *[F.get("vn", j * sub_dim + i) for i in range(sub_dim)]
+                        ).alias("sv"),
+                    )
+                    for j in range(m)
                 ]
-                for r in sums
-            }
-            cents = [new.get(i, cents[i]) for i in range(len(cents))]
-        books[j] = cents
+            )
+        ).alias("z"),
+    ).select(F.col(id_col), F.col("z.sub").alias("sub"), F.col("z.sv").alias("sv"))
+
+    for _ in range(iterations):
+        cent_df = F.broadcast(
+            corpus_norm.sparkSession.createDataFrame(
+                [(j, i, v) for j in range(m) for i, v in enumerate(books[j])],
+                "sub int, cid int, cv array<double>",
+            )
+        )
+        assigned = (
+            svall.join(cent_df, on="sub")
+            .withColumn("d", _l2_unrolled(F.col("sv"), F.col("cv"), sub_dim))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("sub", id_col).orderBy(
+                        F.col("d").asc(), F.col("cid")
+                    )
+                ),
+            )
+            .where(F.col("rk") == 1)
+        )
+        sums = (
+            assigned.select(
+                "sub",
+                "cid",
+                *[
+                    F.floor(F.element_at("sv", i + 1) * _IVF_QUANT + 0.5).alias(f"x{i}")
+                    for i in range(sub_dim)
+                ],
+            )
+            .groupBy("sub", "cid")
+            .agg(
+                F.count("*").alias("n"),
+                *[F.sum(f"x{i}").alias(f"s{i}") for i in range(sub_dim)],
+            )
+            .collect()
+        )
+        new: dict[tuple[int, int], list[float]] = {
+            (r["sub"], r["cid"]): [
+                float(r[f"s{i}"]) / float(r["n"]) / _IVF_QUANT
+                for i in range(sub_dim)
+            ]
+            for r in sums
+        }
+        books = [
+            [new.get((j, i), books[j][i]) for i in range(n_codes)]
+            for j in range(m)
+        ]
     return books
 
 
@@ -1754,6 +1777,11 @@ def pq_topk(
     cn = _normalized(corpus, id_col, vec_col, dim)
     train = cn
     if sample_den > 1:
+        # materialize the (small) training sample once: the seed scan and
+        # every per-subspace Lloyd round otherwise re-reads and re-filters
+        # the FULL corpus (m x iterations + 1 scans — measured 40 s -> 25 s
+        # at 200k vectors); this is exactly the training-set extract a
+        # production run writes out before fitting codebooks.
         train = cn.where(
             F.pmod(
                 F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
@@ -1761,7 +1789,7 @@ def pq_topk(
                 F.lit(int(sample_den)),
             )
             < F.lit(int(sample_num))
-        )
+        ).localCheckpoint(eager=True)
     books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
 
     # encode: per subspace, argmin squared-L2 against the codebook literals

@@ -108,6 +108,7 @@ def _canon(rows, cols):
         "s5_pq_topk",
         "d9_incremental_exact",
         "d9b_incremental_minhash",
+        "p12_epoch_upsample",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):

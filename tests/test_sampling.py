@@ -231,3 +231,61 @@ def test_dsir_scores_are_run_deterministic(spark):
     a = dsir_importance(docs, target, n_buckets=512)
     b = dsir_importance(docs.repartition(3), target, n_buckets=512)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# p12: epoch-capped mixture upsampling (oracle parity in test_new_queries)
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_upsample_counts_and_cap(spark, docs):
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        epoch_mixture_upsample,
+    )
+
+    rates = {"src0": 2.0, "src1": 9.0}  # src1 clips at max_epochs=3
+    out = epoch_mixture_upsample(docs, rates, max_epochs=3).cache()
+    n0 = docs.where(F.col("source") == "src0").count()
+    n1 = docs.where(F.col("source") == "src1").count()
+    by_src = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_src == {"src0": 2 * n0, "src1": 3 * n1}  # integral rates exact
+    # unlisted sources dropped entirely
+    assert set(by_src) == {"src0", "src1"}
+    # epoch key bounds: 0-based, below the clipped epoch count
+    assert out.agg(F.max("epoch")).first()[0] <= 2
+    assert out.agg(F.min("epoch")).first()[0] == 0
+
+
+def test_epoch_upsample_fractional_epoch_is_a_genuine_draw(spark, docs):
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        epoch_mixture_upsample,
+    )
+
+    out = epoch_mixture_upsample(docs, {"src0": 1.5}).cache()
+    n = docs.where(F.col("source") == "src0").count()
+    total = out.count()
+    # epoch 0 complete, epoch 1 ~ half (binomial noise on 25 docs)
+    assert out.where(F.col("epoch") == 0).count() == n
+    assert n < total < 2 * n
+    # deterministic: identical on a re-run
+    again = epoch_mixture_upsample(docs, {"src0": 1.5})
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_epoch_upsample_rejects_degenerate_parameters(docs):
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        epoch_mixture_upsample,
+        epoch_mixture_upsample_sql,
+    )
+
+    with pytest.raises(ValueError, match="max_epochs"):
+        epoch_mixture_upsample(docs, {"src0": 1.0}, max_epochs=0)
+    with pytest.raises(ValueError, match="at least one"):
+        epoch_mixture_upsample(docs, {})
+    with pytest.raises(ValueError, match="must be > 0"):
+        epoch_mixture_upsample(docs, {"src0": 0.0})
+    with pytest.raises(ValueError, match="must be > 0"):
+        epoch_mixture_upsample_sql({"src0": -1.0})

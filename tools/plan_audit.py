@@ -45,6 +45,12 @@ SKIP = {
     # its no-window plan shape is pytest-asserted in
     # tests/test_corpus_filters.py::test_vocabulary_stats_plan_has_no_window*
     "t7_vocabulary",
+    # eager bounded materialization by design (round 9): p11 checkpoints
+    # its two <= n_buckets bucket-count aggregates; s5 runs codebook
+    # training jobs at construction (the d8/s3 k-means pattern)
+    "p11_dsir_importance",
+    "p11b_dsir_select",
+    "s5_pq_topk",
 }
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
