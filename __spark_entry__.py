@@ -1212,6 +1212,16 @@ def _q_p11b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range-lookup join (the BroadcastNestedLoopJoin killer):
+    lineitem prices classified into quadratically-widening bands via an
+    equi-join on floor(value/width) buckets + exact containment filter;
+    rolled up to count + exact-cents revenue per band."""
+    from stock_chart_kafka_streams_spark.operators.joins import price_band_lookup
+
+    return price_band_lookup(spark, sf_dir)
+
+
 _P12_RATES = {"src0": 2.5, "src1": 4.0, "src2": 0.75, "src3": 5.5}
 
 
@@ -1560,6 +1570,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_incremental_exact": _q_d9,
         "d9b_incremental_minhash": _q_d9b,
         "p12_epoch_upsample": _q_p12,
+        "j8_price_bands": _q_j8,
     }
 
 
@@ -1735,6 +1746,7 @@ FROM documents
         "p12_epoch_upsample": _sampling.epoch_mixture_upsample_sql(
             rates=_P12_RATES
         ),
+        "j8_price_bands": _joins.PRICE_BAND_LOOKUP_SQL,
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"
         ),

@@ -490,3 +490,115 @@ SELECT CAST(day AS TIMESTAMP) AS day,
 FROM days
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# j8: bucketized range-lookup join (round 9)
+# ---------------------------------------------------------------------------
+
+
+def range_lookup_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1000.0,
+    broadcast_ranges: bool = True,
+) -> DataFrame:
+    """Point-in-range lookup join — classify every fact row into the
+    range rows whose half-open interval ``[lo, hi)`` contains its value
+    (IP->geo, price->band, timestamp->maintenance-window: the lookup
+    shape every warehouse needs). A naive non-equi join plans as
+    BroadcastNestedLoopJoin — every fact row evaluates EVERY range, which
+    is quadratic work even when the ranges broadcast. This is the
+    standard bucketization fix: each range explodes into the fixed-width
+    buckets it covers, facts compute their bucket map-side
+    (``floor(value / width)``), the join becomes an EQUI-join on the
+    bucket id, and the exact containment predicate filters the handful of
+    co-bucketed candidates. Per-fact work drops from O(|ranges|) to
+    O(ranges overlapping one bucket) — O(1) when ``bucket_width`` is near
+    the median range width.
+
+    Overlapping ranges emit one output row per match (plain join
+    semantics); facts matching no range drop (inner). At 100 TB the fact
+    side never shuffles when ``broadcast_ranges`` (the exploded range
+    table is |ranges| x mean-buckets-per-range rows — broadcastable for
+    any realistic lookup table); set it False to shuffle both sides by
+    bucket when the range table is itself huge.
+
+    The bucket id is ``floor(v / width)`` in double arithmetic — one
+    correctly-rounded division + exact floor, so the DuckDB twin buckets
+    identically."""
+    if not bucket_width > 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    w = F.lit(float(bucket_width))
+    b = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor(F.col(hi_col) / w).cast("long"),
+            )
+        ),
+    )
+    if broadcast_ranges:
+        b = F.broadcast(b)
+    v = F.col(value_col)
+    return (
+        facts.withColumn("__bucket", F.floor(v / w).cast("long"))
+        .join(b, on="__bucket")
+        .where((v >= F.col(lo_col)) & (v < F.col(hi_col)))
+        .drop("__bucket")
+    )
+
+
+def price_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """j8 driver fixture: classify every lineitem's extended price into
+    quadratically-widening price bands (band k covers
+    [k^2 * 100, (k+1)^2 * 100) — deliberately irregular against the
+    fixed 1000-wide buckets so ranges span 0..n buckets and buckets hold
+    0..n ranges), then roll up count and exact-cents revenue per band."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    bands = spark.range(0, 25).select(
+        F.col("id").alias("band"),
+        (F.col("id") * F.col("id") * 100).cast("double").alias("lo"),
+        ((F.col("id") + 1) * (F.col("id") + 1) * 100).cast("double").alias("hi"),
+    )
+    joined = range_lookup_join(
+        lineitem.select("l_extendedprice"), bands, "l_extendedprice"
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    return (
+        joined.groupBy("band")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+        .orderBy("band")
+    )
+
+
+PRICE_BAND_LOOKUP_SQL = """
+WITH bands AS (
+    SELECT CAST(k AS BIGINT) AS band,
+           CAST(k * k * 100 AS DOUBLE) AS lo,
+           CAST((k + 1) * (k + 1) * 100 AS DOUBLE) AS hi
+    FROM range(0, 25) AS t(k)
+),
+b AS (
+    SELECT band, lo, hi,
+           unnest(range(CAST(floor(lo / 1000.0) AS BIGINT),
+                        CAST(floor(hi / 1000.0) AS BIGINT) + 1)) AS bucket
+    FROM bands
+)
+SELECT b.band,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem l
+JOIN b ON b.bucket = CAST(floor(l.l_extendedprice / 1000.0) AS BIGINT)
+WHERE l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band
+ORDER BY b.band
+"""

@@ -191,3 +191,55 @@ def test_backlog_matches_duckdb_oracle(spark, duck):
         for r in duck.sql(OPEN_ORDER_BACKLOG_SQL).df().itertuples()
     }
     assert got == want and len(got) > 0
+
+
+# -- j8: bucketized range-lookup join --------------------------------------
+
+
+def test_range_lookup_join_semantics(spark):
+    from stock_chart_kafka_streams_spark.operators.joins import range_lookup_join
+
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 150.0), (3, 250.0), (4, 9999.0)], "id long, v double"
+    )
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 200.0), ("b", 100.0, 300.0)], "tag string, lo double, hi double"
+    )
+    out = range_lookup_join(facts, ranges, "v", bucket_width=50.0)
+    got = sorted((r["id"], r["tag"]) for r in out.collect())
+    # 5.0 -> a only; 150.0 -> both (overlap); 250.0 -> b only ([lo,hi)
+    # half-open); 9999.0 -> no range, dropped (inner)
+    assert got == [(1, "a"), (2, "a"), (2, "b"), (3, "b")]
+    # hi is exclusive
+    edge = range_lookup_join(
+        spark.createDataFrame([(9, 200.0)], "id long, v double"),
+        ranges,
+        "v",
+        bucket_width=50.0,
+    )
+    assert [r["tag"] for r in edge.collect()] == ["b"]
+
+
+def test_range_lookup_join_plans_equi_not_nested_loop(spark):
+    """The whole point: the bucketized form must plan as a broadcast
+    EQUI-join (hash join on the bucket id), never BroadcastNestedLoopJoin
+    — per-fact work is co-bucketed candidates, not |ranges|."""
+    from stock_chart_kafka_streams_spark.operators.joins import range_lookup_join
+
+    facts = spark.range(1000).select(F.col("id"), (F.col("id") * 7.7).alias("v"))
+    ranges = spark.createDataFrame(
+        [(k, float(k * k), float((k + 1) * (k + 1))) for k in range(20)],
+        "band long, lo double, hi double",
+    )
+    out = range_lookup_join(facts, ranges, "v", bucket_width=100.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_lookup_join_rejects_bad_width(spark):
+    from stock_chart_kafka_streams_spark.operators.joins import range_lookup_join
+
+    facts = spark.createDataFrame([(1, 5.0)], "id long, v double")
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_lookup_join(facts, facts, "v", bucket_width=0.0)

@@ -109,6 +109,7 @@ def _canon(rows, cols):
         "d9_incremental_exact",
         "d9b_incremental_minhash",
         "p12_epoch_upsample",
+        "j8_price_bands",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):
