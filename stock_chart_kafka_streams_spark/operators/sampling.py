@@ -852,8 +852,9 @@ def dsir_importance(
     # The two bucket-count aggregates are <= n_buckets rows but each is
     # referenced twice (weights + its total); without materialization each
     # reference re-runs the tokenize+md5 gram scan over its corpus
-    # (measured: 36 s -> 23 s at 500k docs). localCheckpoint pins the
-    # tiny reduced frame; values are unchanged.
+    # (measured: 36.3 s -> 29.6 s best-of-2 at 500k docs, PERF.md round 9
+    # continued). localCheckpoint pins the tiny reduced frame; values are
+    # unchanged.
     raw_counts = (
         raw_rows.groupBy("b")
         .agg(F.count("*").alias("raw_cnt"))

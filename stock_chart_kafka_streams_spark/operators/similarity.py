@@ -31,6 +31,29 @@ from pyspark.sql.window import Window
 EMBED_DIM = 64
 
 
+def _md5_sample_pred(id_col: str, num: int, den: int) -> Column:
+    """Deterministic md5-membership sampling predicate (the p2/p7a
+    discipline), shared by d8's centroid training and s5's codebook
+    training so the hash can never diverge between them. SQL twin:
+    ``_md5_sample_pred_sql``."""
+    return (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(int(den)),
+        )
+        < F.lit(int(num))
+    )
+
+
+def _md5_sample_pred_sql(id_col: str, num: int, den: int) -> str:
+    return (
+        f"('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {int(den)} < {int(num)}"
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Fold-left dot via higher-order functions — works for any length,
     but HOFs evaluate interpreted (closure call per element). Use only
@@ -42,20 +65,26 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _dot_unrolled(a: Column, b: Column, dim: int = EMBED_DIM) -> Column:
+def _dot_unrolled(
+    a: Column, b: Column, dim: int = EMBED_DIM, a_off: int = 0
+) -> Column:
     """Codegen'd dot product for a statically-known dimension: a
-    left-associated chain of ``get(a,i)*get(b,i)`` additions. Float order
-    is identical to ``_dot``'s fold (the fold's leading ``0.0 + x`` is
-    exact in IEEE) and to DuckDB's ``list_sum(list_transform(...))``, so
-    every oracle stays bit-for-bit. Unlike the interpreted HOF eval this
-    stays inside whole-stage codegen — the exact-verify stage of the ANN
-    operators is dot-product-bound, so this is the hot path at scale. At
-    dim=64 one dot is ~190 arithmetic nodes, far under the 64 KB janino
-    method limit (contrast the former 16-projection SRP unroll). ``get``
-    (0-based) null-safes short arrays instead of throwing under ANSI."""
+    left-associated chain of ``get(a, a_off+i)*get(b,i)`` additions.
+    Float order is identical to ``_dot``'s fold (the fold's leading
+    ``0.0 + x`` is exact in IEEE) and to DuckDB's
+    ``list_sum(list_transform(...))``, so every oracle stays bit-for-bit.
+    Unlike the interpreted HOF eval this stays inside whole-stage codegen
+    — the exact-verify stage of the ANN operators is dot-product-bound,
+    so this is the hot path at scale. At dim=64 one dot is ~190
+    arithmetic nodes, far under the 64 KB janino method limit (contrast
+    the former 16-projection SRP unroll). ``get`` (0-based) null-safes
+    short arrays instead of throwing under ANSI. ``a_off`` offsets the
+    LEFT side only — PQ's sub-vector dots read a slice of the full
+    vector against a sub_dim codebook centroid (one implementation, one
+    determinism argument, every consumer)."""
     t: Column | None = None
     for i in range(dim):
-        term = F.get(a, i) * F.get(b, i)
+        term = F.get(a, a_off + i) * F.get(b, i)
         t = term if t is None else t + term
     assert t is not None
     return t
@@ -1185,15 +1214,7 @@ def semantic_dedup(
         # deterministic md5 membership (the p2/p7a discipline — never
         # Spark's seed-dependent sample()): both engines hash the same
         # id string, so the twin trains on the identical subset
-        train = vectors.where(
-            F.pmod(
-                F.conv(
-                    F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-                ).cast("long"),
-                F.lit(int(sample_den)),
-            )
-            < F.lit(int(sample_num))
-        )
+        train = vectors.where(_md5_sample_pred(id_col, sample_num, sample_den))
     centroids = ivf_build_centroids(
         train, n_centroids, iterations=iterations,
         id_col=id_col, vec_col=vec_col, dim=dim,
@@ -1483,8 +1504,7 @@ def semantic_dedup_sql(
         ctes.append(
             f"""samp AS (
     SELECT * FROM {source_name}
-    WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-          % {int(sample_den)} < {int(sample_num)}
+    WHERE {_md5_sample_pred_sql('vec_id', sample_num, sample_den)}
 )"""
         )
     kmeans, prev = _kmeans_ctes(n_centroids, iterations, dim, source=train)
@@ -1566,17 +1586,6 @@ def _l2_unrolled(a: Column, b: Column, n: int, a_off: int = 0) -> Column:
     for i in range(n):
         d = F.get(a, a_off + i) - F.get(b, i)
         term = d * d
-        t = term if t is None else t + term
-    assert t is not None
-    return t
-
-
-def _dot_off(a: Column, b: Column, n: int, a_off: int = 0) -> Column:
-    """Codegen'd dot between ``a[a_off : a_off+n]`` and ``b[0:n]`` — same
-    left-fold order as ``_dot_unrolled`` / DuckDB ``list_sum``."""
-    t: Column | None = None
-    for i in range(n):
-        term = F.get(a, a_off + i) * F.get(b, i)
         t = term if t is None else t + term
     assert t is not None
     return t
@@ -1761,6 +1770,8 @@ def pq_topk(
     evaluation order, and k-means averaging uses the quantized-BIGINT
     trick — so ``pq_topk_sql`` replays the WHOLE procedure and
     hash-matches, like s3/d8."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
     if dim % m != 0:
         raise ValueError(f"dim={dim} must be divisible by m={m}")
     if n_codes < 1:
@@ -1783,12 +1794,7 @@ def pq_topk(
         # at 200k vectors); this is exactly the training-set extract a
         # production run writes out before fitting codebooks.
         train = cn.where(
-            F.pmod(
-                F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-                .cast("long"),
-                F.lit(int(sample_den)),
-            )
-            < F.lit(int(sample_num))
+            _md5_sample_pred(id_col, sample_num, sample_den)
         ).localCheckpoint(eager=True)
     books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
 
@@ -1817,7 +1823,7 @@ def pq_topk(
     for j in range(m):
         off = j * sub_dim
         book_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[j]])
-        contrib = _dot_off(
+        contrib = _dot_unrolled(
             F.col("qvn"), F.element_at(book_lit, F.col(f"code{j}") + 1), sub_dim, off
         )
         adc = contrib if adc is None else adc + contrib
@@ -1844,13 +1850,18 @@ def pq_topk(
         .select("query_id", id_col)
     )
 
-    # exact rerank: candidates x queries rows only, vectors joined back by id
+    # exact rerank: candidates x queries rows only, vectors joined back by
+    # id. Norms take the same zero-norm->1 guard _normalized applies, so
+    # an all-zero vector reranks at cos 0 instead of NaN (NaN sorts ABOVE
+    # every real cosine under DESC and would hijack rank 1); the twin's
+    # rerank CTE mirrors the CASE.
+    zn = lambda c: F.when(c == 0, F.lit(1.0)).otherwise(c)  # noqa: E731
     c_vec = corpus.select(F.col(id_col), _as_double(vec_col).alias("cv")).withColumn(
-        "cn2", _norm(F.col("cv"), dim)
+        "cn2", zn(_norm(F.col("cv"), dim))
     )
     q_vec = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn2", _norm(F.col("qv"), dim))
+    ).withColumn("qn2", zn(_norm(F.col("qv"), dim)))
     exact = (
         cands.join(c_vec, on=id_col)
         .join(F.broadcast(q_vec), on="query_id")
@@ -1903,6 +1914,8 @@ def pq_topk_sql(
     DuckDB's oracle scale that is the same row set the Spark side's
     two-phase cut selects (per-shard top-c always covers global top-c),
     so the compared output is identical."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
     if dim % m != 0:
         raise ValueError(f"dim={dim} must be divisible by m={m}")
     if n_codes < 1:
@@ -1932,8 +1945,7 @@ def pq_topk_sql(
         ctes.append(
             f"""train AS (
     SELECT * FROM en
-    WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-          % {int(sample_den)} < {int(sample_num)}
+    WHERE {_md5_sample_pred_sql('vec_id', sample_num, sample_den)}
 )"""
         )
         train = "train"
@@ -2023,9 +2035,18 @@ def pq_topk_sql(
     ) WHERE rn <= {cand}
 )"""
     )
+    # rerank cosine with the zero-norm->1 guard (mirrors the Spark side:
+    # an all-zero vector scores 0, never NaN)
+    dqc = dot_full(n=dim + 1, a="qe.v", b="ce.v")
+    dqq = dot_full(n=dim + 1, a="qe.v", b="qe.v")
+    dcc = dot_full(n=dim + 1, a="ce.v", b="ce.v")
+    guarded = (
+        f"{dqc} / ((CASE WHEN sqrt({dqq}) = 0 THEN 1.0 ELSE sqrt({dqq}) END)"
+        f" * (CASE WHEN sqrt({dcc}) = 0 THEN 1.0 ELSE sqrt({dcc}) END))"
+    )
     ctes.append(
         f"""exact AS (
-    SELECT r.query_id, r.vec_id, {_cos_sql('qe.v', 'ce.v', dim)} AS cos
+    SELECT r.query_id, r.vec_id, {guarded} AS cos
     FROM cand r
     JOIN e ce ON ce.vec_id = r.vec_id
     JOIN e qe ON qe.vec_id = r.query_id

@@ -467,3 +467,36 @@ def test_incremental_dedup_rejects_unknown_mode(spark):
         incremental_dedup(df, df, mode="fuzzy")
     with pytest.raises(ValueError, match="mode"):
         incremental_dedup_sql("documents", "documents", mode="fuzzy")
+
+
+def test_pq_zero_norm_vector_never_hijacks_rank1(spark):
+    """An all-zero embedding must rerank at cos 0 (guarded norm), never
+    NaN — Spark sorts NaN above every real cosine under DESC, so an
+    unguarded rerank would hand the zero vector rank 1."""
+    from stock_chart_kafka_streams_spark.operators.similarity import pq_topk
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    rows.append((99, [0.0] * 64))  # the degenerate vector
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(vecs, vecs.where(F.col("vec_id") < 2), k=41, m=4,
+                  n_codes=4, candidates=41).collect()
+    zero_rows = [r for r in out if r["vec_id"] == 99]
+    for r in zero_rows:
+        assert r["cos"] == 0.0 and r["rank"] > 1
+    firsts = [r for r in out if r["rank"] == 1]
+    assert all(r["vec_id"] == r["query_id"] for r in firsts)
+
+
+def test_pq_rejects_nonpositive_m(embs):
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        pq_topk,
+        pq_topk_sql,
+    )
+
+    with pytest.raises(ValueError, match="m must"):
+        pq_topk(embs, embs, m=0)
+    with pytest.raises(ValueError, match="m must"):
+        pq_topk_sql(m=-4)

@@ -51,6 +51,9 @@ SKIP = {
     "p11_dsir_importance",
     "p11b_dsir_select",
     "s5_pq_topk",
+    # d9's minhash mode checkpoints its candidate pairs eagerly (the d3
+    # pattern) — construction executes the cross-table band join
+    "d9b_incremental_minhash",
 }
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
