@@ -289,3 +289,68 @@ def test_epoch_upsample_rejects_degenerate_parameters(docs):
         epoch_mixture_upsample(docs, {"src0": 0.0})
     with pytest.raises(ValueError, match="must be > 0"):
         epoch_mixture_upsample_sql({"src0": -1.0})
+
+
+def test_p11_p12_cross_engine_fuzz(spark):
+    """Seeded fuzz for the new sampling operators: random short docs
+    (mixed-case words, digits, punctuation, empty strings, NULL text) and
+    random sources — Spark and DuckDB must agree row-for-row on DSIR
+    scores (exact BIGINT sums + quantized ratio weights) and on the
+    epoch-upsample membership (md5 threshold draw). The dialect-drift
+    detector the t8/t10 fuzzes pioneered, pointed at gram hashing and
+    the fractional-epoch hash."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        dsir_importance,
+        dsir_importance_sql,
+        epoch_mixture_upsample,
+        epoch_mixture_upsample_sql,
+    )
+
+    rng = random.Random(20260815)
+    words = ["Alpha", "beta", "GAMMA", "d3lta", "x", "", "42", "e-mail", "a b"]
+    rows = []
+    for i in range(200):
+        if rng.random() < 0.05:
+            txt = None
+        else:
+            txt = " ".join(rng.choice(words) for _ in range(rng.randint(0, 12)))
+        rows.append((i, txt, f"src{rng.randint(0, 3)}"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    sdf_in = spark.createDataFrame(pdf)
+    con = duckdb.connect()
+    con.register("fuzz_docs", pdf)
+
+    got = (
+        dsir_importance(sdf_in, sdf_in.where(F.col("doc_id") % 7 == 0), n_buckets=97)
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = (
+        con.sql(dsir_importance_sql(table="fuzz_docs", target_pred="doc_id % 7 = 0",
+                                    n_buckets=97))
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    for col in ("n_grams", "score_sum"):
+        assert (got[col].astype("int64") == want[col].astype("int64")).all(), col
+    assert (got["mean_score"] - want["mean_score"]).abs().max() < 1e-12
+
+    rates = {"src0": 1.25, "src1": 3.0, "src2": 0.4}
+    got_e = (
+        epoch_mixture_upsample(sdf_in, rates)
+        .select("doc_id", "epoch").toPandas()
+        .sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    )
+    want_e = (
+        con.sql(epoch_mixture_upsample_sql(rates, table="fuzz_docs"))
+        .df()[["doc_id", "epoch"]]
+        .sort_values(["doc_id", "epoch"]).reset_index(drop=True)
+    )
+    con.close()
+    assert len(got_e) == len(want_e)
+    assert (got_e["doc_id"].values == want_e["doc_id"].values).all()
+    assert (got_e["epoch"].astype("int64").values
+            == want_e["epoch"].astype("int64").values).all()
