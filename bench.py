@@ -574,6 +574,29 @@ def _tier2_queries(
     timings["t2_s5_pq_topk_200k"] = min(s5_runs)
     extra["s5_pq_runs_s"] = s5_runs
 
+    # s5 at the PQ paper's standard k*=256-per-subspace configuration —
+    # runnable only in encode_mode="matmul" (the fold encode would be a
+    # 16k-term literal plan): Arrow argmin encode, join-selected ADC.
+    s5m_runs: list[float] = []
+    for _ in range(2):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _noop(
+            pq_topk(
+                embs,
+                embs.where(F.col("vec_id") < 5),
+                k=10,
+                m=4,
+                n_codes=256,
+                sample_num=1,
+                sample_den=16,
+                encode_mode="matmul",
+            )
+        )
+        s5m_runs.append(round(time.perf_counter() - t0, 3))
+    timings["t2_s5_pq_matmul_256c_200k"] = min(s5m_runs)
+    extra["s5_pq_matmul_runs_s"] = s5m_runs
+
     # d9b incremental near-dedup: a 10% id-shifted slice (50k docs, all
     # of them near-dups of existing rows) deduped against the full 500k
     # corpus — the continuous-ingestion shape. Both sides band map-side;

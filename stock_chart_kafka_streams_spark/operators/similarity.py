@@ -1724,6 +1724,56 @@ def _pq_train(
     return books
 
 
+def _pq_encode_matmul(
+    cn: DataFrame,
+    books: list[list[list[float]]],
+    m: int,
+    sub_dim: int,
+    id_col: str,
+) -> DataFrame:
+    """Paper-scale PQ encoding (the d8 ``_assign_matmul`` pattern):
+    Arrow-batched ``mapInPandas``, per batch ONE ``-2 S @ C_j.T + |C_j|²``
+    product per subspace and a numpy argmin — plan size, codegen and
+    Catalyst time are O(1) in ``n_codes``, which is what makes the PQ
+    paper's k*=256-per-subspace configuration runnable (the fold encode
+    is n_codes L2 plan-chains per subspace: 16k terms at 256x4x16 —
+    janino-infeasible). Ties: ``argmin`` returns the FIRST minimum —
+    lowest cid, the fold's tie rule. NOT bit-exact vs the fold in the
+    last ulp (numpy/BLAS summation order), so this mode is opt-in and
+    the oracle keeps the fold; final-result equivalence on separated
+    data is pytest-asserted. The closure is numpy/pandas-only so Python
+    workers need no package import."""
+    import numpy as np
+
+    C = [np.asarray(books[j], dtype=np.float64) for j in range(m)]  # (k, sub)
+    C2 = [(c * c).sum(axis=1) for c in C]
+    id_type = cn.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, " + ", ".join(
+        f"code{j} int" for j in range(m)
+    )
+    sub = int(sub_dim)
+    mm = int(m)
+
+    def _encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np.vstack([_np.asarray(x, dtype=_np.float64) for x in pdf["vn"]])
+            out = {id_col: pdf[id_col].values}
+            for j in range(mm):
+                S = V[:, j * sub : (j + 1) * sub]
+                # argmin over squared L2: the row's own |s|^2 term is
+                # constant per row and cannot change the argmin
+                D = C2[j][None, :] - 2.0 * (S @ C[j].T)
+                out[f"code{j}"] = D.argmin(axis=1).astype("int32")
+            yield _pd.DataFrame(out)
+
+    return cn.select(F.col(id_col), "vn").mapInPandas(_encode, schema=out_schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1735,6 +1785,7 @@ def pq_topk(
     shards: int = 32,
     sample_num: int = 1,
     sample_den: int = 1,
+    encode_mode: str = "fold",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
@@ -1769,7 +1820,16 @@ def pq_topk(
     the final cosines are all IEEE-correctly-rounded chains in the twin's
     evaluation order, and k-means averaging uses the quantized-BIGINT
     trick — so ``pq_topk_sql`` replays the WHOLE procedure and
-    hash-matches, like s3/d8."""
+    hash-matches, like s3/d8.
+
+    ``encode_mode="matmul"`` (the d8 assign_mode pattern): the encode runs
+    as an Arrow-batched numpy argmin (``_pq_encode_matmul``) and the ADC
+    selects centroids via m broadcast hash-joins on (code -> cid) instead
+    of element_at over literal arrays — plan size O(1) in ``n_codes``,
+    the path that makes the paper's k*=256-per-subspace codebooks
+    runnable (the fold's literal plan is not). Not bit-exact-oracle-safe
+    (numpy summation order); the oracle keeps the fold default, and
+    fold/matmul final-result equality on the test fixture is asserted."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     if dim % m != 0:
@@ -1780,6 +1840,10 @@ def pq_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if sample_num < 1 or sample_den < 1 or sample_num > sample_den:
         raise ValueError("sample fraction must satisfy 1 <= sample_num <= sample_den")
+    if encode_mode not in ("fold", "matmul"):
+        raise ValueError(
+            f"encode_mode must be 'fold' or 'matmul', got {encode_mode!r}"
+        )
     cand = 4 * k if candidates is None else int(candidates)
     if cand < k:
         raise ValueError(f"candidates={cand} must be >= k={k}")
@@ -1798,38 +1862,67 @@ def pq_topk(
         ).localCheckpoint(eager=True)
     books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
 
-    # encode: per subspace, argmin squared-L2 against the codebook literals
-    # (array_position finds the FIRST minimum -> ties to the lowest cid,
-    # the twin's row_number ORDER BY d ASC, cid).
-    code_cols = []
-    for j in range(m):
-        off = j * sub_dim
-        dists = F.array(
-            *[
-                _l2_unrolled(F.col("vn"), F.array(*[F.lit(x) for x in c]), sub_dim, off)
-                for c in books[j]
-            ]
-        )
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"code{j}")
-        )
-    codes = cn.select(F.col(id_col), *code_cols)
+    if encode_mode == "matmul":
+        codes = _pq_encode_matmul(cn, books, m, sub_dim, id_col)
+    else:
+        # encode: per subspace, argmin squared-L2 against the codebook
+        # literals (array_position finds the FIRST minimum -> ties to the
+        # lowest cid, the twin's row_number ORDER BY d ASC, cid).
+        code_cols = []
+        for j in range(m):
+            off = j * sub_dim
+            dists = F.array(
+                *[
+                    _l2_unrolled(
+                        F.col("vn"), F.array(*[F.lit(x) for x in c]), sub_dim, off
+                    )
+                    for c in books[j]
+                ]
+            )
+            code_cols.append(
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias(f"code{j}")
+            )
+        codes = cn.select(F.col(id_col), *code_cols)
 
     qn = _normalized(queries, id_col, vec_col, dim).select(
         F.col(id_col).alias("query_id"), F.col("vn").alias("qvn")
     )
-    # ADC: adc = sum_j dot(q_sub_j, codebook_j[code_j]) in fixed j order
+    # ADC: adc = sum_j dot(q_sub_j, codebook_j[code_j]) in fixed j order.
+    # Centroid selection: literal-array element_at in fold mode (zero
+    # joins, plan O(n_codes)); m broadcast hash-joins in matmul mode
+    # (plan O(1) in n_codes — required at paper-scale codebooks). The dot
+    # chain itself is identical either way.
+    paired = codes.crossJoin(F.broadcast(qn))
     adc: Column | None = None
-    for j in range(m):
-        off = j * sub_dim
-        book_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[j]])
-        contrib = _dot_unrolled(
-            F.col("qvn"), F.element_at(book_lit, F.col(f"code{j}") + 1), sub_dim, off
-        )
-        adc = contrib if adc is None else adc + contrib
-    scored = codes.crossJoin(F.broadcast(qn)).select(
-        "query_id", F.col(id_col), adc.alias("adc")
-    )
+    if encode_mode == "matmul":
+        spark_s = corpus.sparkSession
+        for j in range(m):
+            cb_j = F.broadcast(
+                spark_s.createDataFrame(
+                    [(i, v) for i, v in enumerate(books[j])],
+                    f"code{j} int, __cv{j} array<double>",
+                )
+            )
+            paired = paired.join(cb_j, on=f"code{j}")
+        for j in range(m):
+            contrib = _dot_unrolled(
+                F.col("qvn"), F.col(f"__cv{j}"), sub_dim, j * sub_dim
+            )
+            adc = contrib if adc is None else adc + contrib
+    else:
+        for j in range(m):
+            off = j * sub_dim
+            book_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[j]])
+            contrib = _dot_unrolled(
+                F.col("qvn"),
+                F.element_at(book_lit, F.col(f"code{j}") + 1),
+                sub_dim,
+                off,
+            )
+            adc = contrib if adc is None else adc + contrib
+    scored = paired.select("query_id", F.col(id_col), adc.alias("adc"))
 
     # two-phase candidate cut: per-(query, shard) top-cand, then global
     # per-query top-cand over the <= shards*cand survivors — identical

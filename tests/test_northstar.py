@@ -500,3 +500,50 @@ def test_pq_rejects_nonpositive_m(embs):
         pq_topk(embs, embs, m=0)
     with pytest.raises(ValueError, match="m must"):
         pq_topk_sql(m=-4)
+
+
+def test_pq_matmul_encode_equivalent_to_fold(spark, embs):
+    """encode_mode='matmul' (the paper-scale Arrow path) must produce the
+    SAME final top-k as the fold on the random fixture: the ADC dot chain
+    is the identical Spark expression in both modes, so the results can
+    only differ if a numpy argmin flips an exact sub-distance tie —
+    impossible on this continuous data."""
+    from stock_chart_kafka_streams_spark.operators.similarity import pq_topk
+
+    queries = embs.where(F.col("vec_id") < 5)
+    fold = sorted(map(tuple, pq_topk(embs, queries, k=5, n_codes=8).collect()))
+    matmul = sorted(
+        map(
+            tuple,
+            pq_topk(embs, queries, k=5, n_codes=8, encode_mode="matmul").collect(),
+        )
+    )
+    assert fold == matmul
+
+
+def test_pq_matmul_runs_at_paper_scale_codebooks(spark, embs):
+    """k*=256 codes per subspace (the PQ paper's standard configuration)
+    must be RUNNABLE in matmul mode — the fold's literal plan is not.
+    n_codes=256 > the 500-vector fixture's 1/2 sample, so train on the
+    full corpus; self-hit at rank 1 proves the whole path works."""
+    from stock_chart_kafka_streams_spark.operators.similarity import pq_topk
+
+    out = pq_topk(
+        embs,
+        embs.where(F.col("vec_id") < 3),
+        k=3,
+        m=4,
+        n_codes=256,
+        encode_mode="matmul",
+    )
+    firsts = out.where(F.col("rank") == 1).collect()
+    assert len(firsts) == 3
+    for r in firsts:
+        assert r["vec_id"] == r["query_id"] and abs(r["cos"] - 1.0) < 1e-9
+
+
+def test_pq_rejects_unknown_encode_mode(embs):
+    from stock_chart_kafka_streams_spark.operators.similarity import pq_topk
+
+    with pytest.raises(ValueError, match="encode_mode"):
+        pq_topk(embs, embs, encode_mode="simd")
