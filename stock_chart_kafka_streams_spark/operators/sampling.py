@@ -804,6 +804,7 @@ def dsir_importance(
     n_buckets: int = 4096,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persist_grams: bool = False,
 ) -> DataFrame:
     """DSIR-style hashed n-gram importance scoring (Xie et al. 2023,
     "Data Selection for Language Models via Importance Resampling",
@@ -844,10 +845,18 @@ def dsir_importance(
     by gram. The raw-count lineage is re-evaluated for its total (a
     <=n_buckets-row aggregate) rather than held in a global window —
     at production scale persist the bucket-count stage; the paper's
-    configuration is 10k buckets, well inside broadcast range."""
+    configuration is 10k buckets, well inside broadcast range.
+
+    ``persist_grams=True`` localCheckpoints the raw (id, bucket) gram
+    rows so the corpus is tokenized+hashed ONCE instead of once for the
+    bucket counts and again for scoring (the p9 ``persist_stages``
+    pattern) — trades ~12 bytes/gram of local disk for the second
+    tokenize+md5 scan. Values unchanged either way."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     raw_rows = _dsir_gram_rows(docs, n_buckets, id_col, text_col)
+    if persist_grams:
+        raw_rows = raw_rows.localCheckpoint(eager=True)
     tgt_rows = _dsir_gram_rows(target, n_buckets, id_col, text_col)
     # The two bucket-count aggregates are <= n_buckets rows but each is
     # referenced twice (weights + its total); without materialization each

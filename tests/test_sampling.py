@@ -354,3 +354,13 @@ def test_p11_p12_cross_engine_fuzz(spark):
     assert (got_e["doc_id"].values == want_e["doc_id"].values).all()
     assert (got_e["epoch"].astype("int64").values
             == want_e["epoch"].astype("int64").values).all()
+
+
+def test_dsir_persist_grams_is_value_identical(spark):
+    from stock_chart_kafka_streams_spark.operators.sampling import dsir_importance
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    target = docs.where(F.col("doc_id") % 7 == 0)
+    a = dsir_importance(docs, target, n_buckets=256)
+    b = dsir_importance(docs, target, n_buckets=256, persist_grams=True)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
