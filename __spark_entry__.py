@@ -1403,6 +1403,53 @@ def _q_s5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(embs, embs.where(_F.col("vec_id") < 5), k=10)
 
 
+def _q_mm6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal -> ANN integration (mm5's sibling): binary media
+    payloads flow through the Arrow feature-extraction stub (mm4) into
+    the s5 product-quantization ANN at dim=FEATURE_DIM — the full
+    binary-in, ranked-neighbors-out pipeline as one plan, oracled end to
+    end (the twin replays feature derivation AND the whole PQ
+    procedure)."""
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+    from stock_chart_kafka_streams_spark.operators.similarity import pq_topk
+
+    feats = extract_features(media_from_documents(_docs(spark, sf_dir))).select(
+        _F.col("media_id").alias("vec_id"), "feature"
+    )
+    return pq_topk(
+        feats,
+        feats.where(_F.col("vec_id") < 3),
+        k=5,
+        m=2,
+        n_codes=4,
+        vec_col="feature",
+        dim=8,
+    )
+
+
+def _mm6_sql() -> str:
+    from stock_chart_kafka_streams_spark.operators.multimodal import (
+        MEDIA_FROM_DOCUMENTS_CTE,
+        _feature_terms_sql,
+    )
+    from stock_chart_kafka_streams_spark.operators.similarity import pq_topk_sql
+
+    feat = ", ".join(_feature_terms_sql())
+    table = (
+        f"(WITH {MEDIA_FROM_DOCUMENTS_CTE}, "
+        "hashed AS (SELECT media_id, sha256(payload_text) AS sha FROM media) "
+        f"SELECT media_id AS vec_id, [{feat}] AS embedding FROM hashed)"
+    )
+    return pq_topk_sql(
+        table=table, k=5, m=2, n_codes=4, query_pred="vec_id < 3", dim=8
+    )
+
+
 def _q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stock_chart_kafka_streams_spark.operators.text import text_features
 
@@ -1571,6 +1618,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9b_incremental_minhash": _q_d9b,
         "p12_epoch_upsample": _q_p12,
         "j8_price_bands": _q_j8,
+        "mm6_media_pq_topk": _q_mm6,
     }
 
 
@@ -1747,6 +1795,7 @@ FROM documents
             rates=_P12_RATES
         ),
         "j8_price_bands": _joins.PRICE_BAND_LOOKUP_SQL,
+        "mm6_media_pq_topk": _mm6_sql(),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"
         ),

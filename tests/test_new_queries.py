@@ -110,6 +110,7 @@ def _canon(rows, cols):
         "d9b_incremental_minhash",
         "p12_epoch_upsample",
         "j8_price_bands",
+        "mm6_media_pq_topk",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):

@@ -51,6 +51,7 @@ SKIP = {
     "p11_dsir_importance",
     "p11b_dsir_select",
     "s5_pq_topk",
+    "mm6_media_pq_topk",  # PQ codebook training jobs at construction
     # d9's minhash mode checkpoints its candidate pairs eagerly (the d3
     # pattern) — construction executes the cross-table band join
     "d9b_incremental_minhash",
