@@ -1212,6 +1212,42 @@ def _q_p11b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_c16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candle gap-fill: the 'click' symbol's minute candles over a 2-day
+    window with every minute%3==0 bucket deterministically removed, then
+    gap-filled — missing buckets come back as FLAT candles at the prior
+    close (volume 0, is_gap true), the continuous series a chart needs
+    from a sparse store."""
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.candles import fill_candle_gaps
+
+    c = (
+        candles(load_trades(spark, sf_dir), "MINUTE")
+        .where(
+            (_F.col("symbol") == "click")
+            & (_F.col("bucket_start") >= "2024-01-05 00:00:00")
+            & (_F.col("bucket_start") < "2024-01-07 00:00:00")
+            & (_F.minute("bucket_start") % 3 != 0)
+        )
+    )
+    return fill_candle_gaps(c, "MINUTE")
+
+
+def _c16_sql() -> str:
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        fill_candle_gaps_sql,
+    )
+
+    inner = (
+        "SELECT * FROM (" + _candle_sql("MINUTE") + ") WHERE symbol = 'click' "
+        "AND bucket_start >= TIMESTAMP '2024-01-05 00:00:00' "
+        "AND bucket_start < TIMESTAMP '2024-01-07 00:00:00' "
+        "AND minute(bucket_start) % 3 <> 0"
+    )
+    return fill_candle_gaps_sql(inner, "MINUTE")
+
+
 def _q_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range-lookup join (the BroadcastNestedLoopJoin killer):
     lineitem prices classified into quadratically-widening bands via an
@@ -1619,6 +1655,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p12_epoch_upsample": _q_p12,
         "j8_price_bands": _q_j8,
         "mm6_media_pq_topk": _q_mm6,
+        "c16_gap_fill": _q_c16,
     }
 
 
@@ -1796,6 +1833,7 @@ FROM documents
         ),
         "j8_price_bands": _joins.PRICE_BAND_LOOKUP_SQL,
         "mm6_media_pq_topk": _mm6_sql(),
+        "c16_gap_fill": _c16_sql(),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"
         ),

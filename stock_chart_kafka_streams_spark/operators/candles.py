@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from stock_chart_kafka_streams_spark.functions.ohlcv import merge_aggs, ohlcv_aggs
 from stock_chart_kafka_streams_spark.functions.timeframes import (
@@ -162,3 +163,111 @@ def multi_frame_candles(
     for df in out[1:]:
         result = result.unionByName(df)
     return result
+
+
+def fill_candle_gaps(candle_rows: DataFrame, frame: str = "MINUTE") -> DataFrame:
+    """Gap-fill a (possibly sparse) candle series: for every symbol, emit
+    one row per ``frame`` bucket between that symbol's first and last
+    candle, synthesizing a FLAT candle (open=high=low=close = previous
+    real close, volume 0, ``is_gap`` true) for buckets with no trades —
+    the standard charting semantics a sparse serving store cannot serve
+    directly (the reference's key-enumeration range read simply returns
+    holes; a chart wants a continuous series).
+
+    Scale shape: the grid is ``symbols × buckets-in-range`` rows —
+    OUTPUT-sized, independent of trade volume — built from one per-symbol
+    min/max aggregate + ``explode(sequence(...))``; the join back to real
+    candles is an equi-join on (symbol, bucket_start); the forward-fill
+    is ONE window ordered within each symbol partition (symbol
+    cardinality is the parallelism, like the as-of join — for a single
+    hot symbol spanning years of minutes, pre-split the range by coarse
+    time bucket, the asof_join docstring's trick). Calendar MONTH grids
+    use Spark's native month-interval sequence.
+
+    Input needs (symbol, bucket_start, open, high, low, close, volume);
+    leading buckets before a symbol's first real candle cannot exist
+    (the grid starts AT the first candle). Output is CANDLE_COLUMNS +
+    ``is_gap``."""
+    if frame not in FRAMES:
+        raise ValueError(f"unknown time frame {frame!r}; expected one of {list(FRAMES)}")
+    unit = FRAMES[frame][0]
+    bounds = candle_rows.groupBy("symbol").agg(
+        F.min("bucket_start").alias("__lo"), F.max("bucket_start").alias("__hi")
+    )
+    grid = bounds.select(
+        "symbol",
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval 1 {unit})")
+        ).alias("bucket_start"),
+    )
+    joined = grid.join(
+        candle_rows.select(
+            "symbol", "bucket_start", "open", "high", "low", "close", "volume"
+        ),
+        on=["symbol", "bucket_start"],
+        how="left",
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ff = F.last("close", ignorenulls=True).over(w)
+    return joined.select(
+        "symbol",
+        F.lit(frame).alias("time_frame"),
+        "bucket_start",
+        bucket_end("bucket_start", frame).alias("bucket_end"),
+        F.coalesce("open", ff).alias("open"),
+        F.coalesce("high", ff).alias("high"),
+        F.coalesce("low", ff).alias("low"),
+        F.coalesce("close", ff).alias("close"),
+        F.coalesce(F.col("volume"), F.lit(0).cast("long")).alias("volume"),
+        F.col("open").isNull().alias("is_gap"),
+    )
+
+
+def fill_candle_gaps_sql(inner_sql: str, frame: str = "MINUTE") -> str:
+    """DuckDB twin of ``fill_candle_gaps`` over an inner candle query
+    (a full SELECT producing symbol/bucket_start/OHLCV rows). Same grid,
+    same IGNORE NULLS forward-fill, same half-open bucket_end."""
+    if frame not in FRAMES:
+        raise ValueError(f"unknown time frame {frame!r}; expected one of {list(FRAMES)}")
+    unit = FRAMES[frame][0]
+    return f"""
+WITH c AS ({inner_sql}),
+b AS (
+    SELECT symbol, min(bucket_start) AS lo, max(bucket_start) AS hi
+    FROM c GROUP BY symbol
+),
+grid AS (
+    SELECT symbol,
+           unnest(generate_series(lo, hi, INTERVAL 1 {unit})) AS bucket_start
+    FROM b
+),
+j AS (
+    SELECT g.symbol, g.bucket_start,
+           c."open", c.high, c.low, c."close", c.volume
+    FROM grid g
+    LEFT JOIN c ON c.symbol = g.symbol AND c.bucket_start = g.bucket_start
+),
+f AS (
+    SELECT *,
+           last_value("close" IGNORE NULLS) OVER (
+               PARTITION BY symbol ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ff
+    FROM j
+)
+SELECT symbol,
+       '{frame}' AS time_frame,
+       CAST(bucket_start AS TIMESTAMP) AS bucket_start,
+       CAST(bucket_start + INTERVAL 1 {unit} AS TIMESTAMP) AS bucket_end,
+       COALESCE("open", ff) AS "open",
+       COALESCE(high, ff) AS high,
+       COALESCE(low, ff) AS low,
+       COALESCE("close", ff) AS "close",
+       CAST(COALESCE(volume, 0) AS BIGINT) AS volume,
+       "open" IS NULL AS is_gap
+FROM f
+"""

@@ -149,3 +149,73 @@ def test_drawdown_properties(spark):
     dds = [r.drawdown for r in out]
     for i in range(len(out)):
         assert abs(worst[i] - min(dds[max(0, i - 3) : i + 1])) < 1e-12
+
+
+def test_fill_candle_gaps_synthesizes_flat_candles(spark):
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.operators.candles import fill_candle_gaps
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        ("A", t0, 10.0, 12.0, 9.0, 11.0, 100),
+        # 9:01 and 9:02 missing
+        ("A", t0 + dt.timedelta(minutes=3), 11.5, 13.0, 11.0, 12.0, 50),
+        ("B", t0, 5.0, 5.0, 5.0, 5.0, 7),
+    ]
+    c = spark.createDataFrame(
+        rows,
+        "symbol string, bucket_start timestamp, open double, high double,"
+        " low double, close double, volume long",
+    )
+    out = {
+        (r["symbol"], r["bucket_start"].minute): r
+        for r in fill_candle_gaps(c, "MINUTE").collect()
+    }
+    assert len(out) == 5  # A: 9:00-9:03 grid (4), B: single bucket
+    for minute in (1, 2):
+        g = out[("A", minute)]
+        assert g["is_gap"] and g["volume"] == 0
+        # flat at the prior real close
+        assert g["open"] == g["high"] == g["low"] == g["close"] == 11.0
+    assert not out[("A", 0)]["is_gap"] and not out[("A", 3)]["is_gap"]
+    assert out[("A", 3)]["open"] == 11.5  # real rows untouched
+    assert not out[("B", 0)]["is_gap"]
+
+
+def test_fill_candle_gaps_month_frame_calendar_grid(spark):
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.operators.candles import fill_candle_gaps
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1), 1.0, 1.0, 1.0, 2.0, 1),
+        ("A", dt.datetime(2024, 4, 1), 3.0, 3.0, 3.0, 3.0, 1),
+    ]
+    c = spark.createDataFrame(
+        rows,
+        "symbol string, bucket_start timestamp, open double, high double,"
+        " low double, close double, volume long",
+    )
+    got = sorted(
+        (r["bucket_start"].month, r["is_gap"], r["close"], r["bucket_end"].month)
+        for r in fill_candle_gaps(c, "MONTH").collect()
+    )
+    # calendar months 1..4; Feb/Mar are gaps flat at Jan's close; half-open
+    # month ends land on the NEXT month's first day
+    assert got == [(1, False, 2.0, 2), (2, True, 2.0, 3), (3, True, 2.0, 4), (4, False, 3.0, 5)]
+
+
+def test_fill_candle_gaps_rejects_unknown_frame(spark):
+    import pytest as _pytest
+
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        fill_candle_gaps,
+        fill_candle_gaps_sql,
+    )
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="unknown time frame"):
+        fill_candle_gaps(df, "WEEK")
+    with _pytest.raises(ValueError, match="unknown time frame"):
+        fill_candle_gaps_sql("SELECT 1", "WEEK")

@@ -111,6 +111,7 @@ def _canon(rows, cols):
         "p12_epoch_upsample",
         "j8_price_bands",
         "mm6_media_pq_topk",
+        "c16_gap_fill",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):
