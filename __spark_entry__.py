@@ -1212,6 +1212,17 @@ def _q_p11b(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_w13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust median/MAD outlier screening per (symbol, day) — positional
+    lower medians (no interpolation formula to diverge cross-engine),
+    one (symbol, day)-keyed shuffle reused by all four window passes."""
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        mad_outlier_stats,
+    )
+
+    return mad_outlier_stats(load_trades(spark, sf_dir))
+
+
 def _q_c16(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candle gap-fill: the 'click' symbol's minute candles over a 2-day
     window with every minute%3==0 bucket deterministically removed, then
@@ -1656,6 +1667,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_price_bands": _q_j8,
         "mm6_media_pq_topk": _q_mm6,
         "c16_gap_fill": _q_c16,
+        "w13_mad_outliers": _q_w13,
     }
 
 
@@ -1834,6 +1846,7 @@ FROM documents
         "j8_price_bands": _joins.PRICE_BAND_LOOKUP_SQL,
         "mm6_media_pq_topk": _mm6_sql(),
         "c16_gap_fill": _c16_sql(),
+        "w13_mad_outliers": _wx.mad_outlier_stats_sql(_TRADES_CTE),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"
         ),

@@ -476,3 +476,120 @@ SELECT symbol,
 FROM trades
 GROUP BY symbol, date_trunc('day', ts)
 """
+
+
+def mad_outlier_stats(
+    trades: DataFrame, k_num: int = 5, k_den: int = 1
+) -> DataFrame:
+    """Robust per-(symbol, day) outlier screening — median/MAD, the
+    data-quality probe a training pipeline runs before trusting a feed
+    (mean/stddev break down exactly when the data is dirty; the median
+    absolute deviation does not). A trade is an outlier when
+    ``|price - median| * k_den > MAD * k_num`` (default 5 MADs).
+
+    Exactness: both statistics are LOWER medians selected BY POSITION
+    (row_number over the in-partition sort, value at ``(n+1) div 2``) —
+    order-statistic selection, no interpolation, so there is no
+    lerp-formula rounding to diverge between engines (DuckDB's
+    quantile_cont and Spark's percentile interpolate with differently
+    associated arithmetic; a selected VALUE is bit-identical by
+    construction). The flag comparison is two correctly-rounded double
+    products. Ties in the sort cannot change the selected value (equal
+    values are interchangeable at the boundary).
+
+    Scale shape: ONE shuffle keyed by (symbol, day); the four window
+    passes (rank price, broadcast median back, rank deviation, broadcast
+    MAD back) all reuse that partitioning — window sorts spill, nothing
+    collects a whole group into a single array (the collect_list trap).
+    Partition size = one symbol-day of trades; a pathological single
+    symbol-day splits by the asof docstring's coarse-bucket trick.
+
+    Returns per (symbol, day): n_trades, med_price, mad, n_outliers."""
+    if k_num < 0 or k_den < 1:
+        raise ValueError(f"k must be a non-negative rational, got {k_num}/{k_den}")
+    from pyspark.sql.window import Window as _W
+
+    day = F.date_trunc("day", "ts")
+    part = ["symbol", "__day"]
+    base = trades.select("symbol", day.alias("__day"), "price")
+    w_all = _W.partitionBy(*part)
+    w_price = w_all.orderBy("price")
+    staged = base.withColumns(
+        {
+            "__n": F.count("*").over(w_all),
+            "__rn": F.row_number().over(w_price),
+        }
+    )
+    med = F.max(
+        F.when(F.col("__rn") == F.expr("(__n + 1) div 2"), F.col("price"))
+    ).over(w_all)
+    staged = staged.withColumn("__med", med).withColumn(
+        "__dev", F.abs(F.col("price") - F.col("__med"))
+    )
+    w_dev = w_all.orderBy("__dev")
+    staged = staged.withColumn("__rn2", F.row_number().over(w_dev))
+    mad = F.max(
+        F.when(F.col("__rn2") == F.expr("(__n + 1) div 2"), F.col("__dev"))
+    ).over(w_all)
+    staged = staged.withColumn("__mad", mad)
+    flag = (F.col("__dev") * F.lit(float(k_den))) > (
+        F.col("__mad") * F.lit(float(k_num))
+    )
+    return (
+        staged.groupBy(
+            "symbol", F.col("__day").cast("timestamp").alias("day")
+        )
+        .agg(
+            F.count("*").alias("n_trades"),
+            F.max("__med").alias("med_price"),
+            F.max("__mad").alias("mad"),
+            F.sum(flag.cast("long")).alias("n_outliers"),
+        )
+    )
+
+
+def mad_outlier_stats_sql(
+    trades_cte: str, k_num: int = 5, k_den: int = 1
+) -> str:
+    """DuckDB twin of ``mad_outlier_stats`` — same positional lower
+    medians, same cross-multiplied flag."""
+    if k_num < 0 or k_den < 1:
+        raise ValueError(f"k must be a non-negative rational, got {k_num}/{k_den}")
+    return f"""
+WITH {trades_cte},
+base AS (
+    SELECT symbol, date_trunc('day', ts) AS day, price FROM trades
+),
+ranked AS (
+    SELECT *,
+           count(*) OVER (PARTITION BY symbol, day) AS n,
+           row_number() OVER (PARTITION BY symbol, day ORDER BY price) AS rn
+    FROM base
+),
+with_med AS (
+    SELECT *,
+           max(CASE WHEN rn = (n + 1) // 2 THEN price END)
+               OVER (PARTITION BY symbol, day) AS med
+    FROM ranked
+),
+with_dev AS (
+    SELECT *, abs(price - med) AS dev,
+           row_number() OVER (PARTITION BY symbol, day ORDER BY abs(price - med)) AS rn2
+    FROM with_med
+),
+with_mad AS (
+    SELECT *,
+           max(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+               OVER (PARTITION BY symbol, day) AS mad
+    FROM with_dev
+)
+SELECT symbol,
+       CAST(day AS TIMESTAMP) AS day,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       max(med) AS med_price,
+       max(mad) AS mad,
+       CAST(SUM(CASE WHEN dev * {float(k_den)} > mad * {float(k_num)}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM with_mad
+GROUP BY symbol, day
+"""

@@ -105,3 +105,44 @@ def test_streaming_hopping_matches_batch(spark, tmp_path):
     want = hopping_candles(trades.drop("batch"))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+# -- w13: median/MAD outlier screening --------------------------------------
+
+
+def test_mad_outliers_flags_planted_spike(spark):
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        mad_outlier_stats,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    rows = [("A", t0 + dt.timedelta(minutes=i), 100.0 + (i % 5) * 0.1, 1)
+            for i in range(50)]
+    rows.append(("A", t0 + dt.timedelta(minutes=55), 900.0, 1))  # the spike
+    rows += [("B", t0 + dt.timedelta(minutes=i), 50.0, 1) for i in range(10)]
+    trades = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, price double, quantity long"
+    )
+    out = {r["symbol"]: r for r in mad_outlier_stats(trades).collect()}
+    assert out["A"]["n_outliers"] == 1  # only the spike clears 5 MADs
+    assert abs(out["A"]["med_price"] - 100.2) < 1e-9
+    # a constant series has MAD 0 and, with dev 0 for every row, zero
+    # outliers (0 > 0 is false) — the degenerate group is quiet, not noisy
+    assert out["B"]["n_outliers"] == 0 and out["B"]["mad"] == 0.0
+
+
+def test_mad_outliers_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        mad_outlier_stats,
+        mad_outlier_stats_sql,
+    )
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="rational"):
+        mad_outlier_stats(df, k_num=-1)
+    with _pytest.raises(ValueError, match="rational"):
+        mad_outlier_stats_sql("trades AS (SELECT 1)", k_den=0)

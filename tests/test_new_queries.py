@@ -112,6 +112,7 @@ def _canon(rows, cols):
         "j8_price_bands",
         "mm6_media_pq_topk",
         "c16_gap_fill",
+        "w13_mad_outliers",
     ],
 )
 def test_new_query_matches_oracle(spark, duck, key):
