@@ -219,3 +219,44 @@ def test_fill_candle_gaps_rejects_unknown_frame(spark):
         fill_candle_gaps(df, "WEEK")
     with _pytest.raises(ValueError, match="unknown time frame"):
         fill_candle_gaps_sql("SELECT 1", "WEEK")
+
+
+def test_fill_candle_gaps_month_grid_cross_engine(spark):
+    """The calendar-MONTH grid must agree across engines (Spark month-
+    interval sequence + add_months vs DuckDB generate_series + interval
+    arithmetic) — the one frame whose step is not a fixed duration."""
+    import datetime as dt
+
+    import duckdb
+
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        fill_candle_gaps,
+        fill_candle_gaps_sql,
+    )
+
+    rows = [
+        ("A", dt.datetime(2023, 11, 1), 1.0, 2.0, 0.5, 1.5, 3),
+        ("A", dt.datetime(2024, 3, 1), 4.0, 4.0, 4.0, 4.0, 1),
+    ]
+    c = spark.createDataFrame(
+        rows,
+        "symbol string, bucket_start timestamp, open double, high double,"
+        " low double, close double, volume long",
+    )
+    got = sorted(map(tuple, fill_candle_gaps(c, "MONTH").collect()))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE cm(symbol VARCHAR, bucket_start TIMESTAMP,"
+        " \"open\" DOUBLE, high DOUBLE, low DOUBLE, \"close\" DOUBLE,"
+        " volume BIGINT)"
+    )
+    for r in rows:
+        con.sql(
+            f"INSERT INTO cm VALUES ('{r[0]}', TIMESTAMP '{r[1]}',"
+            f" {r[2]}, {r[3]}, {r[4]}, {r[5]}, {r[6]})"
+        )
+    want = sorted(map(tuple, con.sql(
+        fill_candle_gaps_sql("SELECT * FROM cm", "MONTH")
+    ).fetchall()))
+    con.close()
+    assert got == want and len(got) == 5  # Nov..Mar inclusive
