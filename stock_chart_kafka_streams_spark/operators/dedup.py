@@ -738,6 +738,19 @@ FROM reach GROUP BY id
 # ---------------------------------------------------------------------------
 
 
+def band_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Public face of the MinHash-LSH band-bucket projection:
+    (id, band_idx, band_val) rows, one per document per band — THE
+    incremental artifact a continuous-ingestion deployment materializes
+    once per corpus snapshot (partitioned/bucketed by (band_idx,
+    band_val)) so ``incremental_dedup(existing_buckets=...)`` never
+    re-shingles history. Identical values to the internal projection
+    ``dedup_minhash``/d9 compute on the fly."""
+    return _band_buckets(docs, id_col, text_col)
+
+
 def incremental_dedup(
     existing: DataFrame,
     incoming: DataFrame,
@@ -745,6 +758,7 @@ def incremental_dedup(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    existing_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the operational form
     continuous ingestion needs (C4/CCNet-style pipelines re-crawl
@@ -768,14 +782,21 @@ def incremental_dedup(
     (d2's banding + d3's verification, across tables). Band buckets are
     map-side per row; the candidate join is band-keyed and carries ids
     only; verification shingle sets are built ONLY for candidate ids
-    (semi-join) on each side. The existing side's buckets are likewise
-    the incremental artifact to materialize once per corpus — each
-    snapshot then re-buckets only its own (small) batch.
+    (semi-join) on each side. The existing side's buckets are the
+    incremental artifact to materialize once per corpus — pass the
+    stored table via ``existing_buckets`` (built with ``band_buckets``;
+    must carry (id, band_idx, band_val)) and each snapshot re-buckets
+    only its own (small) batch while history is never re-shingled; the
+    verification still reads ``existing`` text, but only for the
+    candidate ids. Omitted, the buckets derive from ``existing`` on the
+    fly (identical values — pytest-asserted).
     """
     if mode not in ("exact", "minhash"):
         raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")
     from stock_chart_kafka_streams_spark.operators.text import fingerprint
 
+    if existing_buckets is not None and mode != "minhash":
+        raise ValueError("existing_buckets applies only to mode='minhash'")
     if mode == "exact":
         ex_fp = existing.select(fingerprint(text_col).alias("__fp")).distinct()
         return (
@@ -785,7 +806,11 @@ def incremental_dedup(
         )
 
     inc_b = _band_buckets(incoming, id_col, text_col)
-    ex_b = _band_buckets(existing, id_col, text_col)
+    ex_b = (
+        existing_buckets
+        if existing_buckets is not None
+        else _band_buckets(existing, id_col, text_col)
+    )
     cands = (
         inc_b.alias("n")
         .join(

@@ -547,3 +547,35 @@ def test_pq_rejects_unknown_encode_mode(embs):
 
     with pytest.raises(ValueError, match="encode_mode"):
         pq_topk(embs, embs, encode_mode="simd")
+
+
+def test_incremental_dedup_precomputed_buckets_identical(spark, tmp_path):
+    """The materialize-once story must be executable, not just
+    documented: d9b over a PERSISTED band_buckets table (what a
+    continuous-ingestion deployment stores per snapshot) must equal the
+    on-the-fly form exactly."""
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        band_buckets,
+        incremental_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    existing = spark.createDataFrame(
+        [(0, base), (1, "completely different legal filings and court text")],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, base.replace("kappa", "lambda")), (11, "weather and sailing")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ex_buckets")
+    band_buckets(existing).write.parquet(path)
+    stored = spark.read.parquet(path)
+    live = incremental_dedup(existing, incoming, mode="minhash", threshold=0.5)
+    precomp = incremental_dedup(
+        existing, incoming, mode="minhash", threshold=0.5, existing_buckets=stored
+    )
+    assert sorted(map(tuple, live.collect())) == sorted(map(tuple, precomp.collect()))
+    # and the guard: buckets make no sense for the exact mode
+    with pytest.raises(ValueError, match="existing_buckets"):
+        incremental_dedup(existing, incoming, existing_buckets=stored)
