@@ -1460,6 +1460,7 @@ def _q_mm6(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as _F
 
     from stock_chart_kafka_streams_spark.operators.multimodal import (
+        FEATURE_DIM,
         extract_features,
         media_from_documents,
     )
@@ -1475,12 +1476,13 @@ def _q_mm6(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=2,
         n_codes=4,
         vec_col="feature",
-        dim=8,
+        dim=FEATURE_DIM,
     )
 
 
 def _mm6_sql() -> str:
     from stock_chart_kafka_streams_spark.operators.multimodal import (
+        FEATURE_DIM,
         MEDIA_FROM_DOCUMENTS_CTE,
         _feature_terms_sql,
     )
@@ -1493,7 +1495,7 @@ def _mm6_sql() -> str:
         f"SELECT media_id AS vec_id, [{feat}] AS embedding FROM hashed)"
     )
     return pq_topk_sql(
-        table=table, k=5, m=2, n_codes=4, query_pred="vec_id < 3", dim=8
+        table=table, k=5, m=2, n_codes=4, query_pred="vec_id < 3", dim=FEATURE_DIM
     )
 
 

@@ -191,6 +191,22 @@ def fill_candle_gaps(candle_rows: DataFrame, frame: str = "MINUTE") -> DataFrame
     if frame not in FRAMES:
         raise ValueError(f"unknown time frame {frame!r}; expected one of {list(FRAMES)}")
     unit = FRAMES[frame][0]
+    # misaligned input is an ERROR, not silent corruption (r9 review): a
+    # bucket_start off the frame grid would never match the lo-anchored
+    # sequence, so the real candle would vanish behind a synthetic flat
+    # gap at a stale close. Every row must sit on its own truncation.
+    aligned_start = F.when(
+        F.col("bucket_start") == F.date_trunc(unit, "bucket_start"),
+        F.col("bucket_start"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"fill_candle_gaps: bucket_start off the {frame} grid: "),
+                F.col("bucket_start").cast("string"),
+            )
+        )
+    )
+    candle_rows = candle_rows.withColumn("bucket_start", aligned_start)
     bounds = candle_rows.groupBy("symbol").agg(
         F.min("bucket_start").alias("__lo"), F.max("bucket_start").alias("__hi")
     )
@@ -235,7 +251,15 @@ def fill_candle_gaps_sql(inner_sql: str, frame: str = "MINUTE") -> str:
         raise ValueError(f"unknown time frame {frame!r}; expected one of {list(FRAMES)}")
     unit = FRAMES[frame][0]
     return f"""
-WITH c AS ({inner_sql}),
+WITH c0 AS ({inner_sql}),
+c AS (
+    SELECT * REPLACE (
+        CASE WHEN bucket_start = date_trunc('{unit}', bucket_start)
+             THEN bucket_start
+             ELSE error('fill_candle_gaps: bucket_start off the {frame} grid')
+        END AS bucket_start)
+    FROM c0
+),
 b AS (
     SELECT symbol, min(bucket_start) AS lo, max(bucket_start) AS hi
     FROM c GROUP BY symbol

@@ -1894,9 +1894,12 @@ def pq_topk(
     # joins, plan O(n_codes)); m broadcast hash-joins in matmul mode
     # (plan O(1) in n_codes — required at paper-scale codebooks). The dot
     # chain itself is identical either way.
-    paired = codes.crossJoin(F.broadcast(qn))
     adc: Column | None = None
     if encode_mode == "matmul":
+        # attach the selected centroids to the CORPUS-sized codes table
+        # BEFORE the query crossJoin — __cv{j} depends only on code{j},
+        # so joining after would re-probe and re-carry every centroid
+        # array once per query (r9 review finding)
         spark_s = corpus.sparkSession
         for j in range(m):
             cb_j = F.broadcast(
@@ -1905,13 +1908,15 @@ def pq_topk(
                     f"code{j} int, __cv{j} array<double>",
                 )
             )
-            paired = paired.join(cb_j, on=f"code{j}")
+            codes = codes.join(cb_j, on=f"code{j}")
+        paired = codes.crossJoin(F.broadcast(qn))
         for j in range(m):
             contrib = _dot_unrolled(
                 F.col("qvn"), F.col(f"__cv{j}"), sub_dim, j * sub_dim
             )
             adc = contrib if adc is None else adc + contrib
     else:
+        paired = codes.crossJoin(F.broadcast(qn))
         for j in range(m):
             off = j * sub_dim
             book_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[j]])

@@ -511,7 +511,14 @@ def mad_outlier_stats(
 
     day = F.date_trunc("day", "ts")
     part = ["symbol", "__day"]
-    base = trades.select("symbol", day.alias("__day"), "price")
+    # NULL prices are excluded from the statistics AND from n_trades in
+    # BOTH engines (r9 review: Spark sorts NULLs FIRST under ASC, DuckDB
+    # LAST — an unfiltered positional selection would pick different
+    # values, and a NULL landing on the median position would NULL the
+    # whole group's stats silently).
+    base = trades.select("symbol", day.alias("__day"), "price").where(
+        F.col("price").isNotNull()
+    )
     w_all = _W.partitionBy(*part)
     w_price = w_all.orderBy("price")
     staged = base.withColumns(
@@ -559,6 +566,7 @@ def mad_outlier_stats_sql(
 WITH {trades_cte},
 base AS (
     SELECT symbol, date_trunc('day', ts) AS day, price FROM trades
+    WHERE price IS NOT NULL
 ),
 ranked AS (
     SELECT *,

@@ -260,3 +260,64 @@ def test_fill_candle_gaps_month_grid_cross_engine(spark):
     ).fetchall()))
     con.close()
     assert got == want and len(got) == 5  # Nov..Mar inclusive
+
+
+def test_fill_candle_gaps_rejects_misaligned_buckets(spark):
+    """A bucket_start off the frame grid must RAISE, not silently vanish
+    behind a synthetic flat candle at a stale close (r9 review)."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from stock_chart_kafka_streams_spark.operators.candles import fill_candle_gaps
+
+    c = spark.createDataFrame(
+        [
+            ("A", dt.datetime(2024, 1, 1, 9, 0, 30), 1.0, 1.0, 1.0, 1.0, 1),
+            ("A", dt.datetime(2024, 1, 1, 9, 2, 0), 2.0, 2.0, 2.0, 2.0, 1),
+        ],
+        "symbol string, bucket_start timestamp, open double, high double,"
+        " low double, close double, volume long",
+    )
+    with _pytest.raises(Exception, match="off the MINUTE grid"):
+        fill_candle_gaps(c, "MINUTE").collect()
+
+
+def test_mad_outliers_null_prices_excluded_cross_engine(spark):
+    """NULL prices are out of the statistics and n_trades in BOTH engines
+    (r9 review: Spark sorts NULLs first under ASC, DuckDB last — an
+    unfiltered positional median would diverge or silently NULL)."""
+    import datetime as dt
+
+    import duckdb
+
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        mad_outlier_stats,
+        mad_outlier_stats_sql,
+    )
+
+    rows = [
+        ("A", dt.datetime(2024, 1, 1, 9, 0), None, 1),
+        ("A", dt.datetime(2024, 1, 1, 9, 1), 10.0, 1),
+        ("A", dt.datetime(2024, 1, 1, 9, 2), 20.0, 1),
+    ]
+    trades = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, price double, quantity long"
+    )
+    got = sorted(map(tuple, mad_outlier_stats(trades).collect()))
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t(symbol VARCHAR, ts TIMESTAMP, price DOUBLE, quantity BIGINT)"
+    )
+    con.sql(
+        "INSERT INTO t VALUES ('A', TIMESTAMP '2024-01-01 09:00:00', NULL, 1),"
+        " ('A', TIMESTAMP '2024-01-01 09:01:00', 10.0, 1),"
+        " ('A', TIMESTAMP '2024-01-01 09:02:00', 20.0, 1)"
+    )
+    want = sorted(
+        map(tuple, con.sql(mad_outlier_stats_sql("trades AS (SELECT * FROM t)")).fetchall())
+    )
+    con.close()
+    assert got == want
+    assert got[0][2] == 2  # n_trades counts only non-null prices
+    assert got[0][3] == 10.0  # lower median of [10, 20]
