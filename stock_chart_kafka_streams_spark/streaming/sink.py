@@ -368,3 +368,66 @@ class BatchedCompactionSink:
         )
         for frame in coarse:
             upsert_candles(self._spark, rollup_candles(minutes, frame), self.path)
+
+
+def expire_candles(
+    spark: SparkSession,
+    path: str,
+    before,
+    time_frames: list[str] | None = None,
+) -> list[tuple[str, str]]:
+    """Retention for the serving table — the parquet analogue of the
+    Redis TTL/DEL the reference store gets for free: DROP whole
+    ``(time_frame, bucket_date)`` partitions whose date is strictly
+    before ``before``. Partition-DIRECTORY deletes only — no data is
+    read or rewritten, and untouched partitions' files are never opened
+    (their mtimes are pinned by tests, the r7 backfill discipline).
+    Frame-scoped via ``time_frames`` so the operational policy "expire
+    MINUTE detail after 30 days, keep DAY/MONTH forever" is one call per
+    frame class. Returns the dropped (time_frame, bucket_date) pairs
+    (empty when nothing qualifies — idempotent).
+
+    Storage-agnostic: resolves through the Hadoop FileSystem API like
+    ``_table_exists``, so HDFS/S3A/GCS serving tables expire exactly
+    like local ones. At 100 TB this is the only sane retention shape —
+    a DELETE-by-predicate rewrite of an append-heavy store would churn
+    every byte it keeps."""
+    import datetime as _dt
+
+    from stock_chart_kafka_streams_spark.functions.timeframes import FRAMES
+
+    cutoff = (
+        before
+        if isinstance(before, _dt.date) and not isinstance(before, _dt.datetime)
+        else _dt.date.fromisoformat(str(before)[:10])
+    )
+    if time_frames is not None:
+        bad = [f for f in time_frames if f not in FRAMES]
+        if bad:
+            raise ValueError(f"unknown time frame(s) {bad}; expected {list(FRAMES)}")
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    jsc = spark._jsc  # type: ignore[attr-defined]
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    dropped: list[tuple[str, str]] = []
+    for tf_status in fs.listStatus(root):
+        tf_name = tf_status.getPath().getName()
+        if not tf_name.startswith("time_frame="):
+            continue
+        frame = tf_name.split("=", 1)[1]
+        if time_frames is not None and frame not in time_frames:
+            continue
+        for bd_status in fs.listStatus(tf_status.getPath()):
+            bd_name = bd_status.getPath().getName()
+            if not bd_name.startswith("bucket_date="):
+                continue
+            try:
+                bd = _dt.date.fromisoformat(bd_name.split("=", 1)[1])
+            except ValueError:
+                continue  # foreign directory: never delete what we can't parse
+            if bd < cutoff:
+                fs.delete(bd_status.getPath(), True)
+                dropped.append((frame, bd.isoformat()))
+    return sorted(dropped)

@@ -119,3 +119,58 @@ def test_recent_now_anchored_prunes(spark, tmp_path):
     assert "bucket_date" in md["PartitionFilters"]
     days = [r["bucket_start"].day for r in q.collect()]
     assert days == [8, 9, 10]
+
+
+def test_expire_candles_drops_old_partitions_without_touching_kept(spark, tmp_path):
+    import datetime as dt
+    import glob
+    import os
+
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        expire_candles,
+        write_candles,
+    )
+
+    rows = []
+    for d in (1, 5, 10):
+        start = dt.datetime(2024, 1, d, 10, 0)
+        for frame in ("MINUTE", "DAY"):
+            rows.append(("AAA", frame, start, start + dt.timedelta(minutes=1),
+                         1.0, 2.0, 0.5, 1.5, 10))
+    candles = spark.createDataFrame(
+        rows,
+        "symbol string, time_frame string, bucket_start timestamp,"
+        " bucket_end timestamp, open double, high double, low double,"
+        " close double, volume long",
+    )
+    path = str(tmp_path / "serving")
+    write_candles(candles, path)
+
+    kept_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/time_frame=DAY/**/*.parquet", recursive=True)
+    }
+    assert kept_files
+
+    # expire MINUTE detail before Jan 10; DAY summaries keep forever
+    dropped = expire_candles(spark, path, "2024-01-10", time_frames=["MINUTE"])
+    assert dropped == [("MINUTE", "2024-01-01"), ("MINUTE", "2024-01-05")]
+    back = spark.read.parquet(path)
+    got = {(r["time_frame"], str(r["bucket_start"].date())) for r in back.collect()}
+    assert got == {
+        ("MINUTE", "2024-01-10"),
+        ("DAY", "2024-01-01"),
+        ("DAY", "2024-01-05"),
+        ("DAY", "2024-01-10"),
+    }
+    # untouched partitions' files were never opened or rewritten
+    for f, mt in kept_files.items():
+        assert os.path.getmtime(f) == mt
+    # idempotent
+    assert expire_candles(spark, path, "2024-01-10", time_frames=["MINUTE"]) == []
+    # validation + missing-table cases
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown time frame"):
+        expire_candles(spark, path, "2024-01-10", time_frames=["WEEK"])
+    assert expire_candles(spark, str(tmp_path / "nope"), "2024-01-10") == []
