@@ -188,6 +188,7 @@ def _tier2_queries(
     )
     from stock_chart_kafka_streams_spark.operators.sampling import (
         dsir_importance,
+        epoch_mixture_upsample,
         global_interleave,
         temperature_mixture_sample,
     )
@@ -272,6 +273,12 @@ def _tier2_queries(
         # rate table broadcasts, corpus filtered map-side.
         "t2_p10_mixture_sample_100x": lambda: temperature_mixture_sample(
             docs, target_frac=0.5, alpha_quarters=2, strata_col="lang"
+        ),
+        # p12 epoch-capped upsampling (keyed on lang like p10): broadcast
+        # rates + explode(sequence) + map-side md5 filter — output bytes
+        # are the only cost; ~2.2x the corpus flows out at these rates.
+        "t2_p12_epoch_upsample_100x": lambda: epoch_mixture_upsample(
+            docs, {"en": 2.5, "de": 4.0, "fr": 0.75}, strata_col="lang"
         ),
         # t9 unigram rarity over the 500k corpus: ONE token-keyed agg
         # (partial aggregation pre-reduces stopword skew) -> broadcast
