@@ -716,6 +716,47 @@ def _tier2_queries(
             )
         )
         timings[f"t2_d5_skew_{label}_14k"] = round(time.perf_counter() - t0, 3)
+
+    # d9b under a planted hot band (r9 verdict #1): 6000 existing copies
+    # of ONE boilerplate page and 1500 incoming copies share every band,
+    # so the uncapped cross-table join streams 6000x1500 x 3 bands = 27M
+    # candidate rows out of THREE tasks (one per band_idx). The lossless
+    # 2-D salt split (band_cap) spreads the same enumeration across
+    # nse x nsi sub-keys per band. Unlike d5's capped entry, results are
+    # IDENTICAL both ways (replication, not truncation) — the candidate
+    # distinct and Jaccard verify process the same 9M pairs either way,
+    # so the delta isolates the join-stage parallelism alone.
+    boiler = (
+        "terms of service privacy policy all rights reserved contact us today"
+    )
+    hot_ex = (
+        docs.limit(494_000)
+        .select("doc_id", "text", "lang")
+        .unionByName(
+            spark.range(6000).select(
+                (F.col("id") + F.lit(40_000_000_000)).alias("doc_id"),
+                F.lit(boiler).alias("text"),
+                F.lit("en").alias("lang"),
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    hot_in = (
+        spark.range(1500)
+        .select(
+            (F.col("id") + F.lit(41_000_000_000)).alias("doc_id"),
+            F.lit(boiler).alias("text"),
+            F.lit("en").alias("lang"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for label, cap in (("uncapped", None), ("capped", 512)):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _noop(
+            incremental_dedup(hot_ex, hot_in, mode="minhash", band_cap=cap)
+        )
+        timings[f"t2_d9b_skew_{label}"] = round(time.perf_counter() - t0, 3)
     return timings, extra
 
 

@@ -751,6 +751,99 @@ def band_buckets(
     return _band_buckets(docs, id_col, text_col)
 
 
+def _salt_split_cross(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    cap: int,
+    id_col: str,
+    salt: str = "d9split-v1",
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """LOSSLESS skew guard for a cross-table equi-join on ``keys``: any
+    key value whose row count exceeds ``cap`` on either side is split
+    into ``ceil(size / cap)`` salted sub-buckets on THAT side, and the
+    OTHER side's rows for the key are replicated across those
+    sub-buckets. Joining on ``keys + [__sl, __sr]`` then yields exactly
+    the same row set as the plain join on ``keys`` — no pair is lost
+    (unlike the self-join ``_apply_bucket_cap``, whose split trades
+    recall above the cap; a cross join can replicate instead because the
+    two sides are distinct relations) — while no single join key carries
+    more than ~cap rows per side, so no task ever streams more than
+    ~cap² output rows for one key. The result is bit-identical to the
+    unsplit join BY CONSTRUCTION, so the DuckDB twin needs no mirroring.
+
+    Cost: one map-side-combined count aggregate per side to find the
+    (rare, by premise) hot keys — the hot tables are broadcast, so the
+    slim (id, keys) rows gain two broadcast-hash lookups and only rows
+    under a hot key replicate. Replication factor = the OTHER side's
+    split count for that key; rows are ids + two longs, so even a
+    pathological band shared by 10⁶ history docs and a full incoming
+    batch replicates ~batch × ceil(10⁶/cap) slim rows across tasks —
+    the exact shape AQE's skew-join split cannot reach (the skew is
+    within one key, not across partitions).
+
+    Callers must ensure ``left``/``right`` are cheap to scan twice
+    (persist or checkpoint expensive subtrees first): each side feeds
+    both its count aggregate and the join."""
+    if cap <= 0:
+        raise ValueError("band_cap must be positive (or None to disable)")
+
+    def _hot(side: DataFrame, n_col: str) -> DataFrame:
+        return (
+            side.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") > cap)
+            .select(
+                *keys, F.ceil(F.col("__c") / F.lit(int(cap))).alias(n_col)
+            )
+        )
+
+    hot_l = _hot(left, "__nl")
+    hot_r = _hot(right, "__nr")
+
+    def _sub_hash(side_tag: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(salt), F.lit(side_tag), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def _split(side: DataFrame, tag: str, own: str, other: str) -> DataFrame:
+        return (
+            side.join(F.broadcast(hot_l), on=keys, how="left")
+            .join(F.broadcast(hot_r), on=keys, how="left")
+            .withColumn(
+                "__so" if tag == "l" else "__sr",
+                F.when(F.col(own).isNull(), F.lit(0).cast("long")).otherwise(
+                    F.pmod(_sub_hash(tag), F.col(own))
+                ),
+            )
+            .withColumn(
+                "__sr" if tag == "l" else "__so",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.coalesce(F.col(other), F.lit(1).cast("long")) - F.lit(1),
+                    )
+                ),
+            )
+            .withColumnRenamed("__so", "__sl")
+            .drop("__nl", "__nr")
+        )
+
+    left2 = _split(left, "l", "__nl", "__nr")
+    right2 = _split(right, "r", "__nr", "__nl")
+    return left2, right2, keys + ["__sl", "__sr"]
+
+
 def incremental_dedup(
     existing: DataFrame,
     incoming: DataFrame,
@@ -759,6 +852,7 @@ def incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     existing_buckets: DataFrame | None = None,
+    band_cap: int | None = 4096,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the operational form
     continuous ingestion needs (C4/CCNet-style pipelines re-crawl
@@ -790,6 +884,19 @@ def incremental_dedup(
     verification still reads ``existing`` text, but only for the
     candidate ids. Omitted, the buckets derive from ``existing`` on the
     fly (identical values — pytest-asserted).
+
+    ``band_cap`` (minhash mode; default 4096, ``None`` disables): skew
+    guard for the cross-table band join. Web crawls concentrate
+    boilerplate into hot (band_idx, band_val) values; unguarded, a band
+    shared by E existing and I incoming docs streams E x I candidate
+    rows out of ONE task. ``_salt_split_cross`` splits each side's hot
+    bands into ceil(size/cap) salted sub-buckets and replicates the
+    other side across them — LOSSLESS (every candidate pair is still
+    enumerated, so results and the DuckDB twin are bit-identical with
+    the cap on or off, unlike the recall-trading self-join cap in
+    ``_apply_bucket_cap``) while no join key exceeds ~cap rows per
+    side. Below the cap the only cost is one map-side-combined count
+    per side plus two broadcast lookups on slim rows.
     """
     if mode not in ("exact", "minhash"):
         raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")
@@ -807,16 +914,27 @@ def incremental_dedup(
 
     inc_b = _band_buckets(incoming, id_col, text_col)
     ex_b = (
-        existing_buckets
+        existing_buckets.select(id_col, "band_idx", "band_val")
         if existing_buckets is not None
         else _band_buckets(existing, id_col, text_col)
     )
+    if band_cap is not None:
+        # The salt-split scans each bucket side twice (hot-key count +
+        # join); persist the slim (id, band_idx, band_val) rows so the
+        # signature pipeline behind them runs once. Released right after
+        # the candidate set materializes (eager checkpoint below).
+        inc_b = inc_b.persist()
+        ex_b = ex_b.persist()
+        inc_s, ex_s, join_keys = _salt_split_cross(
+            inc_b, ex_b, ["band_idx", "band_val"], band_cap, id_col
+        )
+    else:
+        inc_s, ex_s, join_keys = inc_b, ex_b, ["band_idx", "band_val"]
     cands = (
-        inc_b.alias("n")
+        inc_s.alias("n")
         .join(
-            ex_b.alias("e"),
-            (F.col("n.band_idx") == F.col("e.band_idx"))
-            & (F.col("n.band_val") == F.col("e.band_val")),
+            ex_s.alias("e"),
+            [F.col(f"n.{k}") == F.col(f"e.{k}") for k in join_keys],
         )
         .select(
             F.col(f"n.{id_col}").alias("inc_id"),
@@ -825,6 +943,9 @@ def incremental_dedup(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if band_cap is not None:
+        inc_b.unpersist()
+        ex_b.unpersist()
 
     def _cand_shingles(df: DataFrame, key: str, out: str) -> DataFrame:
         ids = cands.select(F.col(key).alias(id_col)).distinct()

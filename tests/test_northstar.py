@@ -579,3 +579,63 @@ def test_incremental_dedup_precomputed_buckets_identical(spark, tmp_path):
     # and the guard: buckets make no sense for the exact mode
     with pytest.raises(ValueError, match="existing_buckets"):
         incremental_dedup(existing, incoming, existing_buckets=stored)
+
+
+def test_incremental_dedup_band_cap_lossless_on_planted_hot_band(spark):
+    """r9 verdict #1: the cross-table band join needs a skew cap. Unlike
+    the self-join cap (recall trade), the cross-table split REPLICATES
+    the other side across sub-buckets, so results must be BIT-IDENTICAL
+    with the cap firing hard (40-doc and 20-doc buckets under cap=4) vs
+    disabled — and both must match the (unsplit) DuckDB twin."""
+    import duckdb
+    import pandas as pd
+
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_dedup_sql,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    boiler = "terms of service privacy policy all rights reserved contact us"
+    # 40 existing copies of one boilerplate page: every band bucket on
+    # the existing side holds 40 rows -> hot under cap=4 (nsub=10).
+    ex_rows = [(i, boiler) for i in range(40)]
+    ex_rows += [(100 + i, f"unique existing article number {i} body text here") for i in range(5)]
+    # 10 EXACT incoming copies (guaranteed band collision + Jaccard 1.0)
+    # make the incoming side hot too (nsub=3), plus near variants and
+    # genuinely fresh docs.
+    in_rows = [(1000 + i, boiler) for i in range(10)]
+    in_rows += [(1100 + i, boiler.replace("contact", f"email{i % 2}")) for i in range(10)]
+    in_rows += [(2000 + i, f"fresh incoming report {i} with novel content") for i in range(5)]
+    existing = spark.createDataFrame(ex_rows, "doc_id long, text string")
+    incoming = spark.createDataFrame(in_rows, "doc_id long, text string")
+
+    capped = incremental_dedup(
+        existing, incoming, mode="minhash", threshold=0.5, band_cap=4
+    )
+    uncapped = incremental_dedup(
+        existing, incoming, mode="minhash", threshold=0.5, band_cap=None
+    )
+    got_capped = sorted(map(tuple, capped.collect()))
+    assert got_capped == sorted(map(tuple, uncapped.collect()))
+    kept_ids = {r[0] for r in got_capped}
+    # exact copies MUST drop (the split cannot lose their pairs); fresh
+    # docs MUST survive
+    assert kept_ids.isdisjoint({1000 + i for i in range(10)})
+    assert {2000 + i for i in range(5)} <= kept_ids
+
+    con = duckdb.connect()
+    con.register("ex_t", pd.DataFrame(ex_rows, columns=["doc_id", "text"]))
+    con.register("in_t", pd.DataFrame(in_rows, columns=["doc_id", "text"]))
+    assert_matches_oracle(
+        capped, con, incremental_dedup_sql("ex_t", "in_t", mode="minhash", threshold=0.5)
+    )
+    con.close()
+
+
+def test_incremental_dedup_rejects_nonpositive_band_cap(spark):
+    from stock_chart_kafka_streams_spark.operators.dedup import incremental_dedup
+
+    df = spark.createDataFrame([(0, "alpha beta gamma delta")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="band_cap"):
+        incremental_dedup(df, df, mode="minhash", band_cap=0)
