@@ -1450,6 +1450,23 @@ def _q_s5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(embs, embs.where(_F.col("vec_id") < 5), k=10)
 
 
+def _q_s6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ ANN top-k (s6, round 10): s3's coarse k-means partitions
+    the corpus into inverted lists; queries probe their n_probe nearest
+    lists and ADC-scan only those lists' PQ codes; exact rerank. The
+    DuckDB twin replays the ENTIRE composition (coarse k-means, list
+    assignment, probes, per-subspace k-means, encode, probed ADC,
+    rerank) as one chained-CTE statement."""
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import ivfpq_topk
+
+    embs = _embs(spark, sf_dir)
+    return ivfpq_topk(
+        embs, embs.where(_F.col("vec_id") < 5), k=10, n_lists=8, n_probe=3
+    )
+
+
 def _q_mm6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal -> ANN integration (mm5's sibling): binary media
     payloads flow through the Arrow feature-extraction stub (mm4) into
@@ -1663,6 +1680,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11_dsir_importance": _q_p11,
         "p11b_dsir_select": _q_p11b,
         "s5_pq_topk": _q_s5,
+        "s6_ivfpq_topk": _q_s6,
         "d9_incremental_exact": _q_d9,
         "d9b_incremental_minhash": _q_d9b,
         "p12_epoch_upsample": _q_p12,
@@ -1836,6 +1854,7 @@ FROM documents
         "p11_dsir_importance": _sampling.dsir_importance_sql(n_buckets=1024),
         "p11b_dsir_select": _sampling.dsir_select_sql(k=50, n_buckets=1024),
         "s5_pq_topk": _sim.pq_topk_sql(k=10),
+        "s6_ivfpq_topk": _sim.ivfpq_topk_sql(k=10, n_lists=8, n_probe=3),
         "d9_incremental_exact": _dd.incremental_dedup_sql(
             _D9_EXISTING_SQL, _D9_INCOMING_SQL, mode="exact"
         ),

@@ -624,6 +624,35 @@ def _tier2_queries(
     timings["t2_s5_pq_matmul_256c_200k"] = min(s5m_runs)
     extra["s5_pq_matmul_runs_s"] = s5m_runs
 
+    # s6 IVF+PQ at 200k, paper-scale codebooks (matmul mode): same query
+    # set as the s5 entries, but each query ADC-scans only its n_probe/
+    # n_lists fraction of the codes — the published IVFADC scan shape.
+    # The honest comparison is t2_s5_pq_matmul_256c_200k (same m /
+    # n_codes / sample / encode mode, full-corpus ADC).
+    from stock_chart_kafka_streams_spark.operators.similarity import ivfpq_topk
+
+    s6_runs: list[float] = []
+    for _ in range(2):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _noop(
+            ivfpq_topk(
+                embs,
+                embs.where(F.col("vec_id") < 5),
+                k=10,
+                n_lists=64,
+                n_probe=8,
+                m=4,
+                n_codes=256,
+                sample_num=1,
+                sample_den=16,
+                encode_mode="matmul",
+            )
+        )
+        s6_runs.append(round(time.perf_counter() - t0, 3))
+    timings["t2_s6_ivfpq_matmul_256c_200k"] = min(s6_runs)
+    extra["s6_ivfpq_runs_s"] = s6_runs
+
     # d9b incremental near-dedup: a 10% id-shifted slice (50k docs, all
     # of them near-dups of existing rows) deduped against the full 500k
     # corpus — the continuous-ingestion shape. Both sides band map-side;
@@ -757,6 +786,42 @@ def _tier2_queries(
             incremental_dedup(hot_ex, hot_in, mode="minhash", band_cap=cap)
         )
         timings[f"t2_d9b_skew_{label}"] = round(time.perf_counter() - t0, 3)
+
+    # as-of join under ONE hot symbol (r9 verdict #3): 10M trades all
+    # remapped to a single key, enriched with their previous minute
+    # candle. Unsplit, the running window sorts the key's entire history
+    # in ONE task; split_seconds=3600 shrinks each task to one hour's
+    # rows with the bucket-carry stitching the boundary (results
+    # equality-tested in tests/test_asof_join.py).
+    hot_trades = (
+        trades.where(F.col("symbol") < "S020")
+        .withColumn("symbol", F.lit("HOT1"))
+        .localCheckpoint(eager=True)
+    )
+    hot_mc = (
+        candles(hot_trades, "MINUTE")
+        .select(
+            "symbol",
+            "bucket_end",
+            F.col("close").alias("prev_close"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for label, split in (("plain", None), ("split", 3600)):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _noop(
+            asof_join(
+                hot_trades.select("symbol", "ts", "price"),
+                hot_mc,
+                on=["symbol"],
+                left_ts="ts",
+                right_ts="bucket_end",
+                payload=["prev_close"],
+                split_seconds=split,
+            )
+        )
+        timings[f"t2_j3_hot1_{label}_10m"] = round(time.perf_counter() - t0, 3)
     return timings, extra
 
 

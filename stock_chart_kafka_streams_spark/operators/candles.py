@@ -165,7 +165,11 @@ def multi_frame_candles(
     return result
 
 
-def fill_candle_gaps(candle_rows: DataFrame, frame: str = "MINUTE") -> DataFrame:
+def fill_candle_gaps(
+    candle_rows: DataFrame,
+    frame: str = "MINUTE",
+    split_seconds: int | None = None,
+) -> DataFrame:
     """Gap-fill a (possibly sparse) candle series: for every symbol, emit
     one row per ``frame`` bucket between that symbol's first and last
     candle, synthesizing a FLAT candle (open=high=low=close = previous
@@ -179,10 +183,16 @@ def fill_candle_gaps(candle_rows: DataFrame, frame: str = "MINUTE") -> DataFrame
     min/max aggregate + ``explode(sequence(...))``; the join back to real
     candles is an equi-join on (symbol, bucket_start); the forward-fill
     is ONE window ordered within each symbol partition (symbol
-    cardinality is the parallelism, like the as-of join — for a single
-    hot symbol spanning years of minutes, pre-split the range by coarse
-    time bucket, the asof_join docstring's trick). Calendar MONTH grids
-    use Spark's native month-interval sequence.
+    cardinality is the parallelism, like the as-of join). For a single
+    hot symbol spanning years of minutes, ``split_seconds`` (round 10,
+    r9 verdict #3) automates the coarse-bucket pre-split: the grid is
+    bucketed by ``floor(epoch / split)``, the forward-fill window runs
+    within (symbol, bucket), and the carry ACROSS buckets comes from a
+    bucket-granularity window over one-row-per-bucket last-real-close
+    aggregates (strictly earlier buckets only) — identical output by
+    construction, per-task sort shrunk from the symbol's full range to
+    one bucket. Calendar MONTH grids use Spark's native month-interval
+    sequence.
 
     Input needs (symbol, bucket_start, open, high, low, close, volume);
     leading buckets before a symbol's first real candle cannot exist
@@ -223,12 +233,55 @@ def fill_candle_gaps(candle_rows: DataFrame, frame: str = "MINUTE") -> DataFrame
         on=["symbol", "bucket_start"],
         how="left",
     )
-    w = (
-        Window.partitionBy("symbol")
-        .orderBy("bucket_start")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ff = F.last("close", ignorenulls=True).over(w)
+    if split_seconds is not None:
+        if split_seconds <= 0:
+            raise ValueError("split_seconds must be positive (or None to disable)")
+        joined = joined.withColumn(
+            "__cb",
+            F.floor(
+                F.col("bucket_start").cast("double") / F.lit(int(split_seconds))
+            ).cast("long"),
+        )
+        # carry-in per (symbol, bucket): last REAL close of any strictly
+        # earlier bucket — computed over one-row-per-bucket aggregates,
+        # so the cross-bucket window is bucket-count-sized, never
+        # row-sized.
+        per_bucket = (
+            joined.where(F.col("close").isNotNull())
+            .groupBy("symbol", "__cb")
+            .agg(F.max_by("close", "bucket_start").alias("__lc"))
+        )
+        bwin = (
+            Window.partitionBy("symbol")
+            .orderBy("__cb")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            joined.select("symbol", "__cb")
+            .distinct()
+            .join(per_bucket, on=["symbol", "__cb"], how="left")
+            .select(
+                "symbol",
+                "__cb",
+                F.last("__lc", ignorenulls=True).over(bwin).alias("__carry"),
+            )
+        )
+        joined = joined.join(carry, on=["symbol", "__cb"], how="left")
+        w = (
+            Window.partitionBy("symbol", "__cb")
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ff = F.coalesce(
+            F.last("close", ignorenulls=True).over(w), F.col("__carry")
+        )
+    else:
+        w = (
+            Window.partitionBy("symbol")
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ff = F.last("close", ignorenulls=True).over(w)
     return joined.select(
         "symbol",
         F.lit(frame).alias("time_frame"),

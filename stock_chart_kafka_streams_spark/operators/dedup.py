@@ -744,10 +744,20 @@ def band_buckets(
     """Public face of the MinHash-LSH band-bucket projection:
     (id, band_idx, band_val) rows, one per document per band — THE
     incremental artifact a continuous-ingestion deployment materializes
-    once per corpus snapshot (partitioned/bucketed by (band_idx,
-    band_val)) so ``incremental_dedup(existing_buckets=...)`` never
-    re-shingles history. Identical values to the internal projection
-    ``dedup_minhash``/d9 compute on the fly."""
+    once per corpus snapshot so ``incremental_dedup(existing_buckets=...)``
+    never re-shingles history. Identical values to the internal
+    projection ``dedup_minhash``/d9 compute on the fly.
+
+    Materialize it with ``sources.bucketed.write_bucketed(...,
+    ["band_idx", "band_val"])``: the candidate join is keyed on exactly
+    those columns, so a bucketed catalog table enters the join WITHOUT
+    an Exchange — history never shuffles, only the (small) incoming
+    batch does (plan-asserted in tests/test_bucketed_join.py). Caveat:
+    ``band_cap`` appends salt columns to the join key, which reinstates
+    a (slim, ids-only) shuffle of the stored buckets — for a
+    pre-bucketed corpus whose band histogram is known clean, pass
+    ``band_cap=None`` to keep the Exchange-free path; keep the default
+    cap when the incoming crawl may hit boilerplate-hot bands."""
     return _band_buckets(docs, id_col, text_col)
 
 

@@ -234,6 +234,7 @@ def asof_join(
     right_ts: str = "ts",
     payload: list[str] | None = None,
     direction: str = "backward",
+    split_seconds: int | None = None,
 ) -> DataFrame:
     """As-of join: enrich each ``left`` row with the payload of the
     latest ``right`` row whose ``right_ts`` <= ``left_ts`` per ``on`` key
@@ -256,11 +257,31 @@ def asof_join(
     BroadcastNestedLoop for non-equi conditions).
 
     Scale posture: the window partitions by ``on`` alone, so one key's full
-    history lands in one task. For hot keys, pre-split by a coarse
-    time bucket and as-of join within buckets (carrying the previous
-    bucket's last right row forward); for the candle-enrichment use this
-    engine needs, key cardinality = symbols and rows-per-key = trades/symbol,
-    which sorts in-memory per task at any realistic symbol count.
+    history lands in one task; key cardinality = symbols and rows-per-key =
+    trades/symbol, which sorts in-memory per task at any realistic symbol
+    count. For a HOT key (one symbol spanning years of ticks),
+    ``split_seconds`` (round 10, r9 verdict #3 — previously a docstring
+    instruction to the caller) automates the coarse-bucket pre-split:
+
+    - every unioned row gets a coarse bucket ``floor(epoch / split)``;
+    - the carry ACROSS buckets is computed at bucket granularity: per
+      (key, bucket) the right side reduces map-side to its last (backward;
+      first, forward) non-NULL value PER PAYLOAD COLUMN (``max_by``/
+      ``min_by`` keyed on the timestamp only where the column is non-NULL,
+      mirroring the per-column ``last(ignorenulls)`` carry semantics of
+      the unsplit form exactly), and one tiny window over those
+      one-row-per-bucket aggregates — ordered so a bucket sees only
+      STRICTLY earlier (backward) / later (forward) buckets — yields each
+      left bucket's carry-in;
+    - the carry-in enters the bucket as a synthetic right row sorted
+      before every real row, and the running window partitions by
+      (key, bucket) instead of (key).
+
+    Identical results by construction (equality-tested on ties, NULL
+    payloads, and empty buckets); the per-task sort shrinks from the
+    key's full history to one bucket. Requires non-NULL timestamps on
+    both sides (bucket assignment); pick ``split_seconds`` so a bucket
+    holds ~10⁶ rows of the hot key.
 
     ``right`` must be unique per (``on``, ``right_ts``) — e.g. a candle
     frame keyed by bucket — otherwise which tied right row wins is
@@ -311,15 +332,100 @@ def asof_join(
         # O(rows²) per key, measured as a hang at 5M rows. The reversed
         # running frame is O(rows), identical cost to backward.
         order = [F.col("__asof_ts").desc(), F.col("__asof_side").desc()]
+
+    part_cols: list[str] = list(on)
+    u = u_left.unionByName(u_right)
+    if split_seconds is not None:
+        if split_seconds <= 0:
+            raise ValueError("split_seconds must be positive (or None to disable)")
+        backward = direction == "backward"
+        ts_type = dict(u_left.dtypes)["__asof_ts"]
+        cb = F.floor(
+            F.col("__asof_ts").cast("double") / F.lit(int(split_seconds))
+        ).cast("long")
+        ul = u_left.withColumn("__asof_cb", cb)
+        ur = u_right.withColumn("__asof_cb", cb)
+        # Per (key, bucket): the right side's last/first non-NULL value
+        # per payload column — map-side-combinable aggregates, so the hot
+        # key's rows reduce to one row per bucket before any wide window.
+        pick = F.max_by if backward else F.min_by
+        rb = ur.groupBy(*on, "__asof_cb").agg(
+            *[
+                pick(
+                    F.col(f"__asof_{c}"),
+                    F.when(
+                        F.col(f"__asof_{c}").isNotNull(), F.col("__asof_ts")
+                    ),
+                ).alias(f"__asof_{c}")
+                for c in payload
+            ]
+        )
+        lb = ul.select(*on, "__asof_cb").distinct()
+        blb = lb.select(
+            *on,
+            "__asof_cb",
+            F.lit(0).alias("__bside"),
+            *[F.lit(None).cast(rtypes[c]).alias(f"__asof_{c}") for c in payload],
+        )
+        brb = rb.select(
+            *on,
+            "__asof_cb",
+            F.lit(1).alias("__bside"),
+            *[F.col(f"__asof_{c}") for c in payload],
+        )
+        # A left bucket must see only STRICTLY earlier (backward) / later
+        # (forward) right buckets: at equal cb the left bucket-row sorts
+        # first (__bside asc), so same-bucket right rows stay out of its
+        # running frame (they are handled inside the bucket window).
+        border = [
+            F.col("__asof_cb").asc() if backward else F.col("__asof_cb").desc(),
+            F.col("__bside").asc(),
+        ]
+        bw = (
+            Window.partitionBy(*on)
+            .orderBy(*border)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carry_in = (
+            blb.unionByName(brb)
+            .select(
+                *on,
+                "__asof_cb",
+                "__bside",
+                *[
+                    F.last(f"__asof_{c}", ignorenulls=True).over(bw).alias(
+                        f"__asof_{c}"
+                    )
+                    for c in payload
+                ],
+            )
+            .where(F.col("__bside") == 0)
+            .drop("__bside")
+        )
+        pre = carry_in.select(
+            *on,
+            F.lit(None).cast(ts_type).alias("__asof_ts"),
+            F.lit(1).alias("__asof_side"),
+            *[F.lit(None).cast(ltypes[c]).alias(c) for c in left_payload],
+            *[F.col(f"__asof_{c}") for c in payload],
+            "__asof_cb",
+            F.lit(1).alias("__asof_pre"),
+        )
+        u = (
+            ul.withColumn("__asof_pre", F.lit(0))
+            .unionByName(ur.withColumn("__asof_pre", F.lit(0)))
+            .unionByName(pre)
+        )
+        part_cols = list(on) + ["__asof_cb"]
+        order = [F.col("__asof_pre").desc()] + order
     w = (
-        Window.partitionBy(*on)
+        Window.partitionBy(*part_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carry = F.last
     return (
-        u_left.unionByName(u_right)
-        .select(
+        u.select(
             *on,
             *left_payload,
             F.col("__asof_side"),

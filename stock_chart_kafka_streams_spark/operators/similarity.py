@@ -1976,6 +1976,245 @@ def pq_topk(
     return exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+    candidates: int | None = None,
+    shards: int = 32,
+    sample_num: int = 1,
+    sample_den: int = 1,
+    encode_mode: str = "fold",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """IVF + PQ ANN top-k (s6, round 10 — the s5 docstring's "standard
+    next step", Jégou et al. 2011 §IV's IVFADC structure): a coarse
+    k-means quantizer (s3's ``ivf_build_centroids``) partitions the
+    corpus into ``n_lists`` inverted lists; each query probes its
+    ``n_probe`` nearest lists and ADC-scans ONLY those lists' PQ codes;
+    survivors exact-rerank to the final top-k. Returns (query_id,
+    vec_id, cos, rank) — the s1/s2/s3/s5 shape.
+
+    Divergence from the paper, documented: codes encode the VECTOR, not
+    the residual (x - coarse_centroid) — FAISS's ``by_residual=False``
+    variant. Residual encoding refines quantization error but entangles
+    every codebook with the coarse assignment; the non-residual form
+    keeps the coarse stage a pure scan-pruner, reuses s5's codebooks
+    verbatim, and keeps the whole procedure IEEE-replayable by the
+    DuckDB twin (``ivfpq_topk_sql`` — full-procedure oracle like s3/s5).
+
+    100 TB posture — this is where flat PQ stops and IVFADC starts:
+    s5's ADC is corpus x queries work no matter how small the codes;
+    here each query touches ~n_probe/n_lists of the codes (the inverted
+    lists are the partition key of the stored code table, so a probe is
+    a partition-pruned scan), and the scan row stays m small ints. The
+    memory story is unchanged (codes + list id per vector); recall is
+    tuned by n_probe like every published IVF deployment. Coarse
+    training/assignment cost is n_lists-proportional — at paper-scale
+    list counts use ``encode_mode="matmul"``, which routes BOTH the
+    coarse Lloyd/assignment and the PQ encode through the Arrow-batched
+    numpy path (d8's assign_mode; not bit-exact-oracle-safe, so the
+    oracle keeps the fold default — same discipline as s5/d8).
+
+    Reference attribution: the reference has no vector search at all
+    (SURVEY §2.6); s1-s6 exist for the LLM-pipeline mandate."""
+    if n_lists < 1:
+        raise ValueError(f"n_lists must be >= 1, got {n_lists}")
+    if n_probe < 1 or n_probe > n_lists:
+        raise ValueError(
+            f"n_probe must be in [1, n_lists={n_lists}], got {n_probe}"
+        )
+    if encode_mode not in ("fold", "matmul"):
+        raise ValueError(
+            f"encode_mode must be 'fold' or 'matmul', got {encode_mode!r}"
+        )
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if sample_num < 1 or sample_den < 1 or sample_num > sample_den:
+        raise ValueError("sample fraction must satisfy 1 <= sample_num <= sample_den")
+    cand = 4 * k if candidates is None else int(candidates)
+    if cand < k:
+        raise ValueError(f"candidates={cand} must be >= k={k}")
+    sub_dim = dim // m
+    spark = corpus.sparkSession
+
+    # ---- coarse quantizer: s3's deterministic k-means, verbatim --------
+    coarse = ivf_build_centroids(
+        corpus,
+        n_lists,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        assign_mode="matmul" if encode_mode == "matmul" else "fold",
+    )
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(coarse)], "cid int, cv array<double>"
+        ).withColumn("ncv", _norm(F.col("cv"), dim))
+    )
+
+    c_raw = corpus.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "nv", _norm(F.col("v"), dim)
+    )
+    if encode_mode == "matmul":
+        c_lists = _assign_matmul(
+            c_raw.select(F.col(id_col), "v"), coarse, id_col, dim
+        ).select(F.col(id_col), "cid")
+    else:
+        w_assign = Window.partitionBy(id_col).orderBy(
+            F.col("cd").desc(), F.col("cid")
+        )
+        c_lists = (
+            c_raw.crossJoin(cent_df)
+            .withColumn(
+                "cd",
+                _dot_unrolled(F.col("v"), F.col("cv"), dim)
+                / (F.col("nv") * F.col("ncv")),
+            )
+            .withColumn("rk", F.row_number().over(w_assign))
+            .where(F.col("rk") == 1)
+            .select(F.col(id_col), "cid")
+        )
+
+    # ---- PQ codebooks + encode: s5's machinery, verbatim ---------------
+    cn = _normalized(corpus, id_col, vec_col, dim)
+    train = cn
+    if sample_den > 1:
+        train = cn.where(
+            _md5_sample_pred(id_col, sample_num, sample_den)
+        ).localCheckpoint(eager=True)
+    books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
+    if encode_mode == "matmul":
+        codes = _pq_encode_matmul(cn, books, m, sub_dim, id_col)
+    else:
+        code_cols = []
+        for j in range(m):
+            off = j * sub_dim
+            dists = F.array(
+                *[
+                    _l2_unrolled(
+                        F.col("vn"), F.array(*[F.lit(x) for x in c]), sub_dim, off
+                    )
+                    for c in books[j]
+                ]
+            )
+            code_cols.append(
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias(f"code{j}")
+            )
+        codes = cn.select(F.col(id_col), *code_cols)
+    # the stored artifact at scale: codes PARTITIONED BY the list id —
+    # a probe below prunes to n_probe partitions
+    coded_lists = codes.join(c_lists, on=id_col)
+
+    # ---- query probes: n_probe nearest coarse lists per query ----------
+    q_raw = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("v")
+    ).withColumn("nv", _norm(F.col("v"), dim))
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cd").desc(), F.col("cid")
+    )
+    q_probes = (
+        q_raw.crossJoin(cent_df)
+        .withColumn(
+            "cd",
+            _dot_unrolled(F.col("v"), F.col("cv"), dim)
+            / (F.col("nv") * F.col("ncv")),
+        )
+        .withColumn("rk", F.row_number().over(w_probe))
+        .where(F.col("rk") <= n_probe)
+        .select("query_id", "cid")
+    )
+    qn = _normalized(queries, id_col, vec_col, dim).select(
+        F.col(id_col).alias("query_id"), F.col("vn").alias("qvn")
+    )
+    probes = F.broadcast(q_probes.join(qn, on="query_id"))
+
+    # ---- ADC over probed lists only (vs s5's full crossJoin) -----------
+    adc: Column | None = None
+    if encode_mode == "matmul":
+        cl = coded_lists
+        for j in range(m):
+            cb_j = F.broadcast(
+                spark.createDataFrame(
+                    [(i, v) for i, v in enumerate(books[j])],
+                    f"code{j} int, __cv{j} array<double>",
+                )
+            )
+            cl = cl.join(cb_j, on=f"code{j}")
+        paired = cl.join(probes, on="cid")
+        for j in range(m):
+            contrib = _dot_unrolled(
+                F.col("qvn"), F.col(f"__cv{j}"), sub_dim, j * sub_dim
+            )
+            adc = contrib if adc is None else adc + contrib
+    else:
+        paired = coded_lists.join(probes, on="cid")
+        for j in range(m):
+            off = j * sub_dim
+            book_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[j]])
+            contrib = _dot_unrolled(
+                F.col("qvn"),
+                F.element_at(book_lit, F.col(f"code{j}") + 1),
+                sub_dim,
+                off,
+            )
+            adc = contrib if adc is None else adc + contrib
+    scored = paired.select("query_id", F.col(id_col), adc.alias("adc"))
+
+    # ---- s5's two-phase candidate cut + exact rerank --------------------
+    sharded = scored.withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shards)))
+    )
+    w1 = Window.partitionBy("query_id", "__shard").orderBy(
+        F.col("adc").desc(), F.col(id_col).asc()
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col(id_col).asc()
+    )
+    cands = (
+        sharded.withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= cand)
+        .withColumn("r2", F.row_number().over(w2))
+        .where(F.col("r2") <= cand)
+        .select("query_id", id_col)
+    )
+    zn = lambda c: F.when(c == 0, F.lit(1.0)).otherwise(c)  # noqa: E731
+    c_vec = corpus.select(F.col(id_col), _as_double(vec_col).alias("cv")).withColumn(
+        "cn2", zn(_norm(F.col("cv"), dim))
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn2", zn(_norm(F.col("qv"), dim)))
+    exact = (
+        cands.join(c_vec, on=id_col)
+        .join(F.broadcast(q_vec), on="query_id")
+        .select(
+            "query_id",
+            id_col,
+            (
+                _dot_unrolled(F.col("qv"), F.col("cv"), dim)
+                / (F.col("qn2") * F.col("cn2"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def _l2_sql(a: str, b: str, n: int, a_off: int = 0) -> str:
     """DuckDB squared-L2 between ``a[a_off+1 .. a_off+n]`` (1-based) and
     ``b[1..n]`` — list_sum's left fold matches ``_l2_unrolled``'s chain."""
@@ -1990,6 +2229,88 @@ def _dot_off_sql(a: str, b: str, n: int, a_off: int = 0) -> str:
         f"list_sum(list_transform(range(1, {n + 1}), "
         f"i -> {a}[i + {a_off}] * {b}[i]))"
     )
+
+
+def ivfpq_topk_sql(
+    table: str = "embeddings",
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+    candidates: int | None = None,
+    sample_num: int = 1,
+    sample_den: int = 1,
+    query_pred: str = "vec_id < 5",
+    dim: int = EMBED_DIM,
+) -> str:
+    """DuckDB twin of ``ivfpq_topk`` (fold mode): the s3 coarse-k-means
+    CTE chain (``_kmeans_ctes``) + final list assignment + query probes,
+    composed with the s5 PQ chain (per-subspace k-means, argmin encode,
+    ADC, candidate cut, exact rerank) — the ADC's FROM restricts to
+    probed lists via ``JOIN probes ON probes.cid = lists.cid`` instead of
+    s5's CROSS JOIN. Every double is the bit-identical IEEE chain, so the
+    full procedure replays and hash-matches."""
+    if n_lists < 1:
+        raise ValueError(f"n_lists must be >= 1, got {n_lists}")
+    if n_probe < 1 or n_probe > n_lists:
+        raise ValueError(
+            f"n_probe must be in [1, n_lists={n_lists}], got {n_probe}"
+        )
+    base = pq_topk_sql(
+        table=table,
+        k=k,
+        m=m,
+        n_codes=n_codes,
+        iterations=iterations,
+        candidates=candidates,
+        sample_num=sample_num,
+        sample_den=sample_den,
+        query_pred=query_pred,
+        dim=dim,
+    )
+    kmeans, prev = _kmeans_ctes(n_lists, iterations, dim)
+    coarse_ctes = ",\n".join(
+        kmeans
+        + [
+            f"""lists AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.v', 's.cv', dim)} DESC, s.cid
+               ) AS rk
+        FROM e CROSS JOIN {prev} s
+    ) WHERE rk = 1
+)""",
+            f"""q_probes AS (
+    SELECT query_id, cid FROM (
+        SELECT qe.vec_id AS query_id, s.cid,
+               row_number() OVER (
+                   PARTITION BY qe.vec_id
+                   ORDER BY {_cos_sql('qe.v', 's.cv', dim)} DESC, s.cid
+               ) AS rk
+        FROM (SELECT * FROM e WHERE {query_pred}) qe CROSS JOIN {prev} s
+    ) WHERE rk <= {n_probe}
+)""",
+        ]
+    )
+    # splice the coarse chain in after the shared e/en CTEs and restrict
+    # s5's scored CTE to probed lists (same adc expression, probed FROM)
+    marker = "codes AS (SELECT"
+    assert marker in base
+    base = base.replace(marker, coarse_ctes + ",\n" + marker, 1)
+    old_scored = "AS adc FROM codes c CROSS JOIN qn q "
+    assert old_scored in base
+    base = base.replace(
+        old_scored,
+        "AS adc FROM codes c JOIN lists l ON l.vec_id = c.vec_id "
+        "JOIN q_probes p ON p.cid = l.cid "
+        "JOIN qn q ON q.query_id = p.query_id ",
+        1,
+    )
+    return base
 
 
 def pq_topk_sql(

@@ -63,8 +63,9 @@ def candle_rows_to_json(rows) -> list[dict]:
     """Spark Row list -> reference CandleStick dicts
     (``model/CandleStick.kt``: symbol/open/high/low/close/volume/
     startTime/endTime)."""
-    return [
-        {
+    out = []
+    for r in rows:
+        d = {
             "symbol": r["symbol"],
             "open": r["open"],
             "high": r["high"],
@@ -74,8 +75,10 @@ def candle_rows_to_json(rows) -> list[dict]:
             "startTime": _iso_instant(r["bucket_start"]),
             "endTime": _iso_instant(r["bucket_end"]),
         }
-        for r in rows
-    ]
+        if "is_gap" in r.__fields__:
+            d["isGap"] = r["is_gap"]
+        out.append(d)
+    return out
 
 
 _CANDLE_COLS = [
@@ -106,8 +109,9 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet: tests drive many requests
         pass
 
-    def _candles(self, df) -> list[dict]:
-        rows = df.select(*_CANDLE_COLS).limit(MAX_RESULT_ROWS + 1).collect()
+    def _candles(self, df, extra_cols: list[str] | None = None) -> list[dict]:
+        cols = _CANDLE_COLS + (extra_cols or [])
+        rows = df.select(*cols).limit(MAX_RESULT_ROWS + 1).collect()
         if len(rows) > MAX_RESULT_ROWS:
             raise ValueError(
                 f"result exceeds {MAX_RESULT_ROWS} candles; narrow the "
@@ -139,13 +143,27 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             elif len(parts) == 3:
                 symbol = parts[2]
+                # ?fill=true gap-fills the range (flat candles + is_gap,
+                # reference Q1 extension via c16); strict parse — a typo'd
+                # value is the 400 class, not a silent default
+                fill_raw = q.get("fill", "false").lower()
+                if fill_raw not in ("true", "false"):
+                    raise ValueError(f"fill must be true or false, got {q['fill']!r}")
+                fill = fill_raw == "true"
                 if "from" in q and "to" in q:
                     df = self.store.get_candles(
-                        symbol, frame, start=q["from"], end=q["to"]
+                        symbol, frame, start=q["from"], end=q["to"],
+                        fill_gaps=fill,
                     )
                 else:
                     df = self.store.recent(symbol, frame, n=minutes())
-                self._send(200, self._candles(df))
+                    if fill:
+                        from stock_chart_kafka_streams_spark.operators.candles import (
+                            fill_candle_gaps,
+                        )
+
+                        df = fill_candle_gaps(df, frame).orderBy("bucket_start")
+                self._send(200, self._candles(df, ["is_gap"] if fill else None))
             else:
                 self._send(404, {"error": f"no route for {url.path}"})
         except ValueError as exc:

@@ -56,11 +56,22 @@ class CandleStore:
         frame: str = "MINUTE",
         start: TsLike | None = None,
         end: TsLike | None = None,
+        fill_gaps: bool = False,
     ) -> DataFrame:
         """Candles for (symbol, frame) with bucket_start in [start, end],
         ordered by bucket_start ascending (reference Q1+Q2,
         ``CandleStickService.kt:30-83``). Bounds are inclusive like the
-        reference's key enumeration."""
+        reference's key enumeration.
+
+        ``fill_gaps=True`` (round 10, r9 verdict #7) routes the filtered
+        range through ``fill_candle_gaps`` (c16): buckets with no trades
+        come back as flat candles at the previous close with ``is_gap``
+        true — the continuous series a chart needs, which the reference's
+        key-enumeration read cannot produce (it simply returns holes).
+        The synthetic grid is bounded by the range's own first/last REAL
+        candle (never by wall-clock), so cost stays output-sized; the
+        result schema gains ``is_gap`` and drops serving-layout columns
+        like ``bucket_date``."""
         if frame not in FRAMES:
             raise ValueError(f"unknown time frame {frame!r}")
         out = self._df.where(
@@ -82,6 +93,12 @@ class CandleStore:
             out = out.where(F.col("bucket_start") <= F.lit(_ts(end)))
             if has_bd:
                 out = out.where(F.col("bucket_date") <= F.lit(_ts(end).date()))
+        if fill_gaps:
+            from stock_chart_kafka_streams_spark.operators.candles import (
+                fill_candle_gaps,
+            )
+
+            return fill_candle_gaps(out, frame).orderBy("bucket_start")
         return out.orderBy("bucket_start")
 
     # -- Q3: legacy minute range (frame column dropped, P4) ----------------

@@ -33,15 +33,18 @@ from stock_chart_kafka_streams_spark.session import tune_session
 def write_bucketed(
     df: DataFrame,
     table: str,
-    bucket_col: str,
+    bucket_col: str | list[str],
     n_buckets: int = 8,
     sort: bool = True,
 ) -> None:
     """Persist ``df`` as a catalog table bucketed (and optionally sorted)
-    on ``bucket_col``. Overwrites an existing table of the same name."""
-    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    on ``bucket_col`` — one column or a composite key (e.g. d9's
+    (band_idx, band_val) band-bucket artifact). Overwrites an existing
+    table of the same name."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *cols)
     if sort:
-        writer = writer.sortBy(bucket_col)
+        writer = writer.sortBy(*cols)
     writer.saveAsTable(table)
 
 

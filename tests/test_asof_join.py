@@ -161,6 +161,65 @@ def test_asof_plan_has_no_nested_loop(sides):
     assert "Window" in plan
 
 
+def _rows_by_key(df):
+    return {
+        (r["symbol"], r["ts"]): tuple(sorted(r.asDict().items()))
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("split_seconds", [60, 90, 3600])
+def test_asof_split_equals_unsplit(sides, direction, split_seconds):
+    """split_seconds (r9 verdict #3) must be a pure execution-shape
+    change: identical rows to the unsplit join for every split width —
+    including widths that land ties and carry-across-empty-bucket cases
+    on bucket boundaries (60s puts each minute in its own bucket, so
+    most matches cross buckets; 90s misaligns the boundary)."""
+    left, right = sides
+    base = asof_join(
+        left, right, on=["symbol"], left_ts="ts", right_ts="rts",
+        direction=direction,
+    )
+    split = asof_join(
+        left, right, on=["symbol"], left_ts="ts", right_ts="rts",
+        direction=direction, split_seconds=split_seconds,
+    )
+    assert sorted(split.columns) == sorted(base.columns)
+    assert _rows_by_key(split.select(*base.columns)) == _rows_by_key(base)
+
+
+def test_asof_split_carries_per_column_nulls(spark):
+    """The unsplit form carries each payload column independently
+    (last NON-NULL per column); the bucket carry must reproduce that,
+    not 'whole latest row' semantics: a right row with a NULL in one
+    payload column must not blank the carried value of that column."""
+    left = spark.createDataFrame(
+        [("A", _ts(10.0), 1.0)], "symbol string, ts timestamp, price double"
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _ts(1.0), 100.0, 7.0),
+            ("A", _ts(2.0), 101.0, None),  # latest row, NULL in col2
+        ],
+        "symbol string, rts timestamp, ref double, extra double",
+    )
+    for split in (None, 60):
+        rows = asof_join(
+            left, right, on=["symbol"], left_ts="ts", right_ts="rts",
+            split_seconds=split,
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["ref"] == 101.0 and rows[0]["extra"] == 7.0, split
+
+
+def test_asof_rejects_nonpositive_split(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="split_seconds"):
+        asof_join(left, right, on=["symbol"], left_ts="ts", right_ts="rts",
+                  split_seconds=0)
+
+
 def test_asof_rejects_colliding_payload(sides):
     """A payload column that already exists on the left would silently
     produce duplicate/ambiguous output columns — must raise instead."""

@@ -321,3 +321,106 @@ def test_mad_outliers_null_prices_excluded_cross_engine(spark):
     assert got == want
     assert got[0][2] == 2  # n_trades counts only non-null prices
     assert got[0][3] == 10.0  # lower median of [10, 20]
+
+
+# -- hot-series pre-split (round 10, r9 verdict #3) -------------------------
+
+
+def _dense_series(spark, n_rows=240, drop=()):
+    """One hot symbol, dense minute candles with a deterministic price
+    wiggle; ``drop`` removes minute indices to create gaps."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    rows = []
+    for i in range(n_rows):
+        if i in drop:
+            continue
+        px = 100.0 + ((i * 37) % 50) - ((i * 13) % 23)
+        rows.append(
+            (
+                "HOT",
+                "MINUTE",
+                t0 + dt.timedelta(minutes=i),
+                px - 0.5,
+                px + 1.0,
+                px - 1.0,
+                px,
+                10 + i % 7,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "symbol string, time_frame string, bucket_start timestamp,"
+        " open double, high double, low double, close double, volume long",
+    )
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.mark.parametrize("split_seconds", [2700, 3600])
+def test_indicators_split_equals_unsplit(spark, split_seconds):
+    """2700s/3600s buckets hold 45/60 minute-rows — above every depth
+    (4 for SMA, 14 for RSI, 38 for drawdown) — and 2700 misaligns the
+    bucket boundary against the hour so frames routinely straddle it."""
+    from stock_chart_kafka_streams_spark.operators.indicators import (
+        with_drawdown,
+        with_indicators,
+        with_rsi,
+    )
+
+    series = _dense_series(spark)
+    for fn in (with_indicators, with_rsi, with_drawdown):
+        base = fn(series)
+        split = fn(series, split_seconds=split_seconds)
+        assert split.columns == base.columns, fn.__name__
+        assert _sorted_rows(split) == _sorted_rows(base), (
+            f"{fn.__name__} split_seconds={split_seconds}"
+        )
+    # with_indicators' depth is only 4: a 600s split (10-row buckets) is
+    # legal there and must still match
+    base = with_indicators(series)
+    assert _sorted_rows(with_indicators(series, split_seconds=600)) == _sorted_rows(base)
+
+
+def test_indicators_split_raises_on_sparse_bucket(spark):
+    """A bucket thinner than the context depth cannot feed its
+    successor's warm-up — must raise, never silently compute wrong
+    warm-up values."""
+    from stock_chart_kafka_streams_spark.operators.indicators import (
+        with_drawdown,
+    )
+
+    # 600s buckets hold 10 minute-rows; drawdown n=20 needs depth 38
+    series = _dense_series(spark, n_rows=40)
+    with pytest.raises(ValueError, match="too fine"):
+        with_drawdown(series, split_seconds=600).collect()
+
+
+def test_indicators_split_rejects_nonpositive(spark):
+    from stock_chart_kafka_streams_spark.operators.indicators import with_rsi
+
+    with pytest.raises(ValueError, match="split_seconds"):
+        with_rsi(_dense_series(spark, n_rows=30), split_seconds=-1)
+
+
+def test_fill_candle_gaps_split_equals_unsplit(spark):
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        fill_candle_gaps,
+    )
+
+    # gaps include a run (minutes 60-89) spanning THREE whole 600s coarse
+    # buckets, so the carry must cross empty buckets, plus boundary-
+    # adjacent single gaps
+    drop = set(range(60, 90)) | {9, 10, 119, 120, 121}
+    series = _dense_series(spark, n_rows=240, drop=drop).drop("time_frame")
+    base = fill_candle_gaps(series, "MINUTE")
+    for split in (600, 3600):
+        split_df = fill_candle_gaps(series, "MINUTE", split_seconds=split)
+        assert split_df.columns == base.columns
+        assert _sorted_rows(split_df) == _sorted_rows(base), split
+
+    with pytest.raises(ValueError, match="split_seconds"):
+        fill_candle_gaps(series, "MINUTE", split_seconds=0)

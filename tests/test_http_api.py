@@ -231,3 +231,77 @@ def test_http_over_disk_serving_table(spark, tmp_path):
         assert got == want
     finally:
         server.shutdown()
+
+
+# -- gap-fill through the read surface (round 10, r9 verdict #7) ------------
+
+
+def test_store_get_candles_fill_gaps_continuous(spark):
+    """fill_gaps=True must return one row per frame bucket between the
+    range's first and last real candle, flat synthetic candles flagged
+    is_gap, real rows untouched."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    rows = [
+        ("GAPPY", "MINUTE", t0, t0 + dt.timedelta(minutes=1),
+         10.0, 12.0, 9.0, 11.0, 100),
+        # 10:01 and 10:02 missing
+        ("GAPPY", "MINUTE", t0 + dt.timedelta(minutes=3),
+         t0 + dt.timedelta(minutes=4), 11.5, 13.0, 11.0, 12.0, 50),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, time_frame string, bucket_start timestamp,"
+        " bucket_end timestamp, open double, high double, low double,"
+        " close double, volume long",
+    )
+    store = CandleStore(df)
+    got = store.get_candles(
+        "GAPPY", "MINUTE", "2024-03-01T00:00:00", "2024-03-02T00:00:00",
+        fill_gaps=True,
+    ).collect()
+    assert [r["bucket_start"].minute for r in got] == [0, 1, 2, 3]
+    assert [r["is_gap"] for r in got] == [False, True, True, False]
+    for r in got[1:3]:
+        assert r["open"] == r["high"] == r["low"] == r["close"] == 11.0
+        assert r["volume"] == 0
+    # sparse default: same query without the flag returns the holes
+    assert store.get_candles("GAPPY", "MINUTE").count() == 2
+
+
+def test_http_fill_param_returns_continuous_series(store, base_url):
+    """?fill=true must serve the store's gap-filled result with isGap on
+    every row; bad values are the 400 class."""
+    sym = store.symbols().collect()[0]["symbol"]
+    lo, hi = "2024-01-01T00:00:00", "2026-01-01T00:00:00"
+    status, got = _get(
+        f"{base_url}/api/charts/{sym}?from={lo}&to={hi}&frame=HOUR&fill=true"
+    )
+    assert status == 200 and len(got) > 0
+    assert all("isGap" in r for r in got)
+    want = store.get_candles(sym, "HOUR", lo, hi, fill_gaps=True)
+    assert len(got) == want.count()
+    # continuity: consecutive rows are exactly one hour apart
+    starts = [r["startTime"] for r in got]
+    assert sorted(starts) == starts
+    # plain query has no isGap key (schema is the reference record)
+    status, plain = _get(f"{base_url}/api/charts/{sym}?from={lo}&to={hi}&frame=HOUR")
+    assert status == 200 and all("isGap" not in r for r in plain)
+    # strict parse
+    try:
+        urllib.request.urlopen(
+            f"{base_url}/api/charts/{sym}?from={lo}&to={hi}&fill=yes", timeout=120
+        )
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as exc:
+        assert exc.code == 400
+
+
+def test_http_fill_recent_endpoint(store, base_url):
+    sym = store.symbols().collect()[0]["symbol"]
+    status, got = _get(
+        f"{base_url}/api/charts/{sym}?frame=HOUR&minutes=500&fill=true"
+    )
+    assert status == 200
+    assert all("isGap" in r for r in got)

@@ -639,3 +639,84 @@ def test_incremental_dedup_rejects_nonpositive_band_cap(spark):
     df = spark.createDataFrame([(0, "alpha beta gamma delta")], "doc_id long, text string")
     with pytest.raises(ValueError, match="band_cap"):
         incremental_dedup(df, df, mode="minhash", band_cap=0)
+
+
+# -- s6: IVF + PQ (round 10) -------------------------------------------------
+
+
+def test_ivfpq_matches_duckdb_full_replay(spark, embs, duck):
+    """The composed coarse-kmeans + PQ procedure must hash-match the
+    DuckDB twin end-to-end (the s3/s5 discipline applied to their
+    composition)."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_sql,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    got = ivfpq_topk(
+        embs, embs.where(F.col("vec_id") < 5), k=10, n_lists=8, n_probe=3
+    )
+    assert_matches_oracle(
+        got, duck, ivfpq_topk_sql(k=10, n_lists=8, n_probe=3)
+    )
+
+
+def test_ivfpq_recall_vs_exact(spark, embs):
+    """Probing 6 of 8 lists must recover most of the exact top-10 (and
+    every query's own vector at rank 1 — the self-hit lives in the
+    query's nearest list by construction)."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+    )
+
+    queries = embs.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(embs, queries, k=10).collect()
+    }
+    approx_rows = ivfpq_topk(
+        embs, queries, k=10, n_lists=8, n_probe=6, n_codes=16, candidates=60
+    ).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    firsts = [r for r in approx_rows if r["rank"] == 1]
+    assert len(firsts) == 10
+    for r in firsts:
+        assert r["vec_id"] == r["query_id"] and abs(r["cos"] - 1.0) < 1e-9
+
+
+def test_ivfpq_matmul_equivalent_to_fold(spark, embs):
+    from stock_chart_kafka_streams_spark.operators.similarity import ivfpq_topk
+
+    queries = embs.where(F.col("vec_id") < 3)
+    fold = sorted(
+        map(tuple, ivfpq_topk(embs, queries, k=5, n_lists=4, n_probe=2).collect())
+    )
+    mat = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                embs, queries, k=5, n_lists=4, n_probe=2, encode_mode="matmul"
+            ).collect(),
+        )
+    )
+    assert fold == mat
+
+
+def test_ivfpq_rejects_bad_params(embs):
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_sql,
+    )
+
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfpq_topk(embs, embs, n_lists=4, n_probe=5)
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfpq_topk_sql(n_lists=4, n_probe=0)
+    with pytest.raises(ValueError, match="n_lists"):
+        ivfpq_topk(embs, embs, n_lists=0)
+    with pytest.raises(ValueError, match="encode_mode"):
+        ivfpq_topk(embs, embs, encode_mode="gpu")

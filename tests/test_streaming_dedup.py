@@ -70,3 +70,116 @@ def test_connected_components_multi_hop_chain(spark):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 7}
+
+
+# -- continuous corpus ingestion via d9 (round 10, r9 verdict #6) -----------
+
+
+def _spool_doc_batches(inp, batches):
+    inp.mkdir(exist_ok=True)
+    for i, batch in enumerate(batches):
+        p = inp / f"b{i:03d}.json"
+        with open(p, "w") as f:
+            for doc_id, text in batch:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(p, (1_700_000_000 + i,) * 2)
+
+
+def _drain_ingest(spark, inp, ck, corpus, mode):
+    from stock_chart_kafka_streams_spark.streaming.dedup import (
+        foreach_batch_corpus_ingest,
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(inp))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_corpus_ingest(str(corpus), mode=mode)
+        )
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_corpus_ingest_equals_batch_d9(spark, tmp_path):
+    """Spool three snapshots through foreachBatch ingestion; the final
+    corpus must equal folding the same batches through the BATCH
+    operators (d1 within batch, then d9 against the accumulated corpus),
+    and a full redelivery (fresh checkpoint, same files, same corpus)
+    must leave the table unchanged — MERGE-sink-grade idempotency."""
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        dedup_exact,
+        incremental_dedup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog number"
+    batches = [
+        [(1, base + " one"), (2, base + " two"), (3, base + " one")],  # 3 dups 1
+        [(11, base + " one"), (12, "completely novel payload alpha")],  # 11 dups corpus
+        [(21, "completely novel payload alpha"), (22, "another fresh doc")],  # 21 dups corpus
+    ]
+    inp, corpus = tmp_path / "in", tmp_path / "corpus"
+    _spool_doc_batches(inp, batches)
+    _drain_ingest(spark, inp, tmp_path / "ck1", corpus, "exact")
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(str(corpus)).collect()
+    )
+
+    # batch-operator fold of the same snapshots
+    acc = None
+    for batch in batches:
+        b = dedup_exact(
+            spark.createDataFrame(batch, "doc_id long, text string")
+        )
+        if acc is None:
+            fresh = b
+        else:
+            fresh = incremental_dedup(acc, b, mode="exact")
+        acc = fresh if acc is None else acc.unionByName(fresh)
+    want = sorted((r["doc_id"], r["text"]) for r in acc.collect())
+    assert got == want
+    assert [d for d, _ in got] == [1, 2, 12, 22]
+
+    # redelivery: fresh checkpoint, same spool, same corpus -> unchanged
+    _drain_ingest(spark, inp, tmp_path / "ck2", corpus, "exact")
+    again = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(str(corpus)).collect()
+    )
+    assert again == got
+
+
+def test_streaming_corpus_ingest_minhash_catches_near_dups(spark, tmp_path):
+    """minhash mode must also drop NEAR-duplicates of the accumulated
+    corpus (what the exact mode cannot), and stay redelivery-idempotent
+    (replayed docs are Jaccard-1.0 candidates of their persisted copies)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [
+        [(1, base)],
+        [(11, base.replace("kappa", "lambda")), (12, "weather sailing boats")],
+    ]
+    inp, corpus = tmp_path / "in", tmp_path / "corpus"
+    _spool_doc_batches(inp, batches)
+    _drain_ingest(spark, inp, tmp_path / "ck1", corpus, "minhash")
+    got = sorted(r["doc_id"] for r in spark.read.parquet(str(corpus)).collect())
+    assert got == [1, 12]  # 11 is a near-dup of 1 -> dropped
+    _drain_ingest(spark, inp, tmp_path / "ck2", corpus, "minhash")
+    again = sorted(r["doc_id"] for r in spark.read.parquet(str(corpus)).collect())
+    assert again == got
+
+
+def test_corpus_ingest_rejects_unknown_mode(tmp_path):
+    from stock_chart_kafka_streams_spark.streaming.dedup import (
+        foreach_batch_corpus_ingest,
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        foreach_batch_corpus_ingest(str(tmp_path / "c"), mode="fuzzy")
