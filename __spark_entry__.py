@@ -1450,6 +1450,42 @@ def _q_s5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(embs, embs.where(_F.col("vec_id") < 5), k=10)
 
 
+def _c17_sql() -> str:
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        candles_n_minutes_sql,
+    )
+
+    inner = candles_n_minutes_sql(5, table="trades").strip()
+    return f"WITH {_TRADES_CTE.strip().rstrip()}\n{inner}"
+
+
+def _q_c17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary n-minute candle frames (c17, round 10): 5-minute OHLCV
+    on an epoch-anchored grid — the chart frames the reference's fixed
+    TimeFrame enum cannot serve."""
+    from stock_chart_kafka_streams_spark.operators.candles import candles_n_minutes
+
+    return candles_n_minutes(load_trades(spark, sf_dir), 5)
+
+
+def _q_d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (d10, round 10): deterministic md5-rank
+    selection of at most N docs per source via s5's two-phase cut (no
+    single-task mega-domain window)."""
+    from stock_chart_kafka_streams_spark.operators.sampling import domain_cap
+
+    return domain_cap(_docs(spark, sf_dir), cap=15)
+
+
+def _q_d10b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source mix stats (d10's companion): per-source doc counts, exact-
+    dup rate, exact-integer mean length — the mixture-design input
+    table."""
+    from stock_chart_kafka_streams_spark.operators.sampling import source_mix_stats
+
+    return source_mix_stats(_docs(spark, sf_dir))
+
+
 def _q_s6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + PQ ANN top-k (s6, round 10): s3's coarse k-means partitions
     the corpus into inverted lists; queries probe their n_probe nearest
@@ -1681,6 +1717,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11b_dsir_select": _q_p11b,
         "s5_pq_topk": _q_s5,
         "s6_ivfpq_topk": _q_s6,
+        "c17_5min_candles": _q_c17,
+        "d10_domain_cap": _q_d10,
+        "d10b_source_mix_stats": _q_d10b,
         "d9_incremental_exact": _q_d9,
         "d9b_incremental_minhash": _q_d9b,
         "p12_epoch_upsample": _q_p12,
@@ -1855,6 +1894,9 @@ FROM documents
         "p11b_dsir_select": _sampling.dsir_select_sql(k=50, n_buckets=1024),
         "s5_pq_topk": _sim.pq_topk_sql(k=10),
         "s6_ivfpq_topk": _sim.ivfpq_topk_sql(k=10, n_lists=8, n_probe=3),
+        "c17_5min_candles": _c17_sql(),
+        "d10_domain_cap": _sampling.domain_cap_sql(cap=15),
+        "d10b_source_mix_stats": _sampling.source_mix_stats_sql(),
         "d9_incremental_exact": _dd.incremental_dedup_sql(
             _D9_EXISTING_SQL, _D9_INCOMING_SQL, mode="exact"
         ),

@@ -1150,3 +1150,138 @@ FROM e
 WHERE epoch < "full"
    OR {h} * {_EPOCH_QUANT} < frac_micros * {_HASH_SPACE}
 """
+
+
+# ---------------------------------------------------------------------------
+# d10: domain cap + source mix stats (round 10)
+# ---------------------------------------------------------------------------
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    shards: int = 32,
+) -> DataFrame:
+    """Cap the number of documents kept per source/domain (d10) — the
+    RefinedWeb/CCNet-style guard against boilerplate-heavy domains
+    dominating a crawl-derived corpus: at most ``cap`` documents survive
+    per ``source_col`` value, selected DETERMINISTICALLY (the cap-lowest
+    ``(md5(id), id)`` ranks — a fixed pseudo-random sample per domain,
+    the p2/p3 hash discipline, identical in the DuckDB twin).
+
+    Scale posture: an exact per-domain rank is a window over the domain
+    partition — precisely the hot-key funnel a mega-domain creates. This
+    uses s5's TWO-PHASE cut: rank per (domain, shard) first and keep
+    ranks <= cap, then rank the <= shards x cap survivors per domain —
+    identical result to the flat window (every domain-global top-cap row
+    is in its shard's top-cap) with every task bounded by the shard,
+    never the domain. The twin uses the flat window (same row set).
+
+    Returns the surviving rows, all columns."""
+    from pyspark.sql.window import Window
+
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    okey = F.md5(F.col(id_col).cast("string"))
+    w1 = Window.partitionBy(
+        source_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(shards)))
+    ).orderBy(okey.asc(), F.col(id_col).asc())
+    w2 = Window.partitionBy(source_col).orderBy(okey.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= cap)
+        .withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= cap)
+        .drop("__r1", "__r2")
+    )
+
+
+def domain_cap_sql(cap: int, table: str = "documents", source_col: str = "source") -> str:
+    """DuckDB twin of ``domain_cap`` — flat per-domain window (the
+    two-phase cut selects the identical row set)."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    return f"""
+SELECT * EXCLUDE (__r) FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY {source_col}
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+    ) AS __r
+    FROM {table}
+) WHERE __r <= {int(cap)}
+"""
+
+
+def source_mix_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus composition stats (d10's companion — the table a
+    mixture designer feeds into p10/p12 rate construction): document
+    count, exact-duplicate rate (1 - distinct fingerprints / docs, the d1
+    fingerprint), and mean normalized length. ONE map-side-combined
+    aggregate over (source); output is |sources| rows.
+
+    Returns (source, n_docs, n_unique, dup_rate, mean_chars), sorted by
+    source for stable display."""
+    from stock_chart_kafka_streams_spark.operators.text import fingerprint
+
+    # mean as exact-BIGINT char sum / count — ONE double division of two
+    # exact integers, bit-identical cross-engine (a float avg's summation
+    # order drifts past the oracle's 9dp at corpus scale)
+    return (
+        docs.select(
+            F.col(source_col).alias("source"),
+            fingerprint(text_col).alias("__fp"),
+            F.length(F.col(text_col)).cast("long").alias("__len"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__fp").alias("n_unique"),
+            (
+                F.sum("__len").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            (
+                F.lit(1.0)
+                - F.col("n_unique").cast("double") / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            "mean_chars",
+        )
+        .orderBy("source")
+    )
+
+
+def source_mix_stats_sql(table: str = "documents", source_col: str = "source") -> str:
+    from stock_chart_kafka_streams_spark.operators.text import fingerprint_sql
+
+    fp = fingerprint_sql("text")
+    return f"""
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+       mean_chars
+FROM (
+    SELECT {source_col} AS source,
+           count(*) AS n_docs,
+           count(DISTINCT {fp}) AS n_unique,
+           CAST(sum(CAST(length(text) AS BIGINT)) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS mean_chars
+    FROM {table}
+    GROUP BY {source_col}
+)
+ORDER BY source
+"""

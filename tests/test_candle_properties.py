@@ -424,3 +424,53 @@ def test_fill_candle_gaps_split_equals_unsplit(spark):
 
     with pytest.raises(ValueError, match="split_seconds"):
         fill_candle_gaps(series, "MINUTE", split_seconds=0)
+
+
+# -- c17: arbitrary n-minute frames (round 10) -------------------------------
+
+
+def test_n_minute_candles_merge_into_hour(trades):
+    """5MIN frames partition each hour (60 % 5 == 0), so merging them with
+    the rollup aggregates must reproduce the HOUR frame exactly — the
+    SURVEY §2.7 Q6 associativity argument applied to the new grid."""
+    from stock_chart_kafka_streams_spark.functions.ohlcv import merge_aggs
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        candles_n_minutes,
+    )
+
+    five = candles_n_minutes(trades, 5)
+    merged = (
+        five.groupBy(
+            "symbol", F.date_trunc("hour", "bucket_start").alias("bucket_start")
+        )
+        .agg(*merge_aggs())
+        .select("symbol", "bucket_start", "open", "high", "low", "close", "volume")
+    )
+    direct = candles(trades, "HOUR").select(
+        "symbol", "bucket_start", "open", "high", "low", "close", "volume"
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_n_minute_candles_one_minute_equals_minute_frame(trades):
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        candles_n_minutes,
+    )
+
+    one = candles_n_minutes(trades, 1).drop("time_frame")
+    base = candles(trades, "MINUTE").drop("time_frame")
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, base.collect()))
+
+
+def test_n_minute_candles_rejects_nonpositive(trades):
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        candles_n_minutes,
+        candles_n_minutes_sql,
+    )
+
+    with pytest.raises(ValueError, match="n_minutes"):
+        candles_n_minutes(trades, 0)
+    with pytest.raises(ValueError, match="n_minutes"):
+        candles_n_minutes_sql(-5)

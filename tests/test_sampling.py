@@ -364,3 +364,77 @@ def test_dsir_persist_grams_is_value_identical(spark):
     a = dsir_importance(docs, target, n_buckets=256)
     b = dsir_importance(docs, target, n_buckets=256, persist_grams=True)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# -- d10: domain cap + source mix stats (round 10) ---------------------------
+
+
+def test_domain_cap_bounds_every_source_and_is_deterministic(spark, docs):
+    from stock_chart_kafka_streams_spark.operators.sampling import domain_cap
+
+    capped = domain_cap(docs, cap=7)
+    per_source = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    orig = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in per_source.items():
+        assert n == min(7, orig[src]), src
+    # deterministic: same selection on re-run
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in domain_cap(docs, cap=7).collect())
+    assert a == b
+
+
+def test_domain_cap_two_phase_equals_flat_window(spark, docs):
+    """The sharded two-phase cut must select the IDENTICAL rows a flat
+    per-source window picks (the s5 argument, asserted here on data)."""
+    from pyspark.sql.window import Window
+
+    from stock_chart_kafka_streams_spark.operators.sampling import domain_cap
+
+    flat_w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    flat = (
+        docs.withColumn("__r", F.row_number().over(flat_w))
+        .where(F.col("__r") <= 7)
+        .drop("__r")
+    )
+    got = sorted(r["doc_id"] for r in domain_cap(docs, cap=7, shards=4).collect())
+    want = sorted(r["doc_id"] for r in flat.collect())
+    assert got == want
+
+
+def test_domain_cap_rejects_bad_params(spark, docs):
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        domain_cap,
+        domain_cap_sql,
+    )
+
+    with pytest.raises(ValueError, match="cap"):
+        domain_cap(docs, cap=0)
+    with pytest.raises(ValueError, match="shards"):
+        domain_cap(docs, cap=5, shards=0)
+    with pytest.raises(ValueError, match="cap"):
+        domain_cap_sql(cap=0)
+
+
+def test_source_mix_stats_counts_planted_dups(spark):
+    from stock_chart_kafka_streams_spark.operators.sampling import source_mix_stats
+
+    rows = [
+        (1, "same text body", "a"),
+        (2, "same text body", "a"),   # exact dup within source a
+        (3, "unique text here", "a"),
+        (4, "other source text", "b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in source_mix_stats(df).collect()}
+    assert got["a"]["n_docs"] == 3 and got["a"]["n_unique"] == 2
+    assert abs(got["a"]["dup_rate"] - (1 - 2 / 3)) < 1e-12
+    assert got["b"]["dup_rate"] == 0.0
+    assert got["a"]["mean_chars"] == (14 + 14 + 16) / 3
