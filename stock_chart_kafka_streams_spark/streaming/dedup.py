@@ -47,6 +47,7 @@ def foreach_batch_corpus_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_cap: int | None = 4096,
+    buckets_path: str | None = None,
 ):
     """``foreachBatch`` hook for CONTINUOUS corpus ingestion — the
     operational loop d9 exists for (round 10, r9 verdict #6): every
@@ -67,16 +68,30 @@ def foreach_batch_corpus_ingest(
     Survivors are localCheckpoint-materialized BEFORE the append so the
     corpus scan feeding the anti-join never races its own output files.
 
-    At 100 TB: the corpus side of the minhash mode is the re-shingling
-    cost — materialize ``band_buckets`` per snapshot (bucketed by
-    (band_idx, band_val), see that docstring) and swap the read here for
-    ``existing_buckets=``; the exact mode's distinct-fingerprint table is
-    the cheaper analogue. This hook keeps the dependency-free read-back
-    form; the parameters mirror ``incremental_dedup`` exactly."""
+    At 100 TB the minhash mode's corpus cost is RE-SHINGLING history
+    every batch. ``buckets_path`` (minhash mode only) removes it: the
+    (id, band_idx, band_val) artifact lives beside the corpus, each
+    batch's candidate join reads the STORED buckets
+    (``existing_buckets=``) instead of re-deriving them, and the
+    survivors' own buckets are appended after the corpus write — so no
+    document is ever shingled more than twice (once as a candidate
+    verification, once for its stored buckets), regardless of how many
+    snapshots follow. The exact mode's distinct-fingerprint table is the
+    cheaper analogue. Candidate VERIFICATION still reads corpus text,
+    but only for candidate ids (semi-join — d9's contract).
+    The bucket append is ordered AFTER the corpus append: a crash
+    between the two leaves missing buckets for the tail batch, which the
+    next run would simply not use for candidates — to stay fail-safe the
+    hook rebuilds buckets for any corpus ids absent from the artifact
+    (one anti-join on ids per batch, corpus-scan-free when nothing is
+    missing)."""
     if mode not in ("exact", "minhash"):
         raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")
+    if buckets_path is not None and mode != "minhash":
+        raise ValueError("buckets_path applies only to mode='minhash'")
 
     from stock_chart_kafka_streams_spark.operators.dedup import (
+        band_buckets,
         dedup_exact,
         dedup_minhash,
         incremental_dedup,
@@ -96,8 +111,25 @@ def foreach_batch_corpus_ingest(
         # swallow a CORRUPT corpus and silently ingest duplicates
         from stock_chart_kafka_streams_spark.streaming.sink import _table_exists
 
+        stored_buckets = None
         if _table_exists(spark, corpus_path):
             existing = spark.read.parquet(corpus_path)
+            if buckets_path is not None and _table_exists(spark, buckets_path):
+                stored_buckets = spark.read.parquet(buckets_path)
+                # crash-recovery: ids appended to the corpus whose bucket
+                # append never landed get their buckets rebuilt here (the
+                # anti-join is ids-only; empty when the artifact is whole)
+                missing = existing.join(
+                    stored_buckets.select(id_col).distinct(),
+                    on=id_col,
+                    how="left_anti",
+                )
+                repair = band_buckets(missing, id_col, text_col).localCheckpoint(
+                    eager=True
+                )
+                if not repair.isEmpty():
+                    repair.write.mode("append").parquet(buckets_path)
+                    stored_buckets = spark.read.parquet(buckets_path)
             fresh = incremental_dedup(
                 existing,
                 within,
@@ -106,11 +138,15 @@ def foreach_batch_corpus_ingest(
                 id_col=id_col,
                 text_col=text_col,
                 band_cap=band_cap,
+                existing_buckets=stored_buckets if mode == "minhash" else None,
             )
         else:
             fresh = within
-        fresh.localCheckpoint(eager=True).write.mode("append").parquet(
-            corpus_path
-        )
+        fresh = fresh.localCheckpoint(eager=True)
+        fresh.write.mode("append").parquet(corpus_path)
+        if buckets_path is not None:
+            band_buckets(fresh, id_col, text_col).write.mode("append").parquet(
+                buckets_path
+            )
 
     return _write

@@ -183,3 +183,76 @@ def test_corpus_ingest_rejects_unknown_mode(tmp_path):
 
     with pytest.raises(ValueError, match="mode"):
         foreach_batch_corpus_ingest(str(tmp_path / "c"), mode="fuzzy")
+
+
+def test_streaming_corpus_ingest_with_bucket_artifact(spark, tmp_path):
+    """buckets_path: the ingest loop maintains the (id, band_idx,
+    band_val) artifact alongside the corpus — results identical to the
+    read-back form, and the stored artifact equals band_buckets over the
+    final corpus (so the NEXT snapshot never re-shingles history)."""
+    from stock_chart_kafka_streams_spark.operators.dedup import band_buckets
+    from stock_chart_kafka_streams_spark.streaming.dedup import (
+        foreach_batch_corpus_ingest,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [
+        [(1, base), (2, "legal filings and court documents text")],
+        [(11, base.replace("kappa", "lambda")), (12, "weather sailing boats")],
+        [(21, "weather sailing boats"), (22, "novel quartz xylophone report")],
+    ]
+    inp = tmp_path / "in"
+    _spool_doc_batches(inp, batches)
+
+    def drain(corpus, ck, buckets=None):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(inp))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_corpus_ingest(
+                    str(corpus),
+                    mode="minhash",
+                    buckets_path=str(buckets) if buckets else None,
+                )
+            )
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain(tmp_path / "c_plain", tmp_path / "ck1")
+    drain(tmp_path / "c_art", tmp_path / "ck2", tmp_path / "buckets")
+
+    plain = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "c_plain")).collect())
+    )
+    art = sorted(map(tuple, spark.read.parquet(str(tmp_path / "c_art")).collect()))
+    assert art == plain and len(art) > 0
+
+    stored = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "buckets")).collect())
+    )
+    derived = sorted(
+        map(
+            tuple,
+            band_buckets(spark.read.parquet(str(tmp_path / "c_art"))).collect(),
+        )
+    )
+    assert stored == derived
+
+
+def test_corpus_ingest_buckets_path_requires_minhash(tmp_path):
+    import pytest
+
+    from stock_chart_kafka_streams_spark.streaming.dedup import (
+        foreach_batch_corpus_ingest,
+    )
+
+    with pytest.raises(ValueError, match="buckets_path"):
+        foreach_batch_corpus_ingest(
+            str(tmp_path / "c"), mode="exact", buckets_path=str(tmp_path / "b")
+        )
