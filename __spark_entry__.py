@@ -837,6 +837,16 @@ def _q_p9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(_docs(spark, sf_dir), threshold=0.4)
 
 
+def _q_p9d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p9 with d10's per-domain cap spliced between quality and dedup
+    (round 10): at most 15 docs per source survive into the shingle/
+    minhash stages — the RefinedWeb ordering that caps boilerplate-heavy
+    domains before paying dedup cost on their rows."""
+    from stock_chart_kafka_streams_spark.operators.pipeline import curation_pipeline
+
+    return curation_pipeline(_docs(spark, sf_dir), threshold=0.4, domain_cap_n=15)
+
+
 def _q_p9x(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p9 with ``quality_mode="exact"`` — the audit/small-strata variant
     whose quality stage is the integer-exact whole-stratum window cut.
@@ -1706,6 +1716,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_mixture_sample": _q_p10,
         "p9_curation_ngram": _q_p9n,
         "p9_curation_gopher": _q_p9g,
+        "p9_curation_domaincap": _q_p9d,
         "mm5_media_neardup": _q_mm5,
         "p7a_quality_approx": _q_p7a,
         "i3_rsi": _q_i3,
@@ -1918,6 +1929,9 @@ FROM documents
             quality_mode="gopher",
             gopher_min_words=40,
             gopher_required_min=1,
+        ),
+        "p9_curation_domaincap": _pipeline.curation_pipeline_sql(
+            threshold=0.4, domain_cap_n=15
         ),
         "mm5_media_neardup": _mm.media_neardup_sql(threshold=0.999),
         "p7a_quality_approx": _sampling.quality_quantile_filter_approx_sql(),

@@ -161,6 +161,8 @@ def curation_pipeline(
     ngram_n: int = 13,
     gopher_min_words: int = 50,
     gopher_required_min: int = 2,
+    domain_cap_n: int | None = None,
+    source_col: str = "source",
 ) -> DataFrame:
     """Run the full curation chain over ``docs`` and return the packed
     training sequences: ``(doc_id, shard, n_tokens, offset_in_shard,
@@ -182,6 +184,12 @@ def curation_pipeline(
     winnow-overlap stage, or ``"ngram"`` for p4b's exact
     ``ngram_n``-token collision rule — both broadcast the benchmark's
     fingerprint/gram set; both carry full DuckDB twins.
+
+    ``domain_cap_n`` (round 10, default None): insert d10's per-domain
+    cap between quality and dedup (the RefinedWeb ordering — cap
+    boilerplate-heavy domains before paying shingle cost on their rows);
+    ``source_col`` names the domain column, which must exist on the
+    input. Twin mirrored (``curation_pipeline_sql(domain_cap_n=...)``).
 
     ``persist_stages`` (default False): when True, each stage boundary is
     eagerly ``localCheckpoint``-ed, so the final job reads materialized
@@ -212,6 +220,19 @@ def curation_pipeline(
     if persist_stages:
         stage_q = stage_q.localCheckpoint(eager=True)
         bench = bench.localCheckpoint(eager=True)
+    # d10: optional per-domain cap between quality and dedup (the
+    # RefinedWeb ordering — cap boilerplate-heavy domains BEFORE paying
+    # shingle/minhash cost on their rows). ``source_col`` must exist on
+    # the input; the deterministic md5-rank selection and its two-phase
+    # skew posture are domain_cap's (operators/sampling.py).
+    if domain_cap_n is not None:
+        from stock_chart_kafka_streams_spark.operators.sampling import domain_cap
+
+        stage_q = domain_cap(
+            stage_q, domain_cap_n, source_col=source_col, id_col=id_col
+        )
+        if persist_stages:
+            stage_q = stage_q.localCheckpoint(eager=True)
     # d2: MinHash-LSH near-dedup of the quality survivors.
     stage_dd = dedup_minhash(stage_q, id_col=id_col, text_col=text_col)
     if persist_stages:
@@ -268,6 +289,8 @@ def curation_pipeline_sql(
     ngram_n: int = 13,
     gopher_min_words: int = 50,
     gopher_required_min: int = 2,
+    domain_cap_n: int | None = None,
+    source_col: str = "source",
 ) -> str:
     """DuckDB twin of ``curation_pipeline``: the same five stages chained
     as top-level CTEs. Each stage reuses the standalone operator's SQL
@@ -335,6 +358,25 @@ stage_q AS (
             f"quality_mode must be 'approx', 'exact' or 'gopher', got {quality_mode!r}"
         )
 
+    if domain_cap_n is not None:
+        # rename the quality stage's FINAL CTE (each variant defines it
+        # exactly once as ``stage_q AS (``) and splice the d10 cap after
+        # it; the source/domain key is recovered by an id join against
+        # the base table (the quality projections drop it) and used only
+        # as the partition key, so downstream CTEs see the same columns.
+        if int(domain_cap_n) < 1:
+            raise ValueError(f"domain_cap_n must be >= 1, got {domain_cap_n}")
+        stage_q = stage_q.replace("stage_q AS (", "stage_q0 AS (", 1)
+        stage_q += f""",
+stage_q AS (
+    SELECT doc_id, text, lang FROM (
+        SELECT q0.*, row_number() OVER (
+            PARTITION BY b.{source_col}
+            ORDER BY md5(CAST(q0.doc_id AS VARCHAR)) ASC, q0.doc_id ASC
+        ) AS __r
+        FROM stage_q0 q0 JOIN {table} b USING (doc_id)
+    ) WHERE __r <= {int(domain_cap_n)}
+)"""
     dd = dedup_minhash_sql(table="stage_q")
     if decontam_mode == "winnow":
         dd_fps = winnow_fingerprints_sql("stage_dd")

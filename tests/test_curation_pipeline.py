@@ -141,3 +141,37 @@ def test_quality_stage_gopher_is_pure_filter(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_pipeline_domain_cap_equals_manual_composition(spark):
+    """domain_cap_n must be exactly 'quality -> d10 cap -> rest of the
+    pipeline': same packed output as composing the stages by hand, and
+    never MORE survivors than the uncapped run."""
+    from stock_chart_kafka_streams_spark.operators.dedup import dedup_minhash
+    from stock_chart_kafka_streams_spark.operators.pipeline import quality_stage
+    from stock_chart_kafka_streams_spark.operators.sampling import (
+        domain_cap,
+        hash_split,
+        pack_sequences,
+    )
+    from stock_chart_kafka_streams_spark.operators.text import decontaminate
+
+    docs = _docs(spark)
+    packed = curation_pipeline(docs, threshold=0.4, domain_cap_n=5)
+
+    capped = domain_cap(quality_stage(docs), 5)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    dd = dedup_minhash(capped)
+    contam = (
+        decontaminate(dd, bench, threshold=0.4)
+        .where(F.col("contaminated"))
+        .select("doc_id")
+    )
+    cl = dd.join(contam, on="doc_id", how="left_anti")
+    sp = hash_split(cl).where(F.col("split") == "train")
+    manual = pack_sequences(sp, budget=2048, n_shards=64)
+    assert sorted(map(tuple, packed.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+    uncapped = curation_pipeline(docs, threshold=0.4)
+    assert packed.count() <= uncapped.count()
