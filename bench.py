@@ -624,34 +624,39 @@ def _tier2_queries(
     timings["t2_s5_pq_matmul_256c_200k"] = min(s5m_runs)
     extra["s5_pq_matmul_runs_s"] = s5m_runs
 
-    # s6 IVF+PQ at 200k, paper-scale codebooks (matmul mode): same query
-    # set as the s5 entries, but each query ADC-scans only its n_probe/
-    # n_lists fraction of the codes — the published IVFADC scan shape.
-    # The honest comparison is t2_s5_pq_matmul_256c_200k (same m /
-    # n_codes / sample / encode mode, full-corpus ADC).
+    # s6 IVF+PQ vs s5 flat PQ at 200k, paper-scale codebooks (matmul
+    # mode), 50-query batch. IVF's economics: the inverted lists cost a
+    # FIXED index build (coarse train on the shared 1/16 sample, one
+    # full-corpus assignment pass, codes↔lists join) and repay per query
+    # (each query ADC-scans ~n_probe/n_lists = 1/8 of the codes).
+    # Measured slope at this fixture: ~0.56 s/query flat vs ~0.19 s/query
+    # probed, crossover ~34 queries — so the 5-query s5 entries above
+    # stay (r9 continuity; flat PQ WINS there and the operator docstring
+    # says so) and this pair records the serving-batch regime where the
+    # published IVFADC structure earns its build.
     from stock_chart_kafka_streams_spark.operators.similarity import ivfpq_topk
 
-    s6_runs: list[float] = []
-    for _ in range(2):
-        spark.sparkContext._jvm.System.gc()
-        t0 = time.perf_counter()
-        _noop(
-            ivfpq_topk(
-                embs,
-                embs.where(F.col("vec_id") < 5),
-                k=10,
-                n_lists=64,
-                n_probe=8,
-                m=4,
-                n_codes=256,
-                sample_num=1,
-                sample_den=16,
-                encode_mode="matmul",
-            )
+    q50 = embs.where(F.col("vec_id") < 50)
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    _noop(
+        pq_topk(
+            embs, q50, k=10, m=4, n_codes=256,
+            sample_num=1, sample_den=16, encode_mode="matmul",
         )
-        s6_runs.append(round(time.perf_counter() - t0, 3))
-    timings["t2_s6_ivfpq_matmul_256c_200k"] = min(s6_runs)
-    extra["s6_ivfpq_runs_s"] = s6_runs
+    )
+    timings["t2_s5_pq_matmul_q50_200k"] = round(time.perf_counter() - t0, 3)
+    spark.sparkContext._jvm.System.gc()
+    t0 = time.perf_counter()
+    _noop(
+        ivfpq_topk(
+            embs, q50, k=10, n_lists=64, n_probe=8, m=4, n_codes=256,
+            sample_num=1, sample_den=16,
+            coarse_sample_num=1, coarse_sample_den=16,
+            encode_mode="matmul",
+        )
+    )
+    timings["t2_s6_ivfpq_matmul_q50_200k"] = round(time.perf_counter() - t0, 3)
 
     # d9b incremental near-dedup: a 10% id-shifted slice (50k docs, all
     # of them near-dups of existing rows) deduped against the full 500k
@@ -747,14 +752,18 @@ def _tier2_queries(
         timings[f"t2_d5_skew_{label}_14k"] = round(time.perf_counter() - t0, 3)
 
     # d9b under a planted hot band (r9 verdict #1): 6000 existing copies
-    # of ONE boilerplate page and 1500 incoming copies share every band,
-    # so the uncapped cross-table join streams 6000x1500 x 3 bands = 27M
-    # candidate rows out of THREE tasks (one per band_idx). The lossless
-    # 2-D salt split (band_cap) spreads the same enumeration across
-    # nse x nsi sub-keys per band. Unlike d5's capped entry, results are
-    # IDENTICAL both ways (replication, not truncation) — the candidate
-    # distinct and Jaccard verify process the same 9M pairs either way,
-    # so the delta isolates the join-stage parallelism alone.
+    # of ONE boilerplate page and 1500 incoming copies share every band.
+    # MEASURED FINDING (round 10): the operational d9 shape is already
+    # skew-immune here — the small incoming side BROADCASTS
+    # (BroadcastHashJoin BuildLeft, plan-verified), so the hot band's
+    # 6000x1500x3 = 27M candidate rows are produced in parallel across
+    # ALL existing-side partitions, never one task. The lossless
+    # band_cap salt split (results identical; replication, not
+    # truncation) is therefore pure overhead at this scale — interleaved
+    # best-of-3: uncapped 58.2-62.7 s vs capped 65.6-74.4 s — and the
+    # pair below records that honest negative (the candles_salted
+    # precedent). The cap stays as the opt-in third line behind the
+    # broadcast plan and AQE's SMJ skew split (PERF.md round 10).
     boiler = (
         "terms of service privacy policy all rights reserved contact us today"
     )

@@ -14,6 +14,8 @@ divergence, SURVEY §2.7 Q2.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -30,6 +32,33 @@ FRAMES: dict[str, tuple[str, str | None]] = {
 # CandlestickAggregator.kt:120,143,166).
 FRAME_ORDER = ["MINUTE", "HOUR", "DAY", "MONTH"]
 
+# "5MIN" / "15MIN" / "240MIN": arbitrary n-minute frames (c17, round 10)
+# accepted everywhere a frame name flows — candles(), CandleStore,
+# HTTP ?frame=, gap-fill. Buckets anchor at the epoch
+# (floor(epoch/60n)*60n); the reference's TimeFrame enum has no such
+# notion (documented extension). bucket_id() stays FRAMES-only — the
+# reference's Redis key format defines no n-minute shape to be
+# compatible with.
+_NMIN_RE = _re.compile(r"^([1-9]\d*)MIN$")
+
+
+def frame_minutes(frame: str) -> int | None:
+    """n for an ``"{n}MIN"`` frame name, else None."""
+    m = _NMIN_RE.match(frame)
+    return int(m.group(1)) if m else None
+
+
+def valid_frame(frame: str) -> bool:
+    return frame in FRAMES or frame_minutes(frame) is not None
+
+
+def check_frame(frame: str) -> None:
+    if not valid_frame(frame):
+        raise ValueError(
+            f"unknown time frame {frame!r}; expected one of {list(FRAMES)} "
+            "or an 'nMIN' name like '5MIN'"
+        )
+
 
 def _unit(frame: str) -> str:
     try:
@@ -40,6 +69,13 @@ def _unit(frame: str) -> str:
 
 def bucket_start(ts: Column | str, frame: str) -> Column:
     """Inclusive start of the frame bucket containing ``ts`` (T1/T2)."""
+    n = frame_minutes(frame)
+    if n is not None:
+        width = 60 * n
+        tcol = F.col(ts) if isinstance(ts, str) else ts
+        return F.timestamp_seconds(
+            F.floor(F.unix_timestamp(tcol) / F.lit(width)) * F.lit(width)
+        )
     return F.date_trunc(_unit(frame), ts)
 
 
@@ -48,6 +84,9 @@ def bucket_end(start: Column | str, frame: str) -> Column:
     the reference's inclusive end-minus-1ns is normalized away,
     FIXTURES.md F4)."""
     start = F.col(start) if isinstance(start, str) else start
+    n = frame_minutes(frame)
+    if n is not None:
+        return (start + F.expr(f"INTERVAL {60 * n} seconds")).cast("timestamp")
     unit = _unit(frame)
     if unit == "month":
         return F.add_months(start, 1).cast("timestamp")
@@ -70,4 +109,7 @@ def bucket_id(start: Column | str, frame: str) -> Column:
 
 def frame_interval(frame: str, n: int = 1) -> str:
     """SQL interval literal spanning ``n`` buckets of ``frame`` (T5)."""
+    m = frame_minutes(frame)
+    if m is not None:
+        return f"INTERVAL {n * m} minute"
     return f"INTERVAL {n} {_unit(frame)}"

@@ -33,6 +33,8 @@ from stock_chart_kafka_streams_spark.functions.timeframes import (
     FRAMES,
     bucket_end,
     bucket_start,
+    check_frame,
+    frame_minutes,
 )
 from stock_chart_kafka_streams_spark.schemas import CANDLE_COLUMNS
 
@@ -54,10 +56,12 @@ def candles(trades: DataFrame, frame: str = "MINUTE") -> DataFrame:
     open = price of earliest trade, close = price of latest, high/low =
     max/min price, volume = Σ quantity. Buckets are ``date_trunc`` tumbling
     windows — equivalent to ``window(ts, duration)`` for fixed frames and
-    the only correct form for calendar MONTH.
+    the only correct form for calendar MONTH. Since round 10 ``frame``
+    also accepts ``"{n}MIN"`` names (epoch-anchored n-minute grids,
+    c17): ``candles(trades, "5MIN")`` equals
+    ``candles_n_minutes(trades, 5)`` — tested.
     """
-    if frame not in FRAMES:
-        raise ValueError(f"unknown time frame {frame!r}; expected one of {list(FRAMES)}")
+    check_frame(frame)
     grouped = trades.groupBy(
         "symbol", bucket_start("ts", frame).alias("bucket_start")
     ).agg(*ohlcv_aggs())
@@ -194,7 +198,18 @@ def multi_frame_candles(
     plus rollups over ≤ symbols × buckets cached rows — immaterial on warm
     small inputs, decisive when the source is a large on-disk table.
     """
-    frames = [f for f in FRAME_ORDER if f in (frames or FRAME_ORDER)]
+    requested = frames or FRAME_ORDER
+    unknown = [f for f in requested if f not in FRAME_ORDER]
+    if unknown:
+        # nMIN frames are candles()-level citizens but have no slot in the
+        # reference's cascade order — silently dropping them here would
+        # hand back a frame set the caller did not ask for
+        raise ValueError(
+            f"multi_frame_candles supports the cascade frames {FRAME_ORDER}; "
+            f"got {unknown} — build n-minute frames with candles(trades, "
+            "'nMIN') and union them explicitly"
+        )
+    frames = [f for f in FRAME_ORDER if f in requested]
     if not frames:
         raise ValueError("no valid frames requested")
 
@@ -252,17 +267,22 @@ def fill_candle_gaps(
     leading buckets before a symbol's first real candle cannot exist
     (the grid starts AT the first candle). Output is CANDLE_COLUMNS +
     ``is_gap``."""
-    if frame not in FRAMES:
-        raise ValueError(f"unknown time frame {frame!r}; expected one of {list(FRAMES)}")
-    unit = FRAMES[frame][0]
+    check_frame(frame)
+    nmin = frame_minutes(frame)
+    if nmin is not None:
+        on_grid = (
+            F.pmod(F.unix_timestamp(F.col("bucket_start")), F.lit(60 * nmin)) == 0
+        )
+        step = f"interval {60 * nmin} seconds"
+    else:
+        unit = FRAMES[frame][0]
+        on_grid = F.col("bucket_start") == F.date_trunc(unit, "bucket_start")
+        step = f"interval 1 {unit}"
     # misaligned input is an ERROR, not silent corruption (r9 review): a
     # bucket_start off the frame grid would never match the lo-anchored
     # sequence, so the real candle would vanish behind a synthetic flat
     # gap at a stale close. Every row must sit on its own truncation.
-    aligned_start = F.when(
-        F.col("bucket_start") == F.date_trunc(unit, "bucket_start"),
-        F.col("bucket_start"),
-    ).otherwise(
+    aligned_start = F.when(on_grid, F.col("bucket_start")).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(f"fill_candle_gaps: bucket_start off the {frame} grid: "),
@@ -277,7 +297,7 @@ def fill_candle_gaps(
     grid = bounds.select(
         "symbol",
         F.explode(
-            F.expr(f"sequence(__lo, __hi, interval 1 {unit})")
+            F.expr(f"sequence(__lo, __hi, {step})")
         ).alias("bucket_start"),
     )
     joined = grid.join(

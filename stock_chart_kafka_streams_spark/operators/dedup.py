@@ -753,11 +753,10 @@ def band_buckets(
     those columns, so a bucketed catalog table enters the join WITHOUT
     an Exchange — history never shuffles, only the (small) incoming
     batch does (plan-asserted in tests/test_bucketed_join.py). Caveat:
-    ``band_cap`` appends salt columns to the join key, which reinstates
-    a (slim, ids-only) shuffle of the stored buckets — for a
-    pre-bucketed corpus whose band histogram is known clean, pass
-    ``band_cap=None`` to keep the Exchange-free path; keep the default
-    cap when the incoming crawl may hit boilerplate-hot bands."""
+    opting into ``band_cap`` appends salt columns to the join key, which
+    reinstates a (slim, ids-only) shuffle of the stored buckets — the
+    default (None) keeps the Exchange-free path, which is also the
+    measured-faster plan (see ``incremental_dedup``'s band_cap note)."""
     return _band_buckets(docs, id_col, text_col)
 
 
@@ -862,7 +861,7 @@ def incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     existing_buckets: DataFrame | None = None,
-    band_cap: int | None = 4096,
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus — the operational form
     continuous ingestion needs (C4/CCNet-style pipelines re-crawl
@@ -895,18 +894,27 @@ def incremental_dedup(
     candidate ids. Omitted, the buckets derive from ``existing`` on the
     fly (identical values — pytest-asserted).
 
-    ``band_cap`` (minhash mode; default 4096, ``None`` disables): skew
-    guard for the cross-table band join. Web crawls concentrate
-    boilerplate into hot (band_idx, band_val) values; unguarded, a band
-    shared by E existing and I incoming docs streams E x I candidate
-    rows out of ONE task. ``_salt_split_cross`` splits each side's hot
-    bands into ceil(size/cap) salted sub-buckets and replicates the
-    other side across them — LOSSLESS (every candidate pair is still
-    enumerated, so results and the DuckDB twin are bit-identical with
-    the cap on or off, unlike the recall-trading self-join cap in
-    ``_apply_bucket_cap``) while no join key exceeds ~cap rows per
-    side. Below the cap the only cost is one map-side-combined count
-    per side plus two broadcast lookups on slim rows.
+    ``band_cap`` (minhash mode; default None): OPT-IN deterministic skew
+    guard for the cross-table band join. Measured round 10 — the
+    operational shape does not need it: with a small incoming batch the
+    candidate join plans as a **BroadcastHashJoin building the incoming
+    side** (plan-verified), so a boilerplate-hot band's E x I candidate
+    rows are produced in parallel across ALL existing-side partitions —
+    there is no per-key colocation and no single-task straggler to
+    split. On the planted 6000 x 1500 hot band at 500k docs the cap was
+    pure overhead: interleaved best-of-3 uncapped 58.2-62.7 s vs capped
+    65.6-74.4 s (t2_d9b_skew_* records the pair). When the batch is too
+    large to broadcast the join degrades to SortMergeJoin, where AQE's
+    skew-join (on by default, session.py) splits oversized partitions
+    losslessly at runtime. ``band_cap`` remains as the third line —
+    deployments with AQE off, or a single band value so hot it exceeds
+    what block-level splitting can rebalance: ``_salt_split_cross``
+    splits each side's hot bands into ceil(size/cap) salted sub-buckets
+    and replicates the other side across them — LOSSLESS (every
+    candidate pair is still enumerated, results and the DuckDB twin are
+    bit-identical with the cap on or off, unlike the recall-trading
+    self-join cap in ``_apply_bucket_cap``) while no join key exceeds
+    ~cap rows per side.
     """
     if mode not in ("exact", "minhash"):
         raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")

@@ -1989,6 +1989,8 @@ def ivfpq_topk(
     shards: int = 32,
     sample_num: int = 1,
     sample_den: int = 1,
+    coarse_sample_num: int = 1,
+    coarse_sample_den: int = 1,
     encode_mode: str = "fold",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2016,12 +2018,23 @@ def ivfpq_topk(
     lists are the partition key of the stored code table, so a probe is
     a partition-pruned scan), and the scan row stays m small ints. The
     memory story is unchanged (codes + list id per vector); recall is
-    tuned by n_probe like every published IVF deployment. Coarse
+    tuned by n_probe like every published IVF deployment. The economics
+    are index-build vs per-query (measured, tier-2 200k / n_lists 64 /
+    n_probe 8, matmul): the coarse assignment + list join are a FIXED
+    ~10 s build, and the per-query marginal cost drops ~3x (0.56 ->
+    0.19 s/query), crossover ~34 queries — BELOW that batch size use
+    flat ``pq_topk`` (its 5-query bench entry beats s6's there; the
+    t2_s5/s6 *_q50_* pair records the regime where IVF earns its build). Coarse
     training/assignment cost is n_lists-proportional — at paper-scale
     list counts use ``encode_mode="matmul"``, which routes BOTH the
     coarse Lloyd/assignment and the PQ encode through the Arrow-batched
     numpy path (d8's assign_mode; not bit-exact-oracle-safe, so the
-    oracle keeps the fold default — same discipline as s5/d8).
+    oracle keeps the fold default — same discipline as s5/d8), and
+    ``coarse_sample_num/den`` trains the coarse quantizer on the d8 md5
+    subsample instead of the full corpus (every Lloyd round otherwise
+    scans all vectors; FAISS likewise trains IVF on a sample). Final
+    list ASSIGNMENT always covers the full corpus; the sample knob
+    mirrors in the twin, so the fold oracle stays exact.
 
     Reference attribution: the reference has no vector search at all
     (SURVEY §2.6); s1-s6 exist for the LLM-pipeline mandate."""
@@ -2043,6 +2056,15 @@ def ivfpq_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if sample_num < 1 or sample_den < 1 or sample_num > sample_den:
         raise ValueError("sample fraction must satisfy 1 <= sample_num <= sample_den")
+    if (
+        coarse_sample_num < 1
+        or coarse_sample_den < 1
+        or coarse_sample_num > coarse_sample_den
+    ):
+        raise ValueError(
+            "coarse sample fraction must satisfy 1 <= coarse_sample_num "
+            "<= coarse_sample_den"
+        )
     cand = 4 * k if candidates is None else int(candidates)
     if cand < k:
         raise ValueError(f"candidates={cand} must be >= k={k}")
@@ -2050,8 +2072,13 @@ def ivfpq_topk(
     spark = corpus.sparkSession
 
     # ---- coarse quantizer: s3's deterministic k-means, verbatim --------
+    coarse_train = corpus
+    if coarse_sample_den > 1:
+        coarse_train = corpus.where(
+            _md5_sample_pred(id_col, coarse_sample_num, coarse_sample_den)
+        ).localCheckpoint(eager=True)
     coarse = ivf_build_centroids(
-        corpus,
+        coarse_train,
         n_lists,
         iterations=iterations,
         id_col=id_col,
@@ -2242,6 +2269,8 @@ def ivfpq_topk_sql(
     candidates: int | None = None,
     sample_num: int = 1,
     sample_den: int = 1,
+    coarse_sample_num: int = 1,
+    coarse_sample_den: int = 1,
     query_pred: str = "vec_id < 5",
     dim: int = EMBED_DIM,
 ) -> str:
@@ -2270,9 +2299,28 @@ def ivfpq_topk_sql(
         query_pred=query_pred,
         dim=dim,
     )
-    kmeans, prev = _kmeans_ctes(n_lists, iterations, dim)
+    if (
+        coarse_sample_num < 1
+        or coarse_sample_den < 1
+        or coarse_sample_num > coarse_sample_den
+    ):
+        raise ValueError(
+            "coarse sample fraction must satisfy 1 <= coarse_sample_num "
+            "<= coarse_sample_den"
+        )
+    coarse_src = "e"
+    sample_ctes: list[str] = []
+    if coarse_sample_den > 1:
+        sample_ctes.append(
+            "ce AS (SELECT * FROM e WHERE "
+            + _md5_sample_pred_sql("vec_id", coarse_sample_num, coarse_sample_den)
+            + ")"
+        )
+        coarse_src = "ce"
+    kmeans, prev = _kmeans_ctes(n_lists, iterations, dim, source=coarse_src)
     coarse_ctes = ",\n".join(
-        kmeans
+        sample_ctes
+        + kmeans
         + [
             f"""lists AS (
     SELECT vec_id, cid FROM (

@@ -16,7 +16,10 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from stock_chart_kafka_streams_spark.functions.timeframes import FRAMES, frame_interval
+from stock_chart_kafka_streams_spark.functions.timeframes import (
+    check_frame,
+    frame_interval,
+)
 from stock_chart_kafka_streams_spark.session import tune_session
 
 TsLike = _dt.datetime | str
@@ -72,8 +75,7 @@ class CandleStore:
         candle (never by wall-clock), so cost stays output-sized; the
         result schema gains ``is_gap`` and drops serving-layout columns
         like ``bucket_date``."""
-        if frame not in FRAMES:
-            raise ValueError(f"unknown time frame {frame!r}")
+        check_frame(frame)
         out = self._df.where(
             (F.col("symbol") == symbol) & (F.col("time_frame") == frame)
         )
@@ -122,8 +124,7 @@ class CandleStore:
         max bucket_start for that (symbol, frame) — the engine keeps
         wall-clock out of the data path (SURVEY §2.7 Q3); pass ``now``
         explicitly for the reference's now()-anchored behavior."""
-        if frame not in FRAMES:
-            raise ValueError(f"unknown time frame {frame!r}")
+        check_frame(frame)
         if n <= 0:
             raise ValueError(f"n must be positive, got {n}")
         base = self._df.where(
@@ -164,8 +165,7 @@ class CandleStore:
         ``CandleStickService.kt:210-246``). Equality filter on a
         make_timestamp — partition pruning + min/max stats make this a
         point scan, replacing the Redis key build."""
-        if frame not in FRAMES:
-            raise ValueError(f"unknown time frame {frame!r}")
+        check_frame(frame)
         key = F.make_timestamp(
             F.lit(year), F.lit(month), F.lit(day), F.lit(hour), F.lit(minute), F.lit(0)
         )

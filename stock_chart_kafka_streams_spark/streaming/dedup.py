@@ -46,7 +46,7 @@ def foreach_batch_corpus_ingest(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
-    band_cap: int | None = 4096,
+    band_cap: int | None = None,
     buckets_path: str | None = None,
 ):
     """``foreachBatch`` hook for CONTINUOUS corpus ingestion — the
@@ -55,8 +55,9 @@ def foreach_batch_corpus_ingest(
     d9's contract is strictly incoming-vs-existing), (2) deduplicated
     against the accumulated corpus at ``corpus_path`` via
     ``incremental_dedup`` (exact fingerprint anti-join, or MinHash-LSH
-    band candidates + Jaccard verify with the lossless ``band_cap`` skew
-    guard), and (3) APPENDED — never rewritten — to the corpus table.
+    band candidates + Jaccard verify; ``band_cap`` passes through —
+    opt-in, see that docstring's measured broadcast-join analysis), and
+    (3) APPENDED — never rewritten — to the corpus table.
 
     Idempotent under foreachBatch's at-least-once redelivery WITHOUT any
     batch-id bookkeeping: a replayed batch's documents are by then IN the

@@ -474,3 +474,53 @@ def test_n_minute_candles_rejects_nonpositive(trades):
         candles_n_minutes(trades, 0)
     with pytest.raises(ValueError, match="n_minutes"):
         candles_n_minutes_sql(-5)
+
+
+def test_nmin_frame_name_flows_through_candles_and_store(trades):
+    """'5MIN' is a first-class frame name since round 10: candles()
+    equals candles_n_minutes, and the CandleStore range/recent/point
+    surface serves it — including gap-fill on the 5-minute grid."""
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        candles_n_minutes,
+    )
+
+    via_name = candles(trades, "5MIN")
+    via_fn = candles_n_minutes(trades, 5)
+    assert sorted(map(tuple, via_name.collect())) == sorted(
+        map(tuple, via_fn.collect())
+    )
+
+    store = CandleStore(via_name)
+    sym = via_name.select("symbol").first()["symbol"]
+    rng = store.get_candles(sym, "5MIN").collect()
+    assert len(rng) > 0 and all(r["time_frame"] == "5MIN" for r in rng)
+    assert len(store.recent(sym, "5MIN", n=3).collect()) == 3
+    first = rng[0]["bucket_start"]
+    pt = store.point(
+        sym, "5MIN", first.year, first.month, first.day, first.hour, first.minute
+    ).collect()
+    assert len(pt) == 1
+
+    filled = store.get_candles(sym, "5MIN", fill_gaps=True).collect()
+    starts = [r["bucket_start"] for r in filled]
+    for a, b in zip(starts, starts[1:]):
+        assert (b - a).total_seconds() == 300.0  # contiguous 5-min grid
+    assert len(filled) >= len(rng)
+
+
+def test_bad_frame_names_still_rejected(trades):
+    from stock_chart_kafka_streams_spark.operators.candles import fill_candle_gaps
+
+    store = CandleStore(candles(trades, "MINUTE"))
+    for bad in ("0MIN", "-5MIN", "五MIN", "WEEK", "min"):
+        with pytest.raises(ValueError, match="unknown time frame"):
+            store.get_candles("x", bad)
+        with pytest.raises(ValueError, match="unknown time frame"):
+            candles(trades, bad)
+        with pytest.raises(ValueError, match="unknown time frame"):
+            fill_candle_gaps(trades, bad)
+
+
+def test_multi_frame_rejects_nmin_instead_of_dropping(trades):
+    with pytest.raises(ValueError, match="cascade frames"):
+        multi_frame_candles(trades, ["MINUTE", "5MIN"])

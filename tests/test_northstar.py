@@ -720,3 +720,40 @@ def test_ivfpq_rejects_bad_params(embs):
         ivfpq_topk(embs, embs, n_lists=0)
     with pytest.raises(ValueError, match="encode_mode"):
         ivfpq_topk(embs, embs, encode_mode="gpu")
+
+
+def test_ivfpq_coarse_sample_matches_twin(spark, embs, duck):
+    """coarse_sample trains the coarse quantizer on the md5 subsample —
+    the twin must replay the sampled k-means and still hash-match; bad
+    fractions raise on both sides."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_sql,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    got = ivfpq_topk(
+        embs,
+        embs.where(F.col("vec_id") < 4),
+        k=5,
+        n_lists=4,
+        n_probe=2,
+        coarse_sample_num=1,
+        coarse_sample_den=2,
+    )
+    assert_matches_oracle(
+        got,
+        duck,
+        ivfpq_topk_sql(
+            k=5,
+            n_lists=4,
+            n_probe=2,
+            coarse_sample_num=1,
+            coarse_sample_den=2,
+            query_pred="vec_id < 4",
+        ),
+    )
+    with pytest.raises(ValueError, match="coarse sample"):
+        ivfpq_topk(embs, embs, coarse_sample_num=3, coarse_sample_den=2)
+    with pytest.raises(ValueError, match="coarse sample"):
+        ivfpq_topk_sql(coarse_sample_num=0)
