@@ -66,6 +66,36 @@ def streaming_minute_candles(
     )
 
 
+def streaming_nmin_candles(
+    trades: DataFrame, n_minutes: int, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Watermarked n-minute windowed OHLCV — c17's streaming twin
+    (round 10). Spark's tumbling ``window(ts, 'n minutes')`` anchors at
+    the epoch, the exact grid ``candles_n_minutes`` computes in batch
+    (``floor(epoch/60n)*60n`` — replay-tested equal), so a serving table
+    fed by this stream answers the same ``"{n}MIN"`` frame queries the
+    batch path produces. Same append-mode emit-on-close contract and
+    single-stateful-operator state bound as the 1-minute pipeline."""
+    if n_minutes < 1:
+        raise ValueError(f"n_minutes must be >= 1, got {n_minutes}")
+    return (
+        trades.withWatermark("ts", watermark_delay)
+        .groupBy("symbol", F.window("ts", f"{int(n_minutes)} minutes"))
+        .agg(*ohlcv_aggs())
+        .select(
+            "symbol",
+            F.lit(f"{int(n_minutes)}MIN").alias("time_frame"),
+            F.col("window.start").alias("bucket_start"),
+            F.col("window.end").alias("bucket_end"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
+
+
 def streaming_chained_candles(
     trades: DataFrame, coarse: str = "1 hour", watermark_delay: str = "0 seconds"
 ) -> DataFrame:

@@ -249,3 +249,70 @@ def test_upsert_wide_backfill_200_dates(spark, tmp_path):
         for f in glob.glob(os.path.join(table, "*", "bucket_date=2024-07-19", "*.parquet"))
     }
     assert after == untouched_files, "untouched partition was rewritten"
+
+
+def test_streaming_nmin_candles_equal_batch_grid(spark, tmp_path):
+    """c17's streaming twin: 5-minute streaming windows over a spooled
+    replay must equal candles_n_minutes over the same rows (epoch-
+    anchored grids agree); a far-future sentinel batch flushes the final
+    open window and is excluded from the compare."""
+    import json as _json
+    import os as _os
+
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        candles_n_minutes,
+    )
+    from stock_chart_kafka_streams_spark.streaming.pipeline import (
+        streaming_nmin_candles,
+    )
+
+    rows = []
+    for i in range(120):
+        rows.append(
+            (
+                "AAPL" if i % 3 else "MSFT",
+                100.0 + (i * 37) % 50,
+                1 + i % 5,
+                dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=47 * i),
+            )
+        )
+    sentinel = ("ZZZ", 1.0, 1, dt.datetime(2024, 1, 2))
+    inp = tmp_path / "in"
+    inp.mkdir()
+    for bi, batch in enumerate([rows, [sentinel]]):
+        p = inp / f"b{bi:03d}.json"
+        with open(p, "w") as f:
+            for s, pr, q, ts in batch:
+                f.write(
+                    _json.dumps(
+                        {"symbol": s, "price": pr, "quantity": q, "ts": ts.isoformat()}
+                    )
+                    + "\n"
+                )
+        _os.utime(p, (1_700_000_000 + bi,) * 2)
+    stream = (
+        spark.readStream.schema("symbol string, price double, quantity long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(inp))
+    )
+    q = (
+        streaming_nmin_candles(stream, 5)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("nmin_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(
+            tuple,
+            spark.sql("select * from nmin_out where symbol != 'ZZZ'").collect(),
+        )
+    )
+    batch_df = spark.createDataFrame(
+        rows, "symbol string, price double, quantity long, ts timestamp"
+    )
+    want = sorted(map(tuple, candles_n_minutes(batch_df, 5).collect()))
+    assert got == want and len(got) > 0
