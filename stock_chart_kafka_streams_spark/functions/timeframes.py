@@ -39,7 +39,9 @@ FRAME_ORDER = ["MINUTE", "HOUR", "DAY", "MONTH"]
 # notion (documented extension). bucket_id() stays FRAMES-only — the
 # reference's Redis key format defines no n-minute shape to be
 # compatible with.
-_NMIN_RE = _re.compile(r"^([1-9]\d*)MIN$")
+_NMIN_RE = _re.compile(r"^([1-9][0-9]*)MIN$")  # ASCII digits ONLY: \d
+# matches Unicode digits, so '1٥MIN' would int()-parse as 15 while the
+# raw string tags time_frame — two names aliasing one grid (r10 review)
 
 
 def frame_minutes(frame: str) -> int | None:
@@ -105,6 +107,17 @@ def bucket_id(start: Column | str, frame: str) -> Column:
         "MONTH": "yyyyMM",
     }[frame]
     return F.date_format(start, fmt)
+
+
+def coarse_bucket(ts: Column | str, split_seconds: int) -> Column:
+    """Shared hot-key pre-split bucket id: ``floor(epoch / split)`` as a
+    long — the ONE definition the asof-join, gap-fill and indicator
+    splits all use (identical grids by construction; r10 review #7).
+    Raises on a non-positive split."""
+    if split_seconds <= 0:
+        raise ValueError("split_seconds must be positive (or None to disable)")
+    tcol = F.col(ts) if isinstance(ts, str) else ts
+    return F.floor(tcol.cast("double") / F.lit(int(split_seconds))).cast("long")
 
 
 def frame_interval(frame: str, n: int = 1) -> str:

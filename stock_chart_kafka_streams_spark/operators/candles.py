@@ -123,24 +123,15 @@ def candles_n_minutes(trades: DataFrame, n_minutes: int) -> DataFrame:
     partial aggregation as ``candles()``; ``time_frame`` is tagged
     ``"{n}MIN"``. Rollup compatibility: an n-minute frame where 60 % n
     == 0 merges exactly into the HOUR frame (merge associativity,
-    SURVEY §2.7 Q6) — tested."""
+    SURVEY §2.7 Q6) — tested.
+
+    Since 'nMIN' became a first-class frame name this is a pure alias of
+    ``candles(trades, f"{n}MIN")`` (ONE implementation of the grid, in
+    functions/timeframes.py — r10 review #5); kept for the typed-int
+    API and the c17 attribution point."""
     if n_minutes < 1:
         raise ValueError(f"n_minutes must be >= 1, got {n_minutes}")
-    width = 60 * int(n_minutes)
-    bstart = F.timestamp_seconds(
-        F.floor(F.unix_timestamp(F.col("ts")) / F.lit(width)) * F.lit(width)
-    )
-    grouped = trades.groupBy(
-        "symbol", bstart.alias("bucket_start")
-    ).agg(*ohlcv_aggs())
-    return grouped.withColumns(
-        {
-            "time_frame": F.lit(f"{int(n_minutes)}MIN"),
-            "bucket_end": F.col("bucket_start") + F.expr(
-                f"interval {width} seconds"
-            ),
-        }
-    ).select(*CANDLE_COLUMNS)
+    return candles(trades, f"{int(n_minutes)}MIN")
 
 
 def candles_n_minutes_sql(n_minutes: int, table: str = "trades") -> str:
@@ -308,13 +299,12 @@ def fill_candle_gaps(
         how="left",
     )
     if split_seconds is not None:
-        if split_seconds <= 0:
-            raise ValueError("split_seconds must be positive (or None to disable)")
+        from stock_chart_kafka_streams_spark.functions.timeframes import (
+            coarse_bucket,
+        )
+
         joined = joined.withColumn(
-            "__cb",
-            F.floor(
-                F.col("bucket_start").cast("double") / F.lit(int(split_seconds))
-            ).cast("long"),
+            "__cb", coarse_bucket("bucket_start", split_seconds)
         )
         # carry-in per (symbol, bucket): last REAL close of any strictly
         # earlier bucket — computed over one-row-per-bucket aggregates,
@@ -373,15 +363,24 @@ def fill_candle_gaps(
 def fill_candle_gaps_sql(inner_sql: str, frame: str = "MINUTE") -> str:
     """DuckDB twin of ``fill_candle_gaps`` over an inner candle query
     (a full SELECT producing symbol/bucket_start/OHLCV rows). Same grid,
-    same IGNORE NULLS forward-fill, same half-open bucket_end."""
-    if frame not in FRAMES:
-        raise ValueError(f"unknown time frame {frame!r}; expected one of {list(FRAMES)}")
-    unit = FRAMES[frame][0]
+    same IGNORE NULLS forward-fill, same half-open bucket_end — for the
+    FRAMES units AND the 'nMIN' epoch-anchored grids (r10 review #6:
+    the engine accepted nMIN but the twin rejected it)."""
+    check_frame(frame)
+    nmin = frame_minutes(frame)
+    if nmin is not None:
+        width = 60 * nmin
+        on_grid = f"CAST(epoch(bucket_start) AS BIGINT) % {width} = 0"
+        step = f"INTERVAL {width} seconds"
+    else:
+        unit = FRAMES[frame][0]
+        on_grid = f"bucket_start = date_trunc('{unit}', bucket_start)"
+        step = f"INTERVAL 1 {unit}"
     return f"""
 WITH c0 AS ({inner_sql}),
 c AS (
     SELECT * REPLACE (
-        CASE WHEN bucket_start = date_trunc('{unit}', bucket_start)
+        CASE WHEN {on_grid}
              THEN bucket_start
              ELSE error('fill_candle_gaps: bucket_start off the {frame} grid')
         END AS bucket_start)
@@ -393,7 +392,7 @@ b AS (
 ),
 grid AS (
     SELECT symbol,
-           unnest(generate_series(lo, hi, INTERVAL 1 {unit})) AS bucket_start
+           unnest(generate_series(lo, hi, {step})) AS bucket_start
     FROM b
 ),
 j AS (
@@ -413,7 +412,7 @@ f AS (
 SELECT symbol,
        '{frame}' AS time_frame,
        CAST(bucket_start AS TIMESTAMP) AS bucket_start,
-       CAST(bucket_start + INTERVAL 1 {unit} AS TIMESTAMP) AS bucket_end,
+       CAST(bucket_start + {step} AS TIMESTAMP) AS bucket_end,
        COALESCE("open", ff) AS "open",
        COALESCE(high, ff) AS high,
        COALESCE(low, ff) AS low,

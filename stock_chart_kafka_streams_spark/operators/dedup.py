@@ -922,6 +922,10 @@ def incremental_dedup(
 
     if existing_buckets is not None and mode != "minhash":
         raise ValueError("existing_buckets applies only to mode='minhash'")
+    if band_cap is not None and mode != "minhash":
+        # same contract as existing_buckets: a no-op "skew guard" the
+        # caller believes is active is worse than an error (r10 review)
+        raise ValueError("band_cap applies only to mode='minhash'")
     if mode == "exact":
         ex_fp = existing.select(fingerprint(text_col).alias("__fp")).distinct()
         return (

@@ -53,15 +53,16 @@ def _presplit_series(
     see exactly the frame the global window would have given them, and
     the (wrong, partition-truncated) values computed FOR context rows are
     never consumed by any kept row — that is what the depth contract
-    guarantees."""
-    if split_seconds <= 0:
-        raise ValueError("split_seconds must be positive (or None to disable)")
-    base = df.withColumn(
-        "__cb",
-        F.floor(
-            F.col(order_col).cast("double") / F.lit(int(split_seconds))
-        ).cast("long"),
-    )
+    guarantees.
+
+    The input is persisted for the helper's lifetime: it feeds three
+    consumers (the validation aggregate, the tail extraction and the
+    base side of the union), and the hot-series inputs this knob exists
+    for are exactly the ones too expensive to recompute three times
+    (r10 review #3). Spark's LRU evicts the block when memory needs it."""
+    from stock_chart_kafka_streams_spark.functions.timeframes import coarse_bucket
+
+    base = df.withColumn("__cb", coarse_bucket(order_col, split_seconds)).persist()
     bw = Window.partitionBy(*SERIES_KEY).orderBy("__cb")
     nxt = (
         base.groupBy(*SERIES_KEY, "__cb")

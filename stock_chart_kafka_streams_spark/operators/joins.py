@@ -336,13 +336,13 @@ def asof_join(
     part_cols: list[str] = list(on)
     u = u_left.unionByName(u_right)
     if split_seconds is not None:
-        if split_seconds <= 0:
-            raise ValueError("split_seconds must be positive (or None to disable)")
+        from stock_chart_kafka_streams_spark.functions.timeframes import (
+            coarse_bucket,
+        )
+
         backward = direction == "backward"
         ts_type = dict(u_left.dtypes)["__asof_ts"]
-        cb = F.floor(
-            F.col("__asof_ts").cast("double") / F.lit(int(split_seconds))
-        ).cast("long")
+        cb = coarse_bucket("__asof_ts", split_seconds)
         ul = u_left.withColumn("__asof_cb", cb)
         ur = u_right.withColumn("__asof_cb", cb)
         # Per (key, bucket): the right side's last/first non-NULL value

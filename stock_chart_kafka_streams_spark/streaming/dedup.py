@@ -83,9 +83,12 @@ def foreach_batch_corpus_ingest(
     The bucket append is ordered AFTER the corpus append: a crash
     between the two leaves missing buckets for the tail batch, which the
     next run would simply not use for candidates — to stay fail-safe the
-    hook rebuilds buckets for any corpus ids absent from the artifact
-    (one anti-join on ids per batch, corpus-scan-free when nothing is
-    missing)."""
+    hook rebuilds buckets for any corpus ids absent from the artifact.
+    The repair runs ON THE FIRST BATCH OF THE QUERY ONLY (closure flag):
+    within a running query the hook's own appends are ordered, so a gap
+    can only predate the query — checking every batch would anti-join
+    the full artifact against all corpus ids per micro-batch, a
+    corpus-proportional steady-state tax (r10 review #4)."""
     if mode not in ("exact", "minhash"):
         raise ValueError(f"mode must be 'exact' or 'minhash', got {mode!r}")
     if buckets_path is not None and mode != "minhash":
@@ -97,6 +100,8 @@ def foreach_batch_corpus_ingest(
         dedup_minhash,
         incremental_dedup,
     )
+
+    repaired = [False]  # once per query (see docstring)
 
     def _write(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -117,20 +122,22 @@ def foreach_batch_corpus_ingest(
             existing = spark.read.parquet(corpus_path)
             if buckets_path is not None and _table_exists(spark, buckets_path):
                 stored_buckets = spark.read.parquet(buckets_path)
-                # crash-recovery: ids appended to the corpus whose bucket
-                # append never landed get their buckets rebuilt here (the
-                # anti-join is ids-only; empty when the artifact is whole)
-                missing = existing.join(
-                    stored_buckets.select(id_col).distinct(),
-                    on=id_col,
-                    how="left_anti",
-                )
-                repair = band_buckets(missing, id_col, text_col).localCheckpoint(
-                    eager=True
-                )
-                if not repair.isEmpty():
-                    repair.write.mode("append").parquet(buckets_path)
-                    stored_buckets = spark.read.parquet(buckets_path)
+                if not repaired[0]:
+                    # crash-recovery: ids appended to the corpus whose
+                    # bucket append never landed get their buckets
+                    # rebuilt (ids-only anti-join; empty when whole)
+                    missing = existing.join(
+                        stored_buckets.select(id_col).distinct(),
+                        on=id_col,
+                        how="left_anti",
+                    )
+                    repair = band_buckets(
+                        missing, id_col, text_col
+                    ).localCheckpoint(eager=True)
+                    if not repair.isEmpty():
+                        repair.write.mode("append").parquet(buckets_path)
+                        stored_buckets = spark.read.parquet(buckets_path)
+                    repaired[0] = True
             fresh = incremental_dedup(
                 existing,
                 within,

@@ -524,3 +524,66 @@ def test_bad_frame_names_still_rejected(trades):
 def test_multi_frame_rejects_nmin_instead_of_dropping(trades):
     with pytest.raises(ValueError, match="cascade frames"):
         multi_frame_candles(trades, ["MINUTE", "5MIN"])
+
+
+def test_nmin_gap_fill_cross_engine(spark):
+    """r10 review #6: the gap-fill twin must accept nMIN grids and
+    hash-match the engine on a gappy 5-minute series."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        fill_candle_gaps,
+        fill_candle_gaps_sql,
+    )
+    from tests.oracle import assert_matches_oracle
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    rows = []
+    for i in range(12):
+        if i in (2, 3, 7):
+            continue
+        rows.append(
+            ("A", t0 + dt.timedelta(minutes=5 * i), 10.0 + i, 12.0 + i,
+             9.0 + i, 11.0 + i, 10 + i)
+        )
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, bucket_start timestamp, open double, high double,"
+        " low double, close double, volume long",
+    )
+    got = fill_candle_gaps(df, "5MIN")
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        rows,
+        columns=["symbol", "bucket_start", "open", "high", "low", "close", "volume"],
+    )
+    con.register("c_in", pdf)
+    assert_matches_oracle(
+        got, con, fill_candle_gaps_sql("SELECT * FROM c_in", "5MIN")
+    )
+    con.close()
+
+
+def test_unicode_digit_frame_names_rejected(trades):
+    """r10 review #1: \\d matches Unicode digits — '1٥MIN' must NOT
+    parse as 15MIN (two names aliasing one grid)."""
+    from stock_chart_kafka_streams_spark.functions.timeframes import (
+        frame_minutes,
+        valid_frame,
+    )
+
+    assert frame_minutes("1٥MIN") is None
+    assert not valid_frame("1٥MIN")
+    with pytest.raises(ValueError, match="unknown time frame"):
+        candles(trades, "1٥MIN")
+
+
+def test_band_cap_rejected_in_exact_mode(spark):
+    from stock_chart_kafka_streams_spark.operators.dedup import incremental_dedup
+
+    df = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="band_cap"):
+        incremental_dedup(df, df, mode="exact", band_cap=512)
