@@ -2016,7 +2016,9 @@ def ivfpq_topk(
     s5's ADC is corpus x queries work no matter how small the codes;
     here each query touches ~n_probe/n_lists of the codes (the inverted
     lists are the partition key of the stored code table, so a probe is
-    a partition-pruned scan), and the scan row stays m small ints. The
+    a partition-pruned scan — proven from selected-partition counts in
+    tests/test_serving_table.py, the serving table's discipline), and
+    the scan row stays m small ints. The
     memory story is unchanged (codes + list id per vector); recall is
     tuned by n_probe like every published IVF deployment. The economics
     are index-build vs per-query (measured, tier-2 200k / n_lists 64 /

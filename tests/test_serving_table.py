@@ -174,3 +174,30 @@ def test_expire_candles_drops_old_partitions_without_touching_kept(spark, tmp_pa
     with _pytest.raises(ValueError, match="unknown time frame"):
         expire_candles(spark, path, "2024-01-10", time_frames=["WEEK"])
     assert expire_candles(spark, str(tmp_path / "nope"), "2024-01-10") == []
+
+
+def test_ivfpq_code_table_probe_prunes_list_partitions(spark, tmp_path):
+    """s6's storage claim, proven like the serving table's (r10): a PQ
+    code table written partitionBy(cid) serves a probe of n_probe lists
+    as a scan of exactly n_probe directories — the IVF 'scan only probed
+    lists' economics is directory pruning, not a full-table filter."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(8), rng.randrange(4), rng.randrange(4))
+        for i in range(400)
+    ]
+    codes = spark.createDataFrame(
+        rows, "vec_id long, cid int, code0 int, code1 int"
+    )
+    table = str(tmp_path / "pq_codes")
+    codes.write.partitionBy("cid").parquet(table)
+    stored = spark.read.parquet(table)
+    probed = stored.where(F.col("cid").isin([2, 5]))
+    n_parts, _, md = _scan_stats(probed)
+    assert n_parts == 2, (n_parts, md)
+    assert "cid" in md["PartitionFilters"]
+    # and the probe result is complete
+    want = sorted(r[0] for r in rows if r[1] in (2, 5))
+    assert sorted(r["vec_id"] for r in probed.collect()) == want
