@@ -2038,6 +2038,12 @@ def ivfpq_topk(
     list ASSIGNMENT always covers the full corpus; the sample knob
     mirrors in the twin, so the fold oracle stays exact.
 
+    Plan-audit note: the two ``Join Cross`` nodes tools/plan_audit.py
+    flags here are the coarse ASSIGNMENT joins — corpus/query rows
+    against the BROADCAST n_lists-row centroid table (s3/d8's exact
+    shape, rightHint=broadcast in the plan); per-row work is O(n_lists),
+    never a data-by-data cartesian.
+
     Reference attribution: the reference has no vector search at all
     (SURVEY §2.6); s1-s6 exist for the LLM-pipeline mandate."""
     if n_lists < 1:
