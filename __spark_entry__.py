@@ -1269,6 +1269,31 @@ def _c16_sql() -> str:
     return fill_candle_gaps_sql(inner, "MINUTE")
 
 
+def _q_w14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling cross-series correlation (w14, round 10): 20-bucket
+    Pearson correlation between click's and view's aligned hourly
+    closes — exact quantized-BIGINT window sums, so the twin replays it
+    bit-for-bit."""
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        rolling_correlation,
+    )
+
+    return rolling_correlation(
+        candles(load_trades(spark, sf_dir), "HOUR"), "click", "view",
+        n=20, frame="HOUR",
+    )
+
+
+def _w14_sql() -> str:
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        rolling_correlation_sql,
+    )
+
+    return rolling_correlation_sql(
+        _candle_sql("HOUR"), "click", "view", n=20, frame="HOUR"
+    )
+
+
 def _q_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range-lookup join (the BroadcastNestedLoopJoin killer):
     lineitem prices classified into quadratically-widening bands via an
@@ -1737,6 +1762,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j8_price_bands": _q_j8,
         "mm6_media_pq_topk": _q_mm6,
         "c16_gap_fill": _q_c16,
+        "w14_rolling_corr": _q_w14,
         "w13_mad_outliers": _q_w13,
     }
 
@@ -1920,6 +1946,7 @@ FROM documents
         "j8_price_bands": _joins.PRICE_BAND_LOOKUP_SQL,
         "mm6_media_pq_topk": _mm6_sql(),
         "c16_gap_fill": _c16_sql(),
+        "w14_rolling_corr": _w14_sql(),
         "w13_mad_outliers": _wx.mad_outlier_stats_sql(_TRADES_CTE),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"

@@ -601,3 +601,147 @@ SELECT symbol,
 FROM with_mad
 GROUP BY symbol, day
 """
+
+
+# ---------------------------------------------------------------------------
+# w14: rolling cross-series correlation (round 10)
+# ---------------------------------------------------------------------------
+
+_CORR_QUANT = 10_000  # price -> BIGINT at 1e-4 resolution; see overflow note
+
+
+def rolling_correlation(
+    candles: DataFrame,
+    symbol_a: str,
+    symbol_b: str,
+    n: int = 20,
+    frame: str = "MINUTE",
+) -> DataFrame:
+    """Rolling Pearson correlation between two symbols' aligned candle
+    closes over the trailing ``n`` buckets (w14) — the pairs-trading /
+    beta overlay a chart backend serves next to Bollinger bands, and the
+    engine's first CROSS-SERIES analytic (every prior window operator is
+    single-series).
+
+    Exactness (the oracle discipline): closes quantize to BIGINT at 1e-4
+    (``floor(close * 1e4 + 0.5)``), all five rolling sums (Σx, Σy, Σxy,
+    Σx², Σy²) run as exact integer window sums — order-independent, so
+    partition layout cannot flip a bit — and the final
+    ``(kΣxy − ΣxΣy) / (sqrt(kΣx² − Σx²) · sqrt(kΣy² − Σy²))`` is one
+    short IEEE chain both engines round identically. Overflow headroom:
+    prices < 10⁵ ⇒ quantized < 10⁹ ⇒ per-term products < 10¹⁸/k for any
+    n ≤ 100 at the fixture's price range (< 500 ⇒ products < 10¹⁴).
+    Zero variance on either side ⇒ NULL (undefined, not ±inf).
+
+    Alignment: INNER join on bucket_start — buckets where either symbol
+    is missing do not enter any window (documented semantics; gap-fill
+    first for calendar-aligned studies). Warm-up rows (< n aligned
+    buckets) use the shorter prefix, the indicator convention.
+
+    Scale shape: the aligned pair series is OUTPUT-sized (≤ buckets in
+    range), so the single-partition ordered window is bounded by the
+    query's own time range — the p8 bounded-window class, not a
+    corpus-sized funnel; the window partitions by the pair tag so a
+    multi-pair union parallelizes across pairs.
+
+    Returns (pair, bucket_start, close_a, close_b, corr_n)."""
+    from pyspark.sql.window import Window
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    base = candles.where(F.col("time_frame") == frame)
+    qa = (
+        base.where(F.col("symbol") == symbol_a)
+        .select(
+            "bucket_start",
+            F.col("close").alias("close_a"),
+            F.floor(F.col("close") * _CORR_QUANT + 0.5).cast("long").alias("xa"),
+        )
+    )
+    qb = (
+        base.where(F.col("symbol") == symbol_b)
+        .select(
+            "bucket_start",
+            F.col("close").alias("close_b"),
+            F.floor(F.col("close") * _CORR_QUANT + 0.5).cast("long").alias("xb"),
+        )
+    )
+    pair = qa.join(qb, on="bucket_start").withColumn(
+        "pair", F.lit(f"{symbol_a}/{symbol_b}")
+    )
+    w = (
+        Window.partitionBy("pair")
+        .orderBy("bucket_start")
+        .rowsBetween(-(n - 1), 0)
+    )
+    k = F.count(F.lit(1)).over(w)
+    sx = F.sum("xa").over(w)
+    sy = F.sum("xb").over(w)
+    sxy = F.sum(F.col("xa") * F.col("xb")).over(w)
+    sxx = F.sum(F.col("xa") * F.col("xa")).over(w)
+    syy = F.sum(F.col("xb") * F.col("xb")).over(w)
+    num = (k * sxy - sx * sy).cast("double")
+    vx = (k * sxx - sx * sx).cast("double")
+    vy = (k * syy - sy * sy).cast("double")
+    corr = F.when(
+        (vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy))
+    )
+    return pair.select(
+        "pair",
+        "bucket_start",
+        "close_a",
+        "close_b",
+        corr.alias(f"corr_{n}"),
+    ).orderBy("bucket_start")
+
+
+def rolling_correlation_sql(
+    candles_sql: str,
+    symbol_a: str,
+    symbol_b: str,
+    n: int = 20,
+    frame: str = "MINUTE",
+) -> str:
+    """DuckDB twin of ``rolling_correlation`` over an inner candle query
+    (symbol/time_frame/bucket_start/close rows) — identical quantized
+    BIGINT sums and the identical final IEEE chain."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    q = _CORR_QUANT
+    return f"""
+WITH c AS ({candles_sql}),
+a AS (
+    SELECT bucket_start, "close" AS close_a,
+           CAST(floor("close" * {q} + 0.5) AS BIGINT) AS xa
+    FROM c WHERE symbol = '{symbol_a}' AND time_frame = '{frame}'
+),
+b AS (
+    SELECT bucket_start, "close" AS close_b,
+           CAST(floor("close" * {q} + 0.5) AS BIGINT) AS xb
+    FROM c WHERE symbol = '{symbol_b}' AND time_frame = '{frame}'
+),
+p AS (
+    SELECT a.bucket_start, close_a, close_b, xa, xb
+    FROM a JOIN b USING (bucket_start)
+),
+s AS (
+    SELECT *,
+           CAST(count(*) OVER w AS BIGINT) AS k,
+           sum(xa) OVER w AS sx, sum(xb) OVER w AS sy,
+           sum(xa * xb) OVER w AS sxy,
+           sum(xa * xa) OVER w AS sxx,
+           sum(xb * xb) OVER w AS syy
+    FROM p
+    WINDOW w AS (ORDER BY bucket_start
+                 ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT '{symbol_a}/{symbol_b}' AS pair,
+       bucket_start, close_a, close_b,
+       CASE WHEN (k * sxx - sx * sx) > 0 AND (k * syy - sy * sy) > 0
+            THEN CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(k * syy - sy * sy AS DOUBLE)))
+       END AS corr_{n}
+FROM s
+ORDER BY bucket_start
+"""

@@ -146,3 +146,55 @@ def test_mad_outliers_rejects_bad_k(spark):
         mad_outlier_stats(df, k_num=-1)
     with _pytest.raises(ValueError, match="rational"):
         mad_outlier_stats_sql("trades AS (SELECT 1)", k_den=0)
+
+
+# -- w14: rolling cross-series correlation (round 10) ------------------------
+
+
+def test_rolling_correlation_pins_planted_extremes(spark):
+    """A perfectly co-moving pair pins +1, a perfectly anti-moving pair
+    pins -1 (up to the documented 1e-4 quantization), constant series
+    yield NULL (zero variance), and every value stays in [-1, 1]."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        rolling_correlation,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        ts = t0 + dt.timedelta(minutes=i)
+        base = 100.0 + ((i * 17) % 13)
+        rows.append(("UP", "MINUTE", ts, base))
+        rows.append(("COPY", "MINUTE", ts, 2.0 * base + 5.0))  # corr +1
+        rows.append(("ANTI", "MINUTE", ts, 300.0 - base))      # corr -1
+        rows.append(("FLAT", "MINUTE", ts, 42.0))              # zero var
+    df = spark.createDataFrame(
+        rows, "symbol string, time_frame string, bucket_start timestamp, close double"
+    )
+    plus = rolling_correlation(df, "UP", "COPY", n=10).collect()
+    minus = rolling_correlation(df, "UP", "ANTI", n=10).collect()
+    flat = rolling_correlation(df, "UP", "FLAT", n=10).collect()
+    assert len(plus) == 30
+    for r in plus[1:]:
+        assert abs(r["corr_10"] - 1.0) < 1e-6
+    for r in minus[1:]:
+        assert abs(r["corr_10"] + 1.0) < 1e-6
+    for r in flat:
+        assert r["corr_10"] is None
+    # warm-up row (window of 1) has zero variance -> NULL
+    assert plus[0]["corr_10"] is None
+
+    import pytest as _pytest
+
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        rolling_correlation_sql,
+    )
+
+    with _pytest.raises(ValueError, match="n must"):
+        rolling_correlation(df, "UP", "COPY", n=1)
+    with _pytest.raises(ValueError, match="n must"):
+        rolling_correlation_sql("SELECT 1", "a", "b", n=0)
