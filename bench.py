@@ -844,6 +844,14 @@ def main() -> None:
     # JSON line from stdout, so JVM log noise is a contract hazard, not
     # just cosmetic.
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    # r11 codegen gate: tee fd 2 so a silent whole-stage-codegen fallback
+    # (ERROR CodeGenerator / 64 KB janino overflow — the r10 judge's d5
+    # finding) is detected and loudly reported in the bench record instead
+    # of requiring a manual stderr grep. Entered BEFORE the JVM starts.
+    from tools.codegen_gate import StderrCodegenGate
+
+    gate = StderrCodegenGate()
+    gate.__enter__()
     spark = get_spark(app_name="candle-bench")
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
@@ -1024,17 +1032,51 @@ def main() -> None:
             shutil.rmtree(work, ignore_errors=True)
 
     tier2_info.update(stream_extra)
+    spark.stop()
+    gate.__exit__()
+    gate_failed = gate.report()  # stderr; bench still emits its record
+
     out = {
         "metric": "candle_c1_c7_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "codegen_fallbacks": len(gate.hits),
     }
     if tier2_info:
         out["tier2"] = tier2_info
     print(json.dumps(out))
-    spark.stop()
+    # The driver's capture keeps only the TAIL of stdout, so the full
+    # record above has had "parsed": null for two rounds (r9/r10 bench
+    # files hold a head-truncated fragment). Contract fix (r10 verdict
+    # #2): the LAST stdout line is a compact headline the driver can
+    # always parse — tier-1 per-query seconds + total + the headline
+    # tier-2/streaming keys; the full record stays one line above for
+    # human diffing.
+    headline_keys = [k for k in BENCH_QUERIES] + [
+        "t2_stream_replay_full_1m",
+        "t2_d2_dedup_minhash_100x",
+        "t2_d5_neardup_50k",
+        "t2_p9_curation_100x",
+        "t2_s4_knn_200k",
+        "t2_s5_pq_topk_200k",
+        "t2_s6_ivfpq_topk_200k",
+    ]
+    compact = {
+        "metric": "candle_c1_c7_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in headline_keys if k in timings},
+        "sf": sf,
+        "codegen_fallbacks": len(gate.hits),
+    }
+    print(json.dumps(compact))
+    if gate_failed:
+        # perf-regression signal, not a correctness failure: the record
+        # above is still valid, so report loudly but do not lose it.
+        print("WARNING: codegen fallback detected during bench "
+              f"({len(gate.hits)} hit(s)) — see stderr", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -23,10 +23,17 @@ from pyspark.sql import SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as e  # noqa: E402
+from tools.codegen_gate import StderrCodegenGate  # noqa: E402
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+# r11 gate: any silent whole-stage-codegen fallback (ERROR CodeGenerator /
+# 64 KB janino overflow) fails the sim even when every hash MATCHes — the
+# r10 judge caught exactly that class slipping through a green run.
+_gate = StderrCodegenGate()
+_gate.__enter__()
 
 spark = (
     SparkSession.builder.master("local[8]")
@@ -86,5 +93,10 @@ for name, fn in qs.items():
     if not ok:
         fails.append(name)
 
-print("RESULT:", "ALL MATCH" if not fails else f"FAILURES: {fails}")
-sys.exit(1 if fails else 0)
+spark.stop()
+_gate.__exit__()
+gate_failed = _gate.report(out=sys.stdout)
+
+print("RESULT:", "ALL MATCH" if not (fails or gate_failed)
+      else f"FAILURES: {fails + (['codegen-gate'] if gate_failed else [])}")
+sys.exit(1 if (fails or gate_failed) else 0)
