@@ -44,17 +44,41 @@ _NMIN_RE = _re.compile(r"^([1-9][0-9]*)MIN$")  # ASCII digits ONLY: \d
 # raw string tags time_frame — two names aliasing one grid (r10 review)
 
 
+# n values whose epoch-anchored grid DUPLICATES a canonical FRAMES grid
+# (UTC sessions: date_trunc minute/hour/day == floor(epoch/width)*width).
+# Accepting both names would let the same candles be stored twice under
+# two time_frame tags that rollup/serving treat as unrelated series (r10
+# advice) — so the aliasing names are rejected at every frame-name
+# boundary with a pointer to the canonical spelling.
+_NMIN_ALIASES = {1: "MINUTE", 60: "HOUR", 1440: "DAY"}
+
+
 def frame_minutes(frame: str) -> int | None:
-    """n for an ``"{n}MIN"`` frame name, else None."""
+    """n for an ``"{n}MIN"`` frame name, else None. Raises on an nMIN
+    name whose grid duplicates a canonical frame ('60MIN' == 'HOUR')."""
     m = _NMIN_RE.match(frame)
-    return int(m.group(1)) if m else None
+    if m is None:
+        return None
+    n = int(m.group(1))
+    if n in _NMIN_ALIASES:
+        raise ValueError(
+            f"frame {frame!r} duplicates the {_NMIN_ALIASES[n]!r} grid "
+            f"under a different time_frame tag; use {_NMIN_ALIASES[n]!r}"
+        )
+    return n
 
 
 def valid_frame(frame: str) -> bool:
-    return frame in FRAMES or frame_minutes(frame) is not None
+    if frame in FRAMES:
+        return True
+    try:
+        return frame_minutes(frame) is not None
+    except ValueError:
+        return False
 
 
 def check_frame(frame: str) -> None:
+    frame_minutes(frame)  # raises the specific message for '60MIN' etc.
     if not valid_frame(frame):
         raise ValueError(
             f"unknown time frame {frame!r}; expected one of {list(FRAMES)} "

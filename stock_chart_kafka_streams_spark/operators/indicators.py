@@ -55,11 +55,15 @@ def _presplit_series(
     never consumed by any kept row — that is what the depth contract
     guarantees.
 
-    The input is persisted for the helper's lifetime: it feeds three
-    consumers (the validation aggregate, the tail extraction and the
-    base side of the union), and the hot-series inputs this knob exists
-    for are exactly the ones too expensive to recompute three times
-    (r10 review #3). Spark's LRU evicts the block when memory needs it."""
+    Persist discipline (r10 advice): the input feeds three consumers (the
+    validation aggregate, the tail extraction and the base side of the
+    union), so it is persisted — but only for the SCOPE of this helper,
+    mirroring ``incremental_dedup``: validation materializes the cache,
+    the (small — ``depth`` rows per bucket) tail frame is eagerly
+    ``localCheckpoint``-ed out of it, and the cache is released before
+    returning. The caller's action then recomputes the base branch once
+    from source; repeated ``split_seconds`` calls in one session no
+    longer accumulate cached blocks waiting on LRU eviction."""
     from stock_chart_kafka_streams_spark.functions.timeframes import coarse_bucket
 
     base = df.withColumn("__cb", coarse_bucket(order_col, split_seconds)).persist()
@@ -102,7 +106,11 @@ def _presplit_series(
         .withColumn("__cb", F.col("__next_cb"))
         .drop("__next_cb")
         .withColumn("__ctx", F.lit(True))
+        # materialize the small replicated-tail frame from the cache now
+        # so the cache can be released before returning (see docstring)
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
     return base.withColumn("__ctx", F.lit(False)).unionByName(tail)
 
 

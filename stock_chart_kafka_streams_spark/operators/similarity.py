@@ -2368,12 +2368,23 @@ def ivfpq_topk_sql(
         ]
     )
     # splice the coarse chain in after the shared e/en CTEs and restrict
-    # s5's scored CTE to probed lists (same adc expression, probed FROM)
+    # s5's scored CTE to probed lists (same adc expression, probed FROM).
+    # Explicit raises, not asserts (r10 advice): under ``python -O`` an
+    # assert is stripped, and a pq_topk_sql refactor that drifts these
+    # markers would silently return flat-PQ SQL labeled as the IVF twin.
     marker = "codes AS (SELECT"
-    assert marker in base
+    if marker not in base:
+        raise RuntimeError(
+            "ivfpq_topk_sql splice marker drifted: pq_topk_sql no longer "
+            f"contains {marker!r} — update the splice to match"
+        )
     base = base.replace(marker, coarse_ctes + ",\n" + marker, 1)
     old_scored = "AS adc FROM codes c CROSS JOIN qn q "
-    assert old_scored in base
+    if old_scored not in base:
+        raise RuntimeError(
+            "ivfpq_topk_sql splice marker drifted: pq_topk_sql no longer "
+            f"contains {old_scored!r} — update the splice to match"
+        )
     base = base.replace(
         old_scored,
         "AS adc FROM codes c JOIN lists l ON l.vec_id = c.vec_id "

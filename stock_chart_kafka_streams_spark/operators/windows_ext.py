@@ -625,12 +625,20 @@ def rolling_correlation(
 
     Exactness (the oracle discipline): closes quantize to BIGINT at 1e-4
     (``floor(close * 1e4 + 0.5)``), all five rolling sums (Σx, Σy, Σxy,
-    Σx², Σy²) run as exact integer window sums — order-independent, so
-    partition layout cannot flip a bit — and the final
+    Σx², Σy²) run as exact DECIMAL(38,0) window sums — order-independent,
+    so partition layout cannot flip a bit — and the final
     ``(kΣxy − ΣxΣy) / (sqrt(kΣx² − Σx²) · sqrt(kΣy² − Σy²))`` is one
-    short IEEE chain both engines round identically. Overflow headroom:
-    prices < 10⁵ ⇒ quantized < 10⁹ ⇒ per-term products < 10¹⁸/k for any
-    n ≤ 100 at the fixture's price range (< 500 ⇒ products < 10¹⁴).
+    short IEEE chain both engines round identically. Overflow headroom
+    (r10 advice fix — the original BIGINT sums wrapped silently: with
+    x = price·10⁴, Σx² alone exceeds int64's 9.2·10¹⁸ at n=20 for prices
+    above ~$15k, and Spark wraps longs while DuckDB promotes to HUGEINT,
+    so the engines diverged exactly where the value went wrong): products
+    and sums now carry 38 decimal digits on BOTH engines — Spark
+    DECIMAL(38,0), DuckDB HUGEINT (the twin multiplies via
+    CAST(..AS HUGEINT) because DuckDB's BIGINT·BIGINT product would
+    itself overflow first) — so the exact-integer bound is
+    k·Σx² ≤ n²·(p·10⁴)² < 10³⁸ ⇒ safe for any price p < 10¹⁴/n; at
+    n ≤ 10⁴ that is p < 10¹⁰, far past any quotable price.
     Zero variance on either side ⇒ NULL (undefined, not ±inf).
 
     Alignment: INNER join on bucket_start — buckets where either symbol
@@ -674,12 +682,16 @@ def rolling_correlation(
         .orderBy("bucket_start")
         .rowsBetween(-(n - 1), 0)
     )
-    k = F.count(F.lit(1)).over(w)
-    sx = F.sum("xa").over(w)
-    sy = F.sum("xb").over(w)
-    sxy = F.sum(F.col("xa") * F.col("xb")).over(w)
-    sxx = F.sum(F.col("xa") * F.col("xa")).over(w)
-    syy = F.sum(F.col("xb") * F.col("xb")).over(w)
+    # decimal(19,0) per-term operands ⇒ decimal(38,0) products/sums: exact
+    # integers with 10³⁸ headroom on both engines (see docstring).
+    xd = F.col("xa").cast("decimal(19,0)")
+    yd = F.col("xb").cast("decimal(19,0)")
+    k = F.count(F.lit(1)).over(w).cast("decimal(19,0)")
+    sx = F.sum(xd).over(w)
+    sy = F.sum(yd).over(w)
+    sxy = F.sum(xd * yd).over(w)
+    sxx = F.sum(xd * xd).over(w)
+    syy = F.sum(yd * yd).over(w)
     num = (k * sxy - sx * sy).cast("double")
     vx = (k * sxx - sx * sx).cast("double")
     vy = (k * syy - sy * sy).cast("double")
@@ -726,11 +738,12 @@ p AS (
 ),
 s AS (
     SELECT *,
-           CAST(count(*) OVER w AS BIGINT) AS k,
-           sum(xa) OVER w AS sx, sum(xb) OVER w AS sy,
-           sum(xa * xb) OVER w AS sxy,
-           sum(xa * xa) OVER w AS sxx,
-           sum(xb * xb) OVER w AS syy
+           CAST(count(*) OVER w AS HUGEINT) AS k,
+           sum(CAST(xa AS HUGEINT)) OVER w AS sx,
+           sum(CAST(xb AS HUGEINT)) OVER w AS sy,
+           sum(CAST(xa AS HUGEINT) * xb) OVER w AS sxy,
+           sum(CAST(xa AS HUGEINT) * xa) OVER w AS sxx,
+           sum(CAST(xb AS HUGEINT) * xb) OVER w AS syy
     FROM p
     WINDOW w AS (ORDER BY bucket_start
                  ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)

@@ -198,3 +198,60 @@ def test_rolling_correlation_pins_planted_extremes(spark):
         rolling_correlation(df, "UP", "COPY", n=1)
     with _pytest.raises(ValueError, match="n must"):
         rolling_correlation_sql("SELECT 1", "a", "b", n=0)
+
+
+def test_rolling_correlation_high_prices_no_int64_wrap(spark, duck):
+    """Regression (r10 advice, medium): with x = price*1e4, sum(x*x) over
+    n=20 exceeds int64 above ~$15k prices — the original BIGINT window
+    sums WRAPPED silently in Spark while DuckDB promoted to HUGEINT, so
+    the twin diverged exactly where Spark was wrong. The DECIMAL(38,0)
+    sums must (a) keep a perfectly co-moving BTC-scale pair pinned at
+    corr=+1 and (b) hash-match the DuckDB twin row for row.
+
+    Fixture teeth: int64 wrap-around CANCELS in the k*Σx² − (Σx)²
+    difference when the TRUE difference still fits int64 (modular
+    arithmetic), so small swings at high absolute prices would pass even
+    under the old code. The real silent-wrong region is window variance:
+    n²σ²·10⁸ > 2⁶³ ⇔ σ·10⁴ > 3.03e9/n — at n=20 a window price-σ above
+    ~$15k. This fixture swings 20k→320k (σ ≈ 9e4), landing the true
+    variance terms at ~3e20, firmly past int64."""
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        rolling_correlation,
+        rolling_correlation_sql,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        ts = t0 + dt.timedelta(minutes=i)
+        base = 20_000.0 + 25_000.0 * ((i * 17) % 13)
+        rows.append(("BIGA", "MINUTE", ts, base))
+        rows.append(("BIGB", "MINUTE", ts, 1.5 * base + 1000.0))  # corr +1
+    df = spark.createDataFrame(
+        rows, "symbol string, time_frame string, bucket_start timestamp, close double"
+    )
+    got = rolling_correlation(df, "BIGA", "BIGB", n=20).collect()
+    assert len(got) == 40
+    for r in got[1:]:
+        assert r["corr_20"] is not None
+        assert abs(r["corr_20"] - 1.0) < 1e-6, r
+
+    # exact twin parity on the same fixture (values, not just shape)
+    inner = " UNION ALL ".join(
+        f"SELECT '{s}' AS symbol, 'MINUTE' AS time_frame, "
+        f"TIMESTAMP '{ts.isoformat(sep=' ')}' AS bucket_start, "
+        f"CAST({c!r} AS DOUBLE) AS \"close\""
+        for (s, _f, ts, c) in rows
+    )
+    want = duck.sql(
+        rolling_correlation_sql(inner, "BIGA", "BIGB", n=20)
+    ).fetchall()
+    assert len(want) == len(got)
+    for g, w in zip(got, want):
+        assert g["bucket_start"] == w[1]
+        if w[4] is None:
+            assert g["corr_20"] is None
+        else:
+            assert g["corr_20"] == w[4], (g["bucket_start"], g["corr_20"], w[4])

@@ -454,14 +454,20 @@ def test_n_minute_candles_merge_into_hour(trades):
     )
 
 
-def test_n_minute_candles_one_minute_equals_minute_frame(trades):
+def test_n_minute_candles_one_minute_rejected_as_minute_alias(trades):
+    """'1MIN' produces byte-identical buckets to 'MINUTE' (UTC
+    date_trunc('minute') == floor(epoch/60)*60) but under a different
+    time_frame TAG — one series stored as two "unrelated" series. Since
+    r11 the numeric surface rejects the aliasing n values too (r10
+    advice), pointing at the canonical name."""
     from stock_chart_kafka_streams_spark.operators.candles import (
         candles_n_minutes,
     )
 
-    one = candles_n_minutes(trades, 1).drop("time_frame")
-    base = candles(trades, "MINUTE").drop("time_frame")
-    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, base.collect()))
+    with pytest.raises(ValueError, match="use 'MINUTE'"):
+        candles_n_minutes(trades, 1)
+    with pytest.raises(ValueError, match="use 'HOUR'"):
+        candles_n_minutes(trades, 60)
 
 
 def test_n_minute_candles_rejects_nonpositive(trades):
@@ -519,6 +525,15 @@ def test_bad_frame_names_still_rejected(trades):
             candles(trades, bad)
         with pytest.raises(ValueError, match="unknown time frame"):
             fill_candle_gaps(trades, bad)
+    # r10 advice: nMIN names that duplicate a canonical grid under a
+    # different time_frame tag ('60MIN' == 'HOUR') would let one series be
+    # stored twice as two "unrelated" series — rejected with a pointer.
+    for alias, canonical in (("1MIN", "MINUTE"), ("60MIN", "HOUR"),
+                             ("1440MIN", "DAY")):
+        with pytest.raises(ValueError, match=f"use '{canonical}'"):
+            store.get_candles("x", alias)
+        with pytest.raises(ValueError, match="duplicates"):
+            candles(trades, alias)
 
 
 def test_multi_frame_rejects_nmin_instead_of_dropping(trades):
