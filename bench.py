@@ -658,6 +658,42 @@ def _tier2_queries(
     )
     timings["t2_s6_ivfpq_matmul_q50_200k"] = round(time.perf_counter() - t0, 3)
 
+    # persisted-index serving pair (r10 verdict #3): every s5/s6 entry
+    # above RETRAINS per call — the production serving shape pays the
+    # build ONCE as a parquet artifact (build_pq_index) and serves each
+    # query batch at marginal cost (ivfpq_topk(index_path=...): coarse +
+    # codebooks load driver-side, the cid-partitioned code table scans
+    # only probed directories via a static IN). The pair records
+    # (amortizable build, zero-rebuild per-batch cost); compare the q50
+    # entry against t2_s6_ivfpq_matmul_q50_200k for the rebuild tax.
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        build_pq_index,
+    )
+
+    idx_root = tempfile.mkdtemp(prefix="bench-pq-index-")
+    try:
+        idx = os.path.join(idx_root, "ivfpq")
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        build_pq_index(
+            embs, idx, n_lists=64, m=4, n_codes=256,
+            sample_num=1, sample_den=16,
+            coarse_sample_num=1, coarse_sample_den=16,
+            encode_mode="matmul",
+        )
+        timings["t2_s6_index_build_200k"] = round(time.perf_counter() - t0, 3)
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _noop(
+            ivfpq_topk(
+                embs, q50, k=10, n_lists=64, n_probe=8, m=4, n_codes=256,
+                encode_mode="matmul", index_path=idx,
+            )
+        )
+        timings["t2_s6_index_q50_200k"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+
     # d9b incremental near-dedup: a 10% id-shifted slice (50k docs, all
     # of them near-dups of existing rows) deduped against the full 500k
     # corpus — the continuous-ingestion shape. Both sides band map-side;
@@ -1062,6 +1098,8 @@ def main() -> None:
         "t2_s4_knn_200k",
         "t2_s5_pq_topk_200k",
         "t2_s6_ivfpq_topk_200k",
+        "t2_s6_index_build_200k",
+        "t2_s6_index_q50_200k",
     ]
     compact = {
         "metric": "candle_c1_c7_total",

@@ -1789,6 +1789,256 @@ def _pq_encode_matmul(
     return cn.select(F.col(id_col), "vn").mapInPandas(_encode, schema=out_schema)
 
 
+def _pq_encode(
+    cn: DataFrame,
+    books: list[list[list[float]]],
+    m: int,
+    sub_dim: int,
+    id_col: str,
+    encode_mode: str,
+) -> DataFrame:
+    """(id, code0..code{m-1}) — the fold/matmul encode switch shared by
+    pq_topk, ivfpq_topk and build_pq_index (one implementation, one tie
+    rule: first minimum -> lowest cid)."""
+    if encode_mode == "matmul":
+        return _pq_encode_matmul(cn, books, m, sub_dim, id_col)
+    code_cols = []
+    for j in range(m):
+        off = j * sub_dim
+        dists = F.array(
+            *[
+                _l2_unrolled(
+                    F.col("vn"), F.array(*[F.lit(x) for x in c]), sub_dim, off
+                )
+                for c in books[j]
+            ]
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"code{j}")
+        )
+    return cn.select(F.col(id_col), *code_cols)
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index (r10 verdict #3): build once, serve many
+# ---------------------------------------------------------------------------
+
+PQ_INDEX_VERSION = 1
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int | None = None,
+    m: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+    sample_num: int = 1,
+    sample_den: int = 1,
+    coarse_sample_num: int = 1,
+    coarse_sample_den: int = 1,
+    encode_mode: str = "fold",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> dict:
+    """Train PQ codebooks (and, when ``n_lists`` is set, the IVF coarse
+    quantizer) over ``corpus`` and persist the SERVING ARTIFACT under
+    ``path`` — the band_buckets pattern (operators/dedup.py
+    ``write_band_buckets``) applied to ANN: the measured ~10 s
+    build was previously re-paid on every ``pq_topk``/``ivfpq_topk``
+    call; a stored index pays it once and serves every subsequent query
+    batch at marginal cost.
+
+    Layout (all parquet, so the artifact lives on the same storage tier
+    as the data at 100 TB — no driver-local files):
+
+    - ``path/meta``       one row: version, kind, m/n_codes/sub_dim/dim,
+      n_lists, encode_mode — read back for compatibility validation.
+    - ``path/codebooks``  (sub, cid, cv array<double>) m*n_codes rows.
+    - ``path/coarse``     (cid, cv array<double>) n_lists rows (IVF only).
+    - ``path/codes``      (id, code0..code{m-1}[, cid]); the IVF form is
+      ``partitionBy(cid)`` so a probe of n_probe lists is a scan of
+      exactly n_probe directories (pruning asserted from
+      selectedPartitions in tests, the serving-table discipline).
+
+    Exactness: parquet stores float64 bit-exactly, so an index-served
+    query returns BIT-IDENTICAL results to the rebuild-every-time form,
+    and the DuckDB twins (``pq_topk_sql``/``ivfpq_topk_sql``) stay the
+    full-procedure oracle — the twin replays the build.
+
+    Returns the meta dict (also persisted)."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must be divisible by m={m}")
+    if encode_mode not in ("fold", "matmul"):
+        raise ValueError(
+            f"encode_mode must be 'fold' or 'matmul', got {encode_mode!r}"
+        )
+    if n_lists is not None and n_lists < 1:
+        raise ValueError(f"n_lists must be >= 1, got {n_lists}")
+    sub_dim = dim // m
+    spark = corpus.sparkSession
+
+    cn = _normalized(corpus, id_col, vec_col, dim)
+    train = cn
+    if sample_den > 1:
+        train = cn.where(
+            _md5_sample_pred(id_col, sample_num, sample_den)
+        ).localCheckpoint(eager=True)
+    books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
+    codes = _pq_encode(cn, books, m, sub_dim, id_col, encode_mode)
+
+    spark.createDataFrame(
+        [(j, i, v) for j in range(m) for i, v in enumerate(books[j])],
+        "sub int, cid int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    meta = {
+        "version": PQ_INDEX_VERSION,
+        "kind": "ivfpq" if n_lists is not None else "pq",
+        "m": m,
+        "n_codes": n_codes,
+        "sub_dim": sub_dim,
+        "dim": dim,
+        "n_lists": n_lists if n_lists is not None else 0,
+        "encode_mode": encode_mode,
+        "id_col": id_col,
+    }
+
+    if n_lists is not None:
+        coarse_train = corpus
+        if coarse_sample_den > 1:
+            coarse_train = corpus.where(
+                _md5_sample_pred(id_col, coarse_sample_num, coarse_sample_den)
+            ).localCheckpoint(eager=True)
+        coarse = ivf_build_centroids(
+            coarse_train,
+            n_lists,
+            iterations=iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            assign_mode="matmul" if encode_mode == "matmul" else "fold",
+        )
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(coarse)],
+            "cid int, cv array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/coarse")
+        c_lists = _coarse_assign(corpus, coarse, encode_mode, id_col, vec_col, dim)
+        codes.join(c_lists, on=id_col).write.mode("overwrite").partitionBy(
+            "cid"
+        ).parquet(f"{path}/codes")
+    else:
+        codes.write.mode("overwrite").parquet(f"{path}/codes")
+
+    spark.createDataFrame(
+        [tuple(meta.values())],
+        ", ".join(
+            f"{k} {'string' if isinstance(v, str) else 'int'}"
+            for k, v in meta.items()
+        ),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return meta
+
+
+def read_pq_index(
+    spark, path: str
+) -> tuple[dict, list[list[list[float]]], list[list[float]] | None]:
+    """(meta, codebooks, coarse_centroids_or_None) from a persisted index.
+    The driver-side payload is O(m*n_codes + n_lists) rows — index
+    metadata, never data."""
+    meta_row = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta_row) != 1:
+        raise ValueError(f"malformed PQ index at {path!r}: meta must be 1 row")
+    meta = meta_row[0].asDict()
+    if meta["version"] != PQ_INDEX_VERSION:
+        raise ValueError(
+            f"PQ index version {meta['version']} at {path!r} not supported "
+            f"(expected {PQ_INDEX_VERSION})"
+        )
+    m, n_codes, sub_dim = meta["m"], meta["n_codes"], meta["sub_dim"]
+    book_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    if len(book_rows) != m * n_codes:
+        raise ValueError(
+            f"malformed PQ index at {path!r}: {len(book_rows)} codebook rows, "
+            f"expected m*n_codes={m * n_codes}"
+        )
+    books: list[list[list[float]]] = [
+        [[0.0] * sub_dim for _ in range(n_codes)] for _ in range(m)
+    ]
+    for r in book_rows:
+        books[r["sub"]][r["cid"]] = list(r["cv"])
+    coarse: list[list[float]] | None = None
+    if meta["kind"] == "ivfpq":
+        rows = spark.read.parquet(f"{path}/coarse").collect()
+        if len(rows) != meta["n_lists"]:
+            raise ValueError(
+                f"malformed PQ index at {path!r}: {len(rows)} coarse rows, "
+                f"expected n_lists={meta['n_lists']}"
+            )
+        coarse = [[0.0] * meta["dim"] for _ in range(len(rows))]
+        for r in rows:
+            coarse[r["cid"]] = list(r["cv"])
+    return meta, books, coarse
+
+
+def _check_index_meta(meta: dict, kind: str, m: int, n_codes: int, dim: int) -> None:
+    """A stored index silently serving different hyper-parameters than
+    the caller asked for is the wrong-answer class — raise instead."""
+    got = (meta["kind"], meta["m"], meta["n_codes"], meta["dim"])
+    want = (kind, m, n_codes, dim)
+    if got != want:
+        raise ValueError(
+            f"persisted index (kind, m, n_codes, dim)={got} does not match "
+            f"requested {want}; rebuild the index or match the parameters"
+        )
+
+
+def _coarse_assign(
+    corpus: DataFrame,
+    coarse: list[list[float]],
+    encode_mode: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """(id, cid) — nearest coarse centroid per corpus vector (cosine,
+    ties to lowest cid), fold (broadcast centroid table + window) or
+    matmul (Arrow argmax) mode; shared by ivfpq_topk and build_pq_index."""
+    if encode_mode == "matmul":
+        return _assign_matmul(
+            corpus.select(F.col(id_col), _as_double(vec_col).alias("v")),
+            coarse,
+            id_col,
+            dim,
+        ).select(F.col(id_col), "cid")
+    spark = corpus.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(coarse)], "cid int, cv array<double>"
+        ).withColumn("ncv", _norm(F.col("cv"), dim))
+    )
+    c_raw = corpus.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
+        "nv", _norm(F.col("v"), dim)
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.col("cd").desc(), F.col("cid"))
+    return (
+        c_raw.crossJoin(cent_df)
+        .withColumn(
+            "cd",
+            _dot_unrolled(F.col("v"), F.col("cv"), dim)
+            / (F.col("nv") * F.col("ncv")),
+        )
+        .withColumn("rk", F.row_number().over(w_assign))
+        .where(F.col("rk") == 1)
+        .select(F.col(id_col), "cid")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1804,6 +2054,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Product-quantization ANN top-k (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search", IEEE TPAMI 33(1)): split
@@ -1844,7 +2095,17 @@ def pq_topk(
     the path that makes the paper's k*=256-per-subspace codebooks
     runnable (the fold's literal plan is not). Not bit-exact-oracle-safe
     (numpy summation order); the oracle keeps the fold default, and
-    fold/matmul final-result equality on the test fixture is asserted."""
+    fold/matmul final-result equality on the test fixture is asserted.
+
+    ``index_path`` (r10 verdict #3): serve from a ``build_pq_index``
+    artifact instead of re-training — codebooks load driver-side
+    (m*n_codes rows) and the code table is the stored parquet; the
+    ~10 s build cost disappears from the query path. Results are
+    bit-identical to the rebuild form (parquet float64 is exact), so
+    ``pq_topk_sql`` remains the oracle; (m, n_codes, dim) must match
+    the stored meta (raises otherwise). ``corpus`` is still required —
+    the exact rerank fetches survivor vectors back by id (the index
+    stores codes, never embeddings: the PQ memory story)."""
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
     if dim % m != 0:
@@ -1864,42 +2125,32 @@ def pq_topk(
         raise ValueError(f"candidates={cand} must be >= k={k}")
     sub_dim = dim // m
 
-    cn = _normalized(corpus, id_col, vec_col, dim)
-    train = cn
-    if sample_den > 1:
-        # materialize the (small) training sample once: the seed scan and
-        # every per-subspace Lloyd round otherwise re-reads and re-filters
-        # the FULL corpus (m x iterations + 1 scans — measured 40 s -> 25 s
-        # at 200k vectors); this is exactly the training-set extract a
-        # production run writes out before fitting codebooks.
-        train = cn.where(
-            _md5_sample_pred(id_col, sample_num, sample_den)
-        ).localCheckpoint(eager=True)
-    books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
-
-    if encode_mode == "matmul":
-        codes = _pq_encode_matmul(cn, books, m, sub_dim, id_col)
+    if index_path is not None:
+        meta, books, _ = read_pq_index(corpus.sparkSession, index_path)
+        _check_index_meta(meta, "pq", m, n_codes, dim)
+        if meta["id_col"] != id_col:
+            raise ValueError(
+                f"persisted index id_col={meta['id_col']!r} != {id_col!r}"
+            )
+        codes = corpus.sparkSession.read.parquet(f"{index_path}/codes")
     else:
+        cn = _normalized(corpus, id_col, vec_col, dim)
+        train = cn
+        if sample_den > 1:
+            # materialize the (small) training sample once: the seed scan
+            # and every per-subspace Lloyd round otherwise re-reads and
+            # re-filters the FULL corpus (m x iterations + 1 scans —
+            # measured 40 s -> 25 s at 200k vectors); this is exactly the
+            # training-set extract a production run writes out before
+            # fitting codebooks.
+            train = cn.where(
+                _md5_sample_pred(id_col, sample_num, sample_den)
+            ).localCheckpoint(eager=True)
+        books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
         # encode: per subspace, argmin squared-L2 against the codebook
         # literals (array_position finds the FIRST minimum -> ties to the
         # lowest cid, the twin's row_number ORDER BY d ASC, cid).
-        code_cols = []
-        for j in range(m):
-            off = j * sub_dim
-            dists = F.array(
-                *[
-                    _l2_unrolled(
-                        F.col("vn"), F.array(*[F.lit(x) for x in c]), sub_dim, off
-                    )
-                    for c in books[j]
-                ]
-            )
-            code_cols.append(
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .cast("int")
-                .alias(f"code{j}")
-            )
-        codes = cn.select(F.col(id_col), *code_cols)
+        codes = _pq_encode(cn, books, m, sub_dim, id_col, encode_mode)
 
     qn = _normalized(queries, id_col, vec_col, dim).select(
         F.col(id_col).alias("query_id"), F.col("vn").alias("qvn")
@@ -2010,6 +2261,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF + PQ ANN top-k (s6, round 10 — the s5 docstring's "standard
     next step", Jégou et al. 2011 §IV's IVFADC structure): a coarse
@@ -2059,6 +2311,17 @@ def ivfpq_topk(
     shape, rightHint=broadcast in the plan); per-row work is O(n_lists),
     never a data-by-data cartesian.
 
+    ``index_path`` (r10 verdict #3): serve from a ``build_pq_index(...,
+    n_lists=...)`` artifact — coarse centroids + codebooks load
+    driver-side, the cid-partitioned code table is the stored parquet,
+    and the probe becomes a STATIC ``cid IN (probed)`` filter computed
+    from the (O(queries x n_probe), driver-bounded) probe set, so the
+    scan prunes to exactly the probed list directories at planning time
+    (asserted from selectedPartitions in tests) — no training, no
+    assignment, no rebuild on the query path. Results bit-identical to
+    the rebuild form; ``ivfpq_topk_sql`` remains the full-procedure
+    oracle. ``corpus`` still required for the exact rerank fetch-back.
+
     Reference attribution: the reference has no vector search at all
     (SURVEY §2.6); s1-s6 exist for the LLM-pipeline mandate."""
     if n_lists < 1:
@@ -2094,81 +2357,56 @@ def ivfpq_topk(
     sub_dim = dim // m
     spark = corpus.sparkSession
 
-    # ---- coarse quantizer: s3's deterministic k-means, verbatim --------
-    coarse_train = corpus
-    if coarse_sample_den > 1:
-        coarse_train = corpus.where(
-            _md5_sample_pred(id_col, coarse_sample_num, coarse_sample_den)
-        ).localCheckpoint(eager=True)
-    coarse = ivf_build_centroids(
-        coarse_train,
-        n_lists,
-        iterations=iterations,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-        assign_mode="matmul" if encode_mode == "matmul" else "fold",
-    )
+    if index_path is not None:
+        meta, books, coarse = read_pq_index(spark, index_path)
+        _check_index_meta(meta, "ivfpq", m, n_codes, dim)
+        if meta["n_lists"] != n_lists:
+            raise ValueError(
+                f"persisted index n_lists={meta['n_lists']} != {n_lists}"
+            )
+        if meta["id_col"] != id_col:
+            raise ValueError(
+                f"persisted index id_col={meta['id_col']!r} != {id_col!r}"
+            )
+        assert coarse is not None
+        coded_lists = spark.read.parquet(f"{index_path}/codes")
+    else:
+        # ---- coarse quantizer: s3's deterministic k-means, verbatim ----
+        coarse_train = corpus
+        if coarse_sample_den > 1:
+            coarse_train = corpus.where(
+                _md5_sample_pred(id_col, coarse_sample_num, coarse_sample_den)
+            ).localCheckpoint(eager=True)
+        coarse = ivf_build_centroids(
+            coarse_train,
+            n_lists,
+            iterations=iterations,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            assign_mode="matmul" if encode_mode == "matmul" else "fold",
+        )
+        c_lists = _coarse_assign(corpus, coarse, encode_mode, id_col, vec_col, dim)
+
+        # ---- PQ codebooks + encode: s5's machinery, verbatim ------------
+        cn = _normalized(corpus, id_col, vec_col, dim)
+        train = cn
+        if sample_den > 1:
+            train = cn.where(
+                _md5_sample_pred(id_col, sample_num, sample_den)
+            ).localCheckpoint(eager=True)
+        books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
+        codes = _pq_encode(cn, books, m, sub_dim, id_col, encode_mode)
+        # the stored artifact at scale: codes PARTITIONED BY the list id —
+        # a probe below prunes to n_probe partitions (build_pq_index
+        # writes exactly this shape; index_path serves it)
+        coded_lists = codes.join(c_lists, on=id_col)
+
     cent_df = F.broadcast(
         spark.createDataFrame(
             [(i, v) for i, v in enumerate(coarse)], "cid int, cv array<double>"
         ).withColumn("ncv", _norm(F.col("cv"), dim))
     )
-
-    c_raw = corpus.select(F.col(id_col), _as_double(vec_col).alias("v")).withColumn(
-        "nv", _norm(F.col("v"), dim)
-    )
-    if encode_mode == "matmul":
-        c_lists = _assign_matmul(
-            c_raw.select(F.col(id_col), "v"), coarse, id_col, dim
-        ).select(F.col(id_col), "cid")
-    else:
-        w_assign = Window.partitionBy(id_col).orderBy(
-            F.col("cd").desc(), F.col("cid")
-        )
-        c_lists = (
-            c_raw.crossJoin(cent_df)
-            .withColumn(
-                "cd",
-                _dot_unrolled(F.col("v"), F.col("cv"), dim)
-                / (F.col("nv") * F.col("ncv")),
-            )
-            .withColumn("rk", F.row_number().over(w_assign))
-            .where(F.col("rk") == 1)
-            .select(F.col(id_col), "cid")
-        )
-
-    # ---- PQ codebooks + encode: s5's machinery, verbatim ---------------
-    cn = _normalized(corpus, id_col, vec_col, dim)
-    train = cn
-    if sample_den > 1:
-        train = cn.where(
-            _md5_sample_pred(id_col, sample_num, sample_den)
-        ).localCheckpoint(eager=True)
-    books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
-    if encode_mode == "matmul":
-        codes = _pq_encode_matmul(cn, books, m, sub_dim, id_col)
-    else:
-        code_cols = []
-        for j in range(m):
-            off = j * sub_dim
-            dists = F.array(
-                *[
-                    _l2_unrolled(
-                        F.col("vn"), F.array(*[F.lit(x) for x in c]), sub_dim, off
-                    )
-                    for c in books[j]
-                ]
-            )
-            code_cols.append(
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .cast("int")
-                .alias(f"code{j}")
-            )
-        codes = cn.select(F.col(id_col), *code_cols)
-    # the stored artifact at scale: codes PARTITIONED BY the list id —
-    # a probe below prunes to n_probe partitions
-    coded_lists = codes.join(c_lists, on=id_col)
 
     # ---- query probes: n_probe nearest coarse lists per query ----------
     q_raw = queries.select(
@@ -2192,6 +2430,18 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"), F.col("vn").alias("qvn")
     )
     probes = F.broadcast(q_probes.join(qn, on="query_id"))
+
+    if index_path is not None:
+        # static probe pruning: the probed cid set is O(queries x n_probe)
+        # and known BEFORE the scan (it is an index lookup), so collect it
+        # (driver-bounded, the centroid-collect class) and filter the
+        # cid-partitioned code table with a literal IN — the scan prunes
+        # to exactly the probed directories at planning time instead of
+        # relying on runtime DPP through the join.
+        probed_cids = sorted({r["cid"] for r in q_probes.collect()})
+        coded_lists = coded_lists.where(
+            F.col("cid").isin([int(c) for c in probed_cids])
+        )
 
     # ---- ADC over probed lists only (vs s5's full crossJoin) -----------
     adc: Column | None = None

@@ -1,0 +1,115 @@
+"""Persisted ANN index (r10 verdict #3): build_pq_index writes the
+codebooks / coarse centroids / cid-partitioned code table as a parquet
+serving artifact; pq_topk/ivfpq_topk(index_path=...) serve from it with
+zero rebuild and BIT-IDENTICAL results to the rebuild-every-call form
+(parquet float64 is exact). The IVF probe over the artifact must prune to
+exactly the probed list directories — asserted from selectedPartitions,
+the serving-table discipline, on the REAL artifact and the REAL query
+plan (not a simulated code table)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark.operators.similarity import (
+    build_pq_index,
+    ivfpq_topk,
+    pq_topk,
+    read_pq_index,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(embs):
+    return embs.where(F.col("vec_id") % 50 == 0).limit(5)
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["vec_id"], r["cos"], r["rank"]) for r in df.collect()
+    )
+
+
+def test_flat_pq_index_roundtrip_bit_identical(spark, embs, queries, tmp_path):
+    path = str(tmp_path / "pq_index")
+    meta = build_pq_index(embs, path, m=4, n_codes=8, iterations=2)
+    assert meta["kind"] == "pq"
+
+    fresh = pq_topk(embs, queries, k=5, m=4, n_codes=8, iterations=2)
+    served = pq_topk(embs, queries, k=5, m=4, n_codes=8, index_path=path)
+    assert _rows(served) == _rows(fresh)
+
+    # loader sanity: codebooks round-trip exactly
+    meta2, books, coarse = read_pq_index(spark, path)
+    assert meta2["m"] == 4 and meta2["n_codes"] == 8 and coarse is None
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+
+
+def test_ivfpq_index_roundtrip_bit_identical(spark, embs, queries, tmp_path):
+    path = str(tmp_path / "ivfpq_index")
+    meta = build_pq_index(embs, path, n_lists=8, m=4, n_codes=8, iterations=2)
+    assert meta["kind"] == "ivfpq" and meta["n_lists"] == 8
+
+    fresh = ivfpq_topk(
+        embs, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8, iterations=2
+    )
+    served = ivfpq_topk(
+        embs, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
+        index_path=path,
+    )
+    assert _rows(served) == _rows(fresh)
+
+
+def test_ivfpq_index_probe_prunes_real_artifact(spark, embs, queries, tmp_path):
+    """The artifact's economics, proven end-to-end: the served query's
+    code-table scan selects exactly the probed cid directories."""
+    from tests.test_serving_table import _scan_stats
+
+    path = str(tmp_path / "ivfpq_prune")
+    build_pq_index(embs, path, n_lists=8, m=4, n_codes=8, iterations=2)
+
+    n_lists_on_disk, _, _ = _scan_stats(spark.read.parquet(f"{path}/codes"))
+    served = ivfpq_topk(
+        embs, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
+        index_path=path,
+    )
+    # find the codes-table scan (the leaf whose Location is the artifact;
+    # toString() truncates large plans, so read the metadata map instead)
+    leaves = served._jdf.queryExecution().sparkPlan().collectLeaves()
+    stats = None
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        meta = leaf.metadata()
+        loc = str(meta.get("Location").get()) if meta.contains("Location") else ""
+        if f"{path}/codes" in loc:
+            listing = leaf.selectedPartitions()
+            stats = (listing.partitionCount(), str(meta))
+            break
+    assert stats is not None, "codes scan not found in plan leaves"
+    n_parts, md = stats
+    # 5 queries x 2 probes => at most 10 distinct cids, and the planted
+    # query set concentrates: strictly fewer directories than on disk
+    assert 1 <= n_parts <= 10
+    assert n_parts < n_lists_on_disk, (n_parts, n_lists_on_disk)
+    assert "cid" in md  # partition filter reached the scan
+
+
+def test_index_meta_mismatch_raises(spark, embs, queries, tmp_path):
+    path = str(tmp_path / "pq_meta")
+    build_pq_index(embs, path, m=4, n_codes=8, iterations=1)
+    with pytest.raises(ValueError, match="does not match"):
+        pq_topk(embs, queries, k=5, m=8, n_codes=8, index_path=path)
+    with pytest.raises(ValueError, match="does not match"):
+        pq_topk(embs, queries, k=5, m=4, n_codes=16, index_path=path)
+    # flat index cannot serve the IVF form
+    with pytest.raises(ValueError, match="does not match"):
+        ivfpq_topk(
+            embs, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
+            index_path=path,
+        )
