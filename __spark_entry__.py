@@ -1294,6 +1294,28 @@ def _w14_sql() -> str:
     )
 
 
+def _q_w15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs rolling correlation matrix (w15, round 11): the w14
+    generalization the multi-symbol serving layer asks for — ONE
+    aligned-close self-join bounded by symbol cardinality, one window
+    pass partitioned by pair, exact DECIMAL(38,0)/HUGEINT sums."""
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        rolling_correlation_matrix,
+    )
+
+    return rolling_correlation_matrix(
+        candles(load_trades(spark, sf_dir), "HOUR"), n=20, frame="HOUR"
+    )
+
+
+def _w15_sql() -> str:
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        rolling_correlation_matrix_sql,
+    )
+
+    return rolling_correlation_matrix_sql(_candle_sql("HOUR"), n=20, frame="HOUR")
+
+
 def _q_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range-lookup join (the BroadcastNestedLoopJoin killer):
     lineitem prices classified into quadratically-widening bands via an
@@ -1830,6 +1852,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w13_mad_outliers": _q_w13,
         "s5_pq_index_topk": _q_s5i,
         "s6_ivfpq_index_topk": _q_s6i,
+        "w15_corr_matrix": _q_w15,
     }
 
 
@@ -2018,6 +2041,7 @@ FROM documents
         "mm6_media_pq_topk": _mm6_sql(),
         "c16_gap_fill": _c16_sql(),
         "w14_rolling_corr": _w14_sql(),
+        "w15_corr_matrix": _w15_sql(),
         "w13_mad_outliers": _wx.mad_outlier_stats_sql(_TRADES_CTE),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"

@@ -73,6 +73,99 @@ def _time_best(make_df, runs: int = 2) -> float:
     return round(best, 3)
 
 
+# ---- heavy similarity entries: ONE builder for in-suite AND isolated ----
+#
+# r10 verdict #3 (what's wrong): the five heaviest entries drifted
+# 20-30% round over round from SUITE STATE (page cache, GC debt, JIT
+# residue of whatever ran before), and every apparent regression had to
+# be re-adjudicated by hand. The committed number of record for these
+# five is now a FRESH-JVM subprocess run (bench.py --isolated <name>),
+# with the in-suite measurement kept as a secondary column
+# (tier2.insuite_*). One builder function serves both paths so the
+# isolated run can never drift out of sync with the in-suite config.
+
+HEAVY_ISOLATED = [
+    "t2_s4_knn_200k",
+    "t2_s5_pq_topk_200k",
+    "t2_s6_ivfpq_matmul_q50_200k",
+    "t2_d8_semdedup_50k",
+    "t2_d9b_incr_50k_vs_500k",
+]
+
+
+def _heavy_entry_df(name: str, trades, docs, embs, **kw):
+    """The DataFrame for one heavy bench entry — parameters identical
+    between the in-suite and isolated measurements by construction.
+    ``kw`` passes diagnostics hooks (e.g. d8's stats dict) through."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        ivfpq_topk,
+        knn_join,
+        pq_topk,
+        semantic_dedup,
+    )
+
+    if name == "t2_s4_knn_200k":
+        return knn_join(embs, k=10, n_bits=16, **kw)
+    if name == "t2_s5_pq_topk_200k":
+        return pq_topk(
+            embs, embs.where(F.col("vec_id") < 5),
+            k=10, m=4, n_codes=16, sample_num=1, sample_den=16, **kw,
+        )
+    if name == "t2_s6_ivfpq_matmul_q50_200k":
+        return ivfpq_topk(
+            embs, embs.where(F.col("vec_id") < 50),
+            k=10, n_lists=64, n_probe=8, m=4, n_codes=256,
+            sample_num=1, sample_den=16,
+            coarse_sample_num=1, coarse_sample_den=16,
+            encode_mode="matmul", **kw,
+        )
+    if name == "t2_d8_semdedup_50k":
+        return semantic_dedup(
+            embs.where(F.col("vec_id") < 2_500_000_000),
+            threshold=0.99, n_centroids=256, sample_den=10, **kw,
+        )
+    if name == "t2_d9b_incr_50k_vs_500k":
+        return incremental_dedup(
+            docs,
+            docs.where(F.pmod(F.col("doc_id"), 10) == 0).select(
+                (F.col("doc_id") + F.lit(30_000_000_000)).alias("doc_id"),
+                "text",
+                "lang",
+            ),
+            mode="minhash",
+            **kw,
+        )
+    raise ValueError(f"unknown heavy entry {name!r}")
+
+
+def _isolated_main(name: str, trades_path: str, docs_path: str, embs_path: str) -> None:
+    """Fresh-JVM measurement of one heavy entry (invoked as a subprocess
+    by main; also usable standalone against saved tier-2 inputs). Same
+    session factory, driver memory, 4 MB scan splits and best-of-2
+    discipline as the in-suite run — the only difference is the clean
+    JVM. Prints one JSON line."""
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    spark = get_spark(app_name=f"candle-bench-iso-{name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    trades = spark.read.parquet(trades_path)
+    docs = spark.read.parquet(docs_path)
+    embs = spark.read.parquet(embs_path)
+    runs: list[float] = []
+    for _ in range(2):
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        _noop(_heavy_entry_df(name, trades, docs, embs))
+        runs.append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({"name": name, "sec": min(runs), "runs": runs}))
+    spark.stop()
+
+
 def _tier2_inputs(spark, sf_dir: str, work: str) -> tuple[str, str, str, int, int]:
     """Materialize tier-2 inputs (untimed): 25M generated trades, the
     documents table replicated with distinct doc_ids, and the embeddings
@@ -178,7 +271,6 @@ def _tier2_queries(
     )
     from stock_chart_kafka_streams_spark.operators.similarity import (
         embedding_neardup_lsh,
-        knn_join,
         lsh_topk,
         pq_topk,
     )
@@ -267,7 +359,9 @@ def _tier2_queries(
         # ~3 so Σ bucket² stays ~linear — n_bits=14 left mean bucket ~12
         # and the candidate set (and its two vector fetch-back joins)
         # 16× larger, measured 118 s vs ~20 s.
-        "t2_s4_knn_200k": lambda: knn_join(embs, k=10, n_bits=16),
+        "t2_s4_knn_200k": lambda: _heavy_entry_df(
+            "t2_s4_knn_200k", trades, docs, embs
+        ),
         # p10 temperature mixture sampling (keyed on lang — the replicated
         # corpus drops the source column): one stratum-keyed count agg,
         # rate table broadcasts, corpus filtered map-side.
@@ -467,7 +561,6 @@ def _tier2_queries(
         semantic_dedup,
     )
 
-    d8_slice = embs.where(F.col("vec_id") < 2_500_000_000)
     d8_runs: list[float] = []
     d8_best: dict = {}
     for _ in range(2):
@@ -475,9 +568,7 @@ def _tier2_queries(
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         _noop(
-            semantic_dedup(
-                d8_slice, threshold=0.99, n_centroids=256, sample_den=10, stats=st
-            )
+            _heavy_entry_df("t2_d8_semdedup_50k", trades, docs, embs, stats=st)
         )
         d8_runs.append(round(time.perf_counter() - t0, 3))
         if d8_runs[-1] == min(d8_runs):
@@ -586,17 +677,7 @@ def _tier2_queries(
     for _ in range(2):
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
-        _noop(
-            pq_topk(
-                embs,
-                embs.where(F.col("vec_id") < 5),
-                k=10,
-                m=4,
-                n_codes=16,
-                sample_num=1,
-                sample_den=16,
-            )
-        )
+        _noop(_heavy_entry_df("t2_s5_pq_topk_200k", trades, docs, embs))
         s5_runs.append(round(time.perf_counter() - t0, 3))
     timings["t2_s5_pq_topk_200k"] = min(s5_runs)
     extra["s5_pq_runs_s"] = s5_runs
@@ -648,14 +729,7 @@ def _tier2_queries(
     timings["t2_s5_pq_matmul_q50_200k"] = round(time.perf_counter() - t0, 3)
     spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter()
-    _noop(
-        ivfpq_topk(
-            embs, q50, k=10, n_lists=64, n_probe=8, m=4, n_codes=256,
-            sample_num=1, sample_den=16,
-            coarse_sample_num=1, coarse_sample_den=16,
-            encode_mode="matmul",
-        )
-    )
+    _noop(_heavy_entry_df("t2_s6_ivfpq_matmul_q50_200k", trades, docs, embs))
     timings["t2_s6_ivfpq_matmul_q50_200k"] = round(time.perf_counter() - t0, 3)
 
     # persisted-index serving pair (r10 verdict #3): every s5/s6 entry
@@ -704,17 +778,7 @@ def _tier2_queries(
     for _ in range(2):
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
-        _noop(
-            incremental_dedup(
-                docs,
-                docs.where(F.pmod(F.col("doc_id"), 10) == 0).select(
-                    (F.col("doc_id") + F.lit(30_000_000_000)).alias("doc_id"),
-                    "text",
-                    "lang",
-                ),
-                mode="minhash",
-            )
-        )
+        _noop(_heavy_entry_df("t2_d9b_incr_50k_vs_500k", trades, docs, embs))
         d9b_runs.append(round(time.perf_counter() - t0, 3))
     timings["t2_d9b_incr_50k_vs_500k"] = min(d9b_runs)
     extra["d9b_incremental_runs_s"] = d9b_runs
@@ -1057,6 +1121,55 @@ def main() -> None:
                 spark, trades_path, docs_path, embs_path
             )
             timings.update(t2_timings)
+            # fresh-JVM isolation for the five suite-state-sensitive
+            # entries (r10 verdict #4): the subprocess number becomes the
+            # number of record; the in-suite one stays as insuite_* so
+            # the suite-state delta itself is visible in the record.
+            if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
+                import subprocess
+
+                for hname in HEAVY_ISOLATED:
+                    if hname not in timings:
+                        continue
+                    proc = subprocess.run(
+                        [
+                            sys.executable,
+                            os.path.abspath(__file__),
+                            "--isolated",
+                            hname,
+                            trades_path,
+                            docs_path,
+                            embs_path,
+                        ],
+                        capture_output=True,
+                        text=True,
+                        timeout=3600,
+                    )
+                    line = next(
+                        (
+                            ln
+                            for ln in reversed(proc.stdout.splitlines())
+                            if ln.startswith("{")
+                        ),
+                        None,
+                    )
+                    # the subprocess's stderr is captured, so feed it to
+                    # the codegen gate by hand — an isolated run must not
+                    # be able to hide a fallback from the record
+                    from tools.codegen_gate import scan_text
+
+                    for h in scan_text(proc.stderr):
+                        if h not in gate.hits:
+                            gate.hits.append(h)
+                    if proc.returncode != 0 or line is None:
+                        t2_extra[f"isolated_{hname}_error"] = (
+                            proc.stderr.strip().splitlines() or ["no output"]
+                        )[-1][:300]
+                        continue
+                    iso = json.loads(line)
+                    t2_extra[f"insuite_{hname}"] = timings[hname]
+                    t2_extra[f"isolated_{hname}_runs_s"] = iso["runs"]
+                    timings[hname] = iso["sec"]
             n_vecs = spark.read.parquet(embs_path).count()
             tier2_info = {
                 "trades_rows": n_trades,
@@ -1118,4 +1231,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 6 and sys.argv[1] == "--isolated":
+        _isolated_main(sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5])
+    else:
+        main()

@@ -758,3 +758,151 @@ SELECT '{symbol_a}/{symbol_b}' AS pair,
 FROM s
 ORDER BY bucket_start
 """
+
+
+# ---------------------------------------------------------------------------
+# w15: all-pairs rolling correlation matrix (round 11)
+# ---------------------------------------------------------------------------
+
+
+def rolling_correlation_matrix(
+    candles: DataFrame,
+    symbols: list[str] | None = None,
+    n: int = 20,
+    frame: str = "MINUTE",
+) -> DataFrame:
+    """Rolling Pearson correlation for EVERY symbol pair (w15 — the
+    generalization of w14 the multi-symbol serving layer asks for,
+    reference StockChartController.kt:35-39 serving five symbols side by
+    side): one aligned-close table, pair enumeration via ONE self-join on
+    bucket_start (bounded by symbol cardinality: S rows per bucket each
+    side, S(S-1)/2 output pairs per bucket), then the SAME exact
+    DECIMAL(38,0) quantized window sums as ``rolling_correlation`` over a
+    window partitioned by (sym_a, sym_b) — NOT S² separate window passes:
+    every pair's series is computed in one plan and the pair key is the
+    window partition, so pairs parallelize across tasks.
+
+    ``symbols`` filters the matrix (None = all symbols in ``candles``);
+    output rows carry (sym_a, sym_b) with sym_a < sym_b — the upper
+    triangle; the diagonal is identically 1 and is omitted.
+
+    Skew note (the hot-pair case): each pair's ordered window buffers
+    only that pair's OUTPUT-sized aligned series (the p8 bounded-window
+    class — bounded by the query's own time range, never corpus-sized),
+    and all S(S-1)/2 pairs land on different window partitions, so a
+    "hot" pair cannot serialize the others. The S² growth itself is the
+    knob the caller owns: pass ``symbols`` to bound the matrix (5
+    symbols = 10 pairs; 1000 symbols = ~500k window partitions — still
+    parallel, but the self-join output is S²-proportional by definition).
+    Warm-up rows (< n aligned buckets) use the shorter prefix; zero
+    variance on either side => NULL, the w14 conventions.
+
+    Returns (sym_a, sym_b, bucket_start, close_a, close_b, corr_n)."""
+    from pyspark.sql.window import Window
+
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    base = candles.where(F.col("time_frame") == frame)
+    if symbols is not None:
+        if len(symbols) < 2:
+            raise ValueError("symbols must name at least 2 series")
+        base = base.where(F.col("symbol").isin(list(symbols)))
+    q = base.select(
+        "symbol",
+        "bucket_start",
+        "close",
+        F.floor(F.col("close") * _CORR_QUANT + 0.5).cast("long").alias("x"),
+    )
+    a = q.select(
+        F.col("symbol").alias("sym_a"),
+        "bucket_start",
+        F.col("close").alias("close_a"),
+        F.col("x").alias("xa"),
+    )
+    b = q.select(
+        F.col("symbol").alias("sym_b"),
+        "bucket_start",
+        F.col("close").alias("close_b"),
+        F.col("x").alias("xb"),
+    )
+    pair = a.join(b, on="bucket_start").where(F.col("sym_a") < F.col("sym_b"))
+    w = (
+        Window.partitionBy("sym_a", "sym_b")
+        .orderBy("bucket_start")
+        .rowsBetween(-(n - 1), 0)
+    )
+    xd = F.col("xa").cast("decimal(19,0)")
+    yd = F.col("xb").cast("decimal(19,0)")
+    k = F.count(F.lit(1)).over(w).cast("decimal(19,0)")
+    sx = F.sum(xd).over(w)
+    sy = F.sum(yd).over(w)
+    sxy = F.sum(xd * yd).over(w)
+    sxx = F.sum(xd * xd).over(w)
+    syy = F.sum(yd * yd).over(w)
+    num = (k * sxy - sx * sy).cast("double")
+    vx = (k * sxx - sx * sx).cast("double")
+    vy = (k * syy - sy * sy).cast("double")
+    corr = F.when((vx > 0) & (vy > 0), num / (F.sqrt(vx) * F.sqrt(vy)))
+    return pair.select(
+        "sym_a",
+        "sym_b",
+        "bucket_start",
+        "close_a",
+        "close_b",
+        corr.alias(f"corr_{n}"),
+    ).orderBy("sym_a", "sym_b", "bucket_start")
+
+
+def rolling_correlation_matrix_sql(
+    candles_sql: str,
+    symbols: list[str] | None = None,
+    n: int = 20,
+    frame: str = "MINUTE",
+) -> str:
+    """DuckDB twin of ``rolling_correlation_matrix`` — identical
+    HUGEINT-exact sums (the rolling_correlation_sql discipline) over the
+    identical self-join pair enumeration."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    sym_pred = ""
+    if symbols is not None:
+        if len(symbols) < 2:
+            raise ValueError("symbols must name at least 2 series")
+        lst = ", ".join(f"'{s}'" for s in symbols)
+        sym_pred = f" AND symbol IN ({lst})"
+    q = _CORR_QUANT
+    return f"""
+WITH c AS ({candles_sql}),
+qv AS (
+    SELECT symbol, bucket_start, "close",
+           CAST(floor("close" * {q} + 0.5) AS BIGINT) AS x
+    FROM c WHERE time_frame = '{frame}'{sym_pred}
+),
+p AS (
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.bucket_start,
+           a."close" AS close_a, b."close" AS close_b,
+           a.x AS xa, b.x AS xb
+    FROM qv a JOIN qv b
+      ON a.bucket_start = b.bucket_start AND a.symbol < b.symbol
+),
+s AS (
+    SELECT *,
+           CAST(count(*) OVER w AS HUGEINT) AS k,
+           sum(CAST(xa AS HUGEINT)) OVER w AS sx,
+           sum(CAST(xb AS HUGEINT)) OVER w AS sy,
+           sum(CAST(xa AS HUGEINT) * xb) OVER w AS sxy,
+           sum(CAST(xa AS HUGEINT) * xa) OVER w AS sxx,
+           sum(CAST(xb AS HUGEINT) * xb) OVER w AS syy
+    FROM p
+    WINDOW w AS (PARTITION BY sym_a, sym_b ORDER BY bucket_start
+                 ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT sym_a, sym_b, bucket_start, close_a, close_b,
+       CASE WHEN (k * sxx - sx * sx) > 0 AND (k * syy - sy * sy) > 0
+            THEN CAST(k * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(k * syy - sy * sy AS DOUBLE)))
+       END AS corr_{n}
+FROM s
+ORDER BY sym_a, sym_b, bucket_start
+"""

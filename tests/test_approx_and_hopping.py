@@ -255,3 +255,91 @@ def test_rolling_correlation_high_prices_no_int64_wrap(spark, duck):
             assert g["corr_20"] is None
         else:
             assert g["corr_20"] == w[4], (g["bucket_start"], g["corr_20"], w[4])
+
+
+# -- w15: all-pairs rolling correlation matrix (round 11) --------------------
+
+
+def test_rolling_correlation_matrix_pins_extremes_and_equals_pairwise(spark, duck):
+    """The matrix must (a) pin a co-moving pair at +1, an anti-moving
+    pair at -1 and a constant series at NULL (the w14 planted extremes),
+    (b) slice-equal the single-pair operator for every pair (one plan,
+    not S^2 window passes, but identical values), and (c) hash-match the
+    DuckDB twin on the full matrix."""
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        rolling_correlation,
+        rolling_correlation_matrix,
+        rolling_correlation_matrix_sql,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(30):
+        ts = t0 + dt.timedelta(minutes=i)
+        base = 100.0 + ((i * 17) % 13)
+        rows.append(("UP", "MINUTE", ts, base))
+        rows.append(("COPY", "MINUTE", ts, 2.0 * base + 5.0))   # corr +1
+        rows.append(("ANTI", "MINUTE", ts, 300.0 - base))       # corr -1
+        rows.append(("FLAT", "MINUTE", ts, 42.0))               # zero var
+    df = spark.createDataFrame(
+        rows, "symbol string, time_frame string, bucket_start timestamp, close double"
+    )
+    mat = rolling_correlation_matrix(df, n=10).collect()
+    # 4 symbols -> 6 upper-triangle pairs x 30 aligned buckets
+    assert len(mat) == 6 * 30
+    by_pair: dict = {}
+    for r in mat:
+        by_pair.setdefault((r["sym_a"], r["sym_b"]), []).append(r)
+    assert set(by_pair) == {
+        ("ANTI", "COPY"), ("ANTI", "FLAT"), ("ANTI", "UP"),
+        ("COPY", "FLAT"), ("COPY", "UP"), ("FLAT", "UP"),
+    }
+    for r in by_pair[("COPY", "UP")][1:]:
+        assert abs(r["corr_10"] - 1.0) < 1e-6
+    for r in by_pair[("ANTI", "UP")][1:]:
+        assert abs(r["corr_10"] + 1.0) < 1e-6
+    for r in by_pair[("FLAT", "UP")]:
+        assert r["corr_10"] is None
+
+    # slice == single-pair operator (identical decimal sums)
+    pair_df = rolling_correlation(df, "UP", "COPY", n=10).collect()
+    want = {r["bucket_start"]: r["corr_10"] for r in pair_df}
+    for r in by_pair[("COPY", "UP")]:
+        # single-pair form tags (UP, COPY); matrix orders sym_a < sym_b —
+        # correlation is symmetric so values must agree exactly
+        assert r["corr_10"] == want[r["bucket_start"]]
+
+    # full-matrix twin parity
+    inner = " UNION ALL ".join(
+        f"SELECT '{s}' AS symbol, 'MINUTE' AS time_frame, "
+        f"TIMESTAMP '{ts.isoformat(sep=' ')}' AS bucket_start, "
+        f"CAST({c!r} AS DOUBLE) AS \"close\""
+        for (s, _f, ts, c) in rows
+    )
+    got = sorted(
+        (r["sym_a"], r["sym_b"], r["bucket_start"], r["corr_10"]) for r in mat
+    )
+    want_rows = sorted(
+        (w[0], w[1], w[2], w[5])
+        for w in duck.sql(
+            rolling_correlation_matrix_sql(inner, n=10)
+        ).fetchall()
+    )
+    assert len(got) == len(want_rows)
+    for g, w in zip(got, want_rows):
+        assert g[:3] == w[:3]
+        assert (g[3] is None) == (w[3] is None)
+        if g[3] is not None:
+            assert g[3] == w[3], (g, w)
+
+    # symbols filter bounds the matrix; <2 symbols rejected
+    small = rolling_correlation_matrix(df, symbols=["UP", "COPY"], n=10)
+    assert small.count() == 30
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least 2"):
+        rolling_correlation_matrix(df, symbols=["UP"], n=10)
+    with _pytest.raises(ValueError, match="n must"):
+        rolling_correlation_matrix(df, n=1)
