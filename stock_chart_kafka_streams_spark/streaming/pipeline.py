@@ -242,13 +242,32 @@ def enrich_trades_with_dim(trades: DataFrame, dim: DataFrame, on: str = "symbol"
     return trades.join(F.broadcast(dim), on=on, how="left")
 
 
-def cascade_upsert(path: str, frames: list[str] | None = None):
+def cascade_upsert(
+    path: str, frames: list[str] | None = None, fill_gaps: bool = False
+):
     """``foreachBatch`` hook: upsert the batch's closed minute candles,
     then recompute every coarse bucket those minutes touch by rolling up
     the serving table's minute rows (partition-pruned read; affected
     buckets per batch are few). Recomputing from stored minutes instead of
     keeping partial-merge state makes every batch idempotent and
-    replay-safe."""
+    replay-safe.
+
+    ``fill_gaps`` (r10 verdict #6): the batch READ path fills gaps on the
+    fly (``CandleStore.get_candles(fill_gaps=True)``), but a live chart
+    tailing the streaming serving table saw holes during quiet minutes.
+    With the flag on, each batch re-derives the flat volume-0 gap minutes
+    between the affected symbols' stored REAL candles
+    (``fill_candle_gaps`` — the same carry logic the read path uses) and
+    MERGEs them in, so the streamed table itself is the continuous series.
+    Invariants that keep this idempotent and batch-order-free: real
+    candles always have volume > 0 (a candle needs >= 1 trade), so
+    volume == 0 identifies synthesized rows; gaps are recomputed from the
+    REAL rows only (volume > 0) each batch, so a replayed or re-delivered
+    batch rewrites byte-identical gap rows; and the coarse-frame rollups
+    below read only volume > 0 minutes, so HOUR/DAY/MONTH stay the
+    rollup of real trades whether or not gaps are materialized. Per-batch
+    cost: one pruned scan + an OUTPUT-sized grid per affected symbol —
+    the batched/finalize sink remains the high-throughput path."""
     frames = [f for f in FRAME_ORDER if f != "MINUTE" and f in (frames or FRAME_ORDER)]
 
     def _write(batch: DataFrame, batch_id: int) -> None:
@@ -257,9 +276,36 @@ def cascade_upsert(path: str, frames: list[str] | None = None):
         spark = batch.sparkSession
         batch = batch.select(*CANDLE_COLUMNS).localCheckpoint(eager=True)
         upsert_candles(spark, batch, path)
+        if fill_gaps:
+            from stock_chart_kafka_streams_spark.operators.candles import (
+                fill_candle_gaps,
+            )
+
+            real = (
+                spark.read.parquet(path)
+                .where(F.col("time_frame") == "MINUTE")
+                .where(F.col("volume") > 0)
+                .join(
+                    batch.select("symbol").distinct(),
+                    on="symbol",
+                    how="left_semi",
+                )
+            )
+            gaps = (
+                fill_candle_gaps(real, "MINUTE")
+                .where(F.col("is_gap"))
+                .drop("is_gap")
+                .select(*CANDLE_COLUMNS)
+            )
+            upsert_candles(spark, gaps, path)
         if not frames:
             return
+        # (re)read AFTER any gap MERGE — the earlier listing's files may
+        # have been rewritten by it
         minutes = spark.read.parquet(path).where(F.col("time_frame") == "MINUTE")
+        if fill_gaps:
+            # coarse frames roll up REAL minutes only (see docstring)
+            minutes = minutes.where(F.col("volume") > 0)
         for frame in frames:
             affected = batch.select(
                 "symbol", bucket_start("bucket_start", frame).alias("bucket_start")
@@ -284,17 +330,20 @@ def start_candle_pipeline(
     watermark_delay: str = "0 seconds",
     available_now: bool = False,
     processing_time: str | None = None,
+    fill_gaps: bool = False,
 ) -> StreamingQuery:
     """Wire source → windowed agg → cascade sink and start the query.
 
     ``available_now=True`` drains all currently-available input in
     deterministic micro-batches and stops — the test/replay mode.
+    ``fill_gaps=True`` materializes flat volume-0 gap minutes in the
+    serving table as the stream advances (``cascade_upsert`` docstring).
     """
     candles = streaming_minute_candles(trades, watermark_delay)
     writer = (
         candles.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(cascade_upsert(path, frames))
+        .foreachBatch(cascade_upsert(path, frames, fill_gaps=fill_gaps))
     )
     if available_now:
         writer = writer.trigger(availableNow=True)

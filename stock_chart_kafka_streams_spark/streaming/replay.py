@@ -212,6 +212,7 @@ def replay_candles(
     work_dir: str | None = None,
     sink_mode: str = "cascade",
     merge_every: int = 8,
+    fill_gaps: bool = False,
 ) -> DataFrame:
     """Run the full streaming pipeline over a deterministic batch replay and
     return the resulting serving table (sentinel rows excluded).
@@ -225,6 +226,12 @@ def replay_candles(
     """
     if sink_mode not in ("cascade", "batched"):
         raise ValueError(f"sink_mode must be 'cascade' or 'batched', got {sink_mode!r}")
+    if fill_gaps and sink_mode == "batched":
+        raise ValueError(
+            "fill_gaps is a cascade-sink feature (the batched sink defers "
+            "MERGEs, so mid-stream gap rows would read a stale table); "
+            "run fill_candle_gaps at finalize/read time instead"
+        )
     own_tmp = work_dir is None
     work_dir = work_dir or tempfile.mkdtemp(prefix="candle-replay-")
     replay_dir = os.path.join(work_dir, "input")
@@ -257,6 +264,7 @@ def replay_candles(
                 frames=frames,
                 watermark_delay=watermark_delay,
                 available_now=True,
+                fill_gaps=fill_gaps,
             )
             q.awaitTermination()
         out = (

@@ -316,3 +316,69 @@ def test_streaming_nmin_candles_equal_batch_grid(spark, tmp_path):
     )
     want = sorted(map(tuple, candles_n_minutes(batch_df, 5).collect()))
     assert got == want and len(got) > 0
+
+
+def test_streaming_gap_fill_matches_batch_fill(spark, tmp_path):
+    """r10 verdict #6: with ``fill_gaps=True`` the STREAMED serving table
+    materializes flat volume-0 gap minutes as the stream advances, and
+    after the replay drains it equals the batch ``fill_candle_gaps``
+    result on the same gappy series — a live chart tailing the table sees
+    a continuous series, not holes. Coarse frames must stay the rollup of
+    REAL minutes (volume > 0), unchanged by gap materialization."""
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        fill_candle_gaps,
+        rollup_candles,
+    )
+
+    t0 = dt.datetime(2024, 2, 1, 9, 0, 0)
+    rows = []
+    # symbol G trades in minutes {0,1,5,6,12} across three batches;
+    # symbol H in {0,7} — quiet minutes in between are the gaps
+    for b, mins in enumerate([[0, 1], [5, 6], [12]]):
+        for m in mins:
+            rows.append(
+                ("G", 100.0 + m, 2, t0 + dt.timedelta(minutes=m, seconds=10), b)
+            )
+    rows.append(("H", 50.0, 1, t0 + dt.timedelta(seconds=30), 0))
+    rows.append(("H", 51.0, 3, t0 + dt.timedelta(minutes=7, seconds=5), 1))
+    trades = spark.createDataFrame(
+        rows, "symbol string, price double, quantity long, ts timestamp, batch long"
+    )
+
+    out = replay_candles(
+        spark,
+        trades,
+        frames=["MINUTE", "HOUR"],
+        fill_gaps=True,
+        work_dir=str(tmp_path / "replay"),
+    ).cache()
+
+    minutes = out.where(F.col("time_frame") == "MINUTE")
+    want = (
+        fill_candle_gaps(candles(trades.drop("batch"), "MINUTE"), "MINUTE")
+        .drop("is_gap")
+    )
+    assert minutes.exceptAll(want).count() == 0
+    assert want.exceptAll(minutes).count() == 0
+    # G spans 13 minute buckets, H spans 8 — the gaps are materialized
+    assert minutes.count() == 13 + 8
+    gap_rows = minutes.where(F.col("volume") == 0).collect()
+    assert len(gap_rows) == (13 - 5) + (8 - 2)
+    for r in gap_rows:
+        assert r["open"] == r["high"] == r["low"] == r["close"]
+
+    # coarse frames: rollup of REAL minutes only, gaps invisible
+    hours = out.where(F.col("time_frame") == "HOUR")
+    rolled = rollup_candles(candles(trades.drop("batch"), "MINUTE"), "HOUR")
+    assert hours.exceptAll(rolled).count() == 0
+    assert rolled.exceptAll(hours).count() == 0
+
+
+def test_replay_fill_gaps_rejects_batched_sink(spark):
+    import pytest as _pytest
+
+    df = spark.range(1)
+    with _pytest.raises(ValueError, match="cascade-sink feature"):
+        replay_candles(spark, df, sink_mode="batched", fill_gaps=True)
