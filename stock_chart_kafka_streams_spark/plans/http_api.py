@@ -141,6 +141,27 @@ class _Handler(BaseHTTPRequestHandler):
                     200,
                     self._candles(self.store.recent(parts[3], frame, n=minutes())),
                 )
+            elif parts[2] == "point" and len(parts) == 4:
+                # single candle by calendar parts (reference Q6) through
+                # the store's LRU point tier — the chart poller's
+                # repeated re-read of the live candle is a dict hit, not
+                # a Spark job (strict int parse: garbage is the 400
+                # class; a missing candle is 404, the GET-nil analogue)
+                if "year" not in q or "month" not in q:
+                    raise ValueError("point lookup requires year and month")
+                row = self.store.point_row(
+                    parts[3],
+                    frame,
+                    year=int(q["year"]),
+                    month=int(q["month"]),
+                    day=int(q.get("day", "1")),
+                    hour=int(q.get("hour", "0")),
+                    minute=int(q.get("minute", "0")),
+                )
+                if row is None:
+                    self._send(404, {"error": "no candle at that bucket"})
+                else:
+                    self._send(200, candle_rows_to_json([row])[0])
             elif len(parts) == 3:
                 symbol = parts[2]
                 # ?fill=true gap-fills the range (flat candles + is_gap,

@@ -28,6 +28,24 @@ from stock_chart_kafka_streams_spark.schemas import CANDLE_COLUMNS, CANDLE_KEY
 
 PARTITION_COLS = ["time_frame", "bucket_date"]
 
+# Serving-table write counter (r10 verdict #7): every writer below bumps
+# the table's version so driver-side read caches (CandleStore's point-
+# lookup LRU) can invalidate on MERGE instead of serving stale rows.
+# Driver-process scope by design — the cache it serves lives on the same
+# driver; a table written by ANOTHER process is a different serving
+# deployment and gets a fresh CandleStore anyway.
+_TABLE_VERSIONS: dict[str, int] = {}
+
+
+def table_version(path: str) -> int:
+    """Monotonic per-path write counter (0 if never written here)."""
+    return _TABLE_VERSIONS.get(os.path.abspath(path), 0)
+
+
+def _bump_table_version(path: str) -> None:
+    key = os.path.abspath(path)
+    _TABLE_VERSIONS[key] = _TABLE_VERSIONS.get(key, 0) + 1
+
 
 @contextmanager
 def _dynamic_partition_overwrite(spark: SparkSession):
@@ -87,6 +105,7 @@ def write_candles(candles: DataFrame, path: str, mode: str = "overwrite") -> Non
         .partitionBy(*PARTITION_COLS)
         .parquet(path)
     )
+    _bump_table_version(path)
 
 
 def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
@@ -139,6 +158,7 @@ def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
             .partitionBy(*PARTITION_COLS)
             .parquet(path)
         )
+    _bump_table_version(path)
 
 
 def compact_candles(
@@ -184,6 +204,7 @@ def compact_candles(
             .partitionBy(*PARTITION_COLS)
             .parquet(path)
         )
+    _bump_table_version(path)
 
 
 def foreach_batch_upsert(path: str):
@@ -430,4 +451,6 @@ def expire_candles(
             if bd < cutoff:
                 fs.delete(bd_status.getPath(), True)
                 dropped.append((frame, bd.isoformat()))
+    if dropped:
+        _bump_table_version(path)
     return sorted(dropped)

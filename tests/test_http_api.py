@@ -305,3 +305,95 @@ def test_http_fill_recent_endpoint(store, base_url):
     )
     assert status == 200
     assert all("isGap" in r for r in got)
+
+
+# -- point-lookup tier: LRU over (symbol, frame, bucket) (round 11) ----------
+
+
+def test_point_endpoint_round_trip_cache_and_merge_invalidation(spark, tmp_path):
+    """r10 verdict #7: the /point route serves a single candle through
+    the store's driver-side LRU — cold call is the pruned scan, warm
+    repeat is a dict hit (orders of magnitude faster), and a MERGE bumps
+    the table version so the next read refetches the NEW value instead
+    of serving the cached stale one."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        upsert_candles,
+        write_candles,
+    )
+
+    table = str(tmp_path / "serving_point")
+    mf = multi_frame_candles(
+        load_trades(spark, SF_DIR), ["MINUTE", "HOUR"]
+    ).localCheckpoint()
+    write_candles(mf, table)
+    store = CandleStore.from_path(spark, table, point_cache_size=64)
+    server, url = serve_in_background(store)
+    try:
+        target = (
+            mf.where(F.col("time_frame") == "HOUR")
+            .orderBy("symbol", "bucket_start")
+            .first()
+        )
+        b = target["bucket_start"]
+        q = (
+            f"{url}/api/charts/point/{target['symbol']}?frame=HOUR"
+            f"&year={b.year}&month={b.month}&day={b.day}&hour={b.hour}"
+        )
+        t0 = time.perf_counter()
+        status, cold = _get(q)
+        cold_s = time.perf_counter() - t0
+        assert status == 200
+        assert cold["close"] == target["close"]
+        assert cold["volume"] == target["volume"]
+
+        t0 = time.perf_counter()
+        status, warm = _get(q)
+        warm_s = time.perf_counter() - t0
+        assert status == 200 and warm == cold
+        # dict hit vs Spark job: decisively faster, not statistically
+        assert warm_s < cold_s and warm_s < 0.05, (cold_s, warm_s)
+
+        # MERGE a changed candle at the same key -> cache must invalidate
+        changed = spark.createDataFrame(
+            [(
+                target["symbol"], "HOUR", target["bucket_start"],
+                target["bucket_end"], target["open"], target["high"],
+                target["low"], 123456.78, int(target["volume"]) + 7,
+            )],
+            "symbol string, time_frame string, bucket_start timestamp, "
+            "bucket_end timestamp, open double, high double, low double, "
+            "close double, volume long",
+        )
+        upsert_candles(spark, changed, table)
+        status, fresh = _get(q)
+        assert status == 200
+        assert fresh["close"] == 123456.78
+        assert fresh["volume"] == int(target["volume"]) + 7
+
+        # missing candle -> 404; bad params -> 400
+        status, _ = _get_err(
+            f"{url}/api/charts/point/{target['symbol']}?frame=HOUR"
+            f"&year=1971&month=1&day=1&hour=0"
+        )
+        assert status == 404
+        status, _ = _get_err(f"{url}/api/charts/point/{target['symbol']}?frame=HOUR")
+        assert status == 400
+        status, _ = _get_err(
+            f"{url}/api/charts/point/{target['symbol']}?frame=HOUR"
+            f"&year=2024&month=abc"
+        )
+        assert status == 400
+    finally:
+        server.shutdown()
+
+
+def _get_err(url):
+    try:
+        with urllib.request.urlopen(url, timeout=120) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as exc:
+        return exc.code, json.loads(exc.read())
