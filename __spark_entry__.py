@@ -1604,6 +1604,70 @@ def _q_s5i(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _extended_index_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Index built on the md5-sample HALF of the corpus, then
+    ``extend_pq_index``-ed with the complement — train-on-A /
+    encode-everything, so the operators' existing sample_den=2 twins are
+    the exact oracle for queries served from it."""
+    import tempfile
+
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _md5_sample_pred,
+        build_pq_index,
+        extend_pq_index,
+    )
+
+    key = (sf_dir, f"{kind}-extended")
+    if key not in _PQ_INDEX_CACHE:
+        path = tempfile.mkdtemp(prefix=f"pq-index-ext-{kind}-")
+        embs = _embs(spark, sf_dir)
+        half = embs.where(_md5_sample_pred("vec_id", 1, 2))
+        rest = embs.join(half.select("vec_id"), on="vec_id", how="left_anti")
+        build_pq_index(half, path, n_lists=8 if kind == "ivfpq" else None)
+        extend_pq_index(rest, path)
+        _PQ_INDEX_CACHE[key] = path
+    return _PQ_INDEX_CACHE[key]
+
+
+def _q_s5x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental index growth (round 11): build the PQ index on the
+    md5-half, extend with the complement (stored codebooks encode the new
+    rows — zero retrain), serve the standard query batch. Bit-identical
+    to pq_topk over the full corpus with training restricted to the same
+    md5 sample, so pq_topk_sql(sample_den=2) is the full-procedure
+    oracle."""
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    return pq_topk(
+        embs,
+        embs.where(_F.col("vec_id") < 5),
+        k=10,
+        index_path=_extended_index_dir(spark, sf_dir, "pq"),
+    )
+
+
+def _q_s6x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s6 over an incrementally-extended IVF+PQ index: new vectors list-
+    assigned by the STORED coarse centroids and encoded by the STORED
+    codebooks; twin = ivfpq_topk_sql with both sample knobs at 1/2."""
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import ivfpq_topk
+
+    embs = _embs(spark, sf_dir)
+    return ivfpq_topk(
+        embs,
+        embs.where(_F.col("vec_id") < 5),
+        k=10,
+        n_lists=8,
+        n_probe=3,
+        index_path=_extended_index_dir(spark, sf_dir, "ivfpq"),
+    )
+
+
 def _q_s6i(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s6 served from the persisted IVF+PQ artifact: coarse centroids +
     codebooks load driver-side, the cid-partitioned code table scans
@@ -1852,6 +1916,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w13_mad_outliers": _q_w13,
         "s5_pq_index_topk": _q_s5i,
         "s6_ivfpq_index_topk": _q_s6i,
+        "s5_pq_index_extend": _q_s5x,
+        "s6_ivfpq_index_extend": _q_s6x,
         "w15_corr_matrix": _q_w15,
     }
 
@@ -2025,6 +2091,15 @@ FROM documents
         # build the artifact persisted)
         "s5_pq_index_topk": _sim.pq_topk_sql(k=10),
         "s6_ivfpq_index_topk": _sim.ivfpq_topk_sql(k=10, n_lists=8, n_probe=3),
+        # extended-index forms: train-on-md5-half / encode-everything is
+        # exactly the operators' sample_den=2 shape, which the twins
+        # already replay in full
+        "s5_pq_index_extend": _sim.pq_topk_sql(k=10, sample_num=1, sample_den=2),
+        "s6_ivfpq_index_extend": _sim.ivfpq_topk_sql(
+            k=10, n_lists=8, n_probe=3,
+            sample_num=1, sample_den=2,
+            coarse_sample_num=1, coarse_sample_den=2,
+        ),
         "c17_5min_candles": _c17_sql(),
         "d10_domain_cap": _sampling.domain_cap_sql(cap=15),
         "d10b_source_mix_stats": _sampling.source_mix_stats_sql(),

@@ -1986,6 +1986,76 @@ def read_pq_index(
     return meta, books, coarse
 
 
+def extend_pq_index(new_vectors: DataFrame, path: str) -> int:
+    """Grow a persisted ANN index with new corpus vectors WITHOUT
+    rebuilding (round 11 — the d9-incremental story applied to serving
+    indexes): encode the new vectors with the STORED codebooks (and, for
+    an IVF index, assign them to lists with the stored coarse centroids),
+    then append their code rows to the artifact. The ~10 s train never
+    re-runs; only the new batch is scanned.
+
+    Exactness contract (what makes this oracle-able): an index built on
+    corpus slice A and extended with slice B serves queries BIT-IDENTICALLY
+    to ``pq_topk``/``ivfpq_topk`` over A∪B with training restricted to A —
+    the same train-on-sample/encode-everything shape the operators'
+    ``sample_num/den`` knobs (and their DuckDB twins) already replay. The
+    driver extra builds on the md5-sample half and extends with the
+    complement, so the EXISTING full-procedure twin is the oracle.
+
+    Idempotency: ids already present in the code table are anti-joined
+    away before the append, so a redelivered batch (at-least-once
+    ``foreachBatch`` delivery) appends nothing — the d9 discipline.
+    Quantization drift: none — codebooks/centroids load from parquet
+    float64 exactly, and the encode argmin is the same expression the
+    build ran.
+
+    Returns the number of NEW rows appended (0 for a fully-redelivered
+    batch)."""
+    spark = new_vectors.sparkSession
+    meta, books, coarse = read_pq_index(spark, path)
+    m, n_codes, sub_dim, dim = (
+        meta["m"], meta["n_codes"], meta["sub_dim"], meta["dim"],
+    )
+    id_col = meta["id_col"]
+    if id_col not in new_vectors.columns:
+        raise ValueError(
+            f"new_vectors must carry the index id column {id_col!r}"
+        )
+    vec_col = "embedding" if "embedding" in new_vectors.columns else None
+    if vec_col is None:
+        cand = [c for c in new_vectors.columns if c != id_col]
+        if len(cand) != 1:
+            raise ValueError(
+                "cannot infer the vector column; pass (id, embedding) rows"
+            )
+        vec_col = cand[0]
+
+    existing_ids = spark.read.parquet(f"{path}/codes").select(id_col)
+    fresh = new_vectors.join(existing_ids, on=id_col, how="left_anti")
+    # bound the append (and make `return 0` cheap) before the encode
+    fresh = fresh.localCheckpoint(eager=True)
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+
+    cn = _normalized(fresh, id_col, vec_col, dim)
+    codes = _pq_encode(cn, books, m, sub_dim, id_col, meta["encode_mode"])
+    if meta["kind"] == "ivfpq":
+        assert coarse is not None
+        c_lists = _coarse_assign(
+            fresh, coarse, meta["encode_mode"], id_col, vec_col, dim
+        )
+        (
+            codes.join(c_lists, on=id_col)
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(f"{path}/codes")
+        )
+    else:
+        codes.write.mode("append").parquet(f"{path}/codes")
+    return n_new
+
+
 def _check_index_meta(meta: dict, kind: str, m: int, n_codes: int, dim: int) -> None:
     """A stored index silently serving different hyper-parameters than
     the caller asked for is the wrong-answer class — raise instead."""

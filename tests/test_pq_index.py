@@ -113,3 +113,58 @@ def test_index_meta_mismatch_raises(spark, embs, queries, tmp_path):
             embs, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
             index_path=path,
         )
+
+
+def test_extend_pq_index_equals_sampled_train_and_is_idempotent(
+    spark, embs, queries, tmp_path
+):
+    """Incremental growth contract: build on the md5-half, extend with
+    the complement -> queries serve BIT-IDENTICALLY to the rebuild-every-
+    call operator over the full corpus with training restricted to the
+    same md5 sample (the sample_den=2 shape its twin replays). Redelivery
+    appends nothing."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _md5_sample_pred,
+        extend_pq_index,
+    )
+
+    half = embs.where(_md5_sample_pred("vec_id", 1, 2))
+    rest = embs.join(half.select("vec_id"), on="vec_id", how="left_anti")
+    n_half, n_rest = half.count(), rest.count()
+    assert n_half > 0 and n_rest > 0
+
+    for kind, n_lists in (("pq", None), ("ivfpq", 8)):
+        path = str(tmp_path / f"ext_{kind}")
+        build_pq_index(half, path, n_lists=n_lists, m=4, n_codes=8)
+        appended = extend_pq_index(rest, path)
+        assert appended == n_rest
+        # redelivered batch: anti-join drops everything
+        assert extend_pq_index(rest, path) == 0
+        assert (
+            spark.read.parquet(f"{path}/codes").count() == n_half + n_rest
+        )
+
+        if kind == "pq":
+            served = pq_topk(embs, queries, k=5, m=4, n_codes=8, index_path=path)
+            fresh = pq_topk(
+                embs, queries, k=5, m=4, n_codes=8,
+                sample_num=1, sample_den=2,
+            )
+        else:
+            served = ivfpq_topk(
+                embs, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
+                index_path=path,
+            )
+            fresh = ivfpq_topk(
+                embs, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
+                sample_num=1, sample_den=2,
+                coarse_sample_num=1, coarse_sample_den=2,
+            )
+        assert _rows(served) == _rows(fresh), kind
+
+    # unknown id column -> explicit error, not silent mis-keying
+    bad = embs.withColumnRenamed("vec_id", "other_id")
+    with pytest.raises(ValueError, match="id column"):
+        extend_pq_index(bad, str(tmp_path / "ext_pq"))
