@@ -1,0 +1,69 @@
+"""Continuous ANN-index ingestion (round 11): the d9 operational loop
+(streaming/dedup.py::foreach_batch_corpus_ingest) applied to the persisted
+serving index (operators/similarity.py::build_pq_index).
+
+A production embedding pipeline never rebuilds its ANN index per corpus
+snapshot — new vectors arrive continuously and the index must grow in
+place. ``foreach_batch_index_ingest`` is the ``foreachBatch`` hook: each
+micro-batch of (id, embedding) rows is appended to the index via
+``extend_pq_index`` (encode with the STORED codebooks, list-assign with
+the STORED coarse centroids — zero retrain per batch), and optionally to
+a raw-vector corpus table so the exact-rerank fetch-back side grows in
+lockstep.
+
+Idempotent under foreachBatch's at-least-once redelivery without batch-id
+bookkeeping: ``extend_pq_index`` anti-joins incoming ids against the code
+table, so a replayed batch's vectors are by then IN the index and append
+nothing (the corpus append, when enabled, reuses the same surviving-id
+set). Replay-equals-one-shot is pytest-asserted
+(tests/test_pq_index.py), the compaction sink's convergence discipline.
+
+Ordering: the CODE rows append first, the raw-vector corpus second — a
+crash between the two leaves ids that are in the index but not in the
+corpus table; the exact rerank simply cannot return them (inner join on
+id), and the next redelivery of the batch repairs the corpus append while
+the index append no-ops. The reverse order would leave vectors invisible
+to the candidate scan with nothing left to repair them.
+
+Recall drift, documented: codebooks/centroids stay trained on the corpus
+as of ``build_pq_index``; as the distribution drifts, quantization error
+grows exactly as in any FAISS deployment serving an aging index — the
+answer is a periodic re-``build_pq_index`` (cheap: it is the measured
+~10 s batch job), not per-batch retraining.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def foreach_batch_index_ingest(index_path: str, corpus_path: str | None = None):
+    """``foreachBatch`` hook: extend the persisted ANN index at
+    ``index_path`` with each micro-batch of new embedding rows; when
+    ``corpus_path`` is given, also append the surviving (new-id) raw
+    rows there so rerank fetch-back serves them."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        extend_pq_index,
+        read_pq_index,
+    )
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        # pin the batch: extend() runs an anti-join + count + encode over
+        # it, and the corpus append below must see the identical rows
+        batch = batch.localCheckpoint(eager=True)
+        n_new = extend_pq_index(batch, index_path)
+        if corpus_path is None or n_new == 0:
+            return
+        meta, _, _ = read_pq_index(spark, index_path)
+        id_col = meta["id_col"]
+        existing = spark.read.parquet(corpus_path).select(id_col)
+        fresh = batch.join(existing, on=id_col, how="left_anti")
+        # localCheckpoint so the append never races the corpus scan above
+        fresh.localCheckpoint(eager=True).write.mode("append").parquet(
+            corpus_path
+        )
+
+    return _write

@@ -168,3 +168,74 @@ def test_extend_pq_index_equals_sampled_train_and_is_idempotent(
     bad = embs.withColumnRenamed("vec_id", "other_id")
     with pytest.raises(ValueError, match="id column"):
         extend_pq_index(bad, str(tmp_path / "ext_pq"))
+
+
+def test_streaming_index_ingest_replay_equals_one_shot(spark, embs, tmp_path):
+    """Continuous index ingestion (streaming/ann_index.py): build on the
+    md5-half, stream the complement through foreachBatch in single-file
+    micro-batches WITH a redelivered batch — the final index and corpus
+    table equal the one-shot extend (no duplicates, no missing rows), and
+    queries served from the streamed index equal the sampled-train
+    rebuild."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _md5_sample_pred,
+    )
+    from stock_chart_kafka_streams_spark.streaming.ann_index import (
+        foreach_batch_index_ingest,
+    )
+
+    half = embs.where(_md5_sample_pred("vec_id", 1, 2))
+    rest = embs.join(half.select("vec_id"), on="vec_id", how="left_anti")
+    n_total = embs.count()
+
+    idx = str(tmp_path / "stream_idx")
+    corpus = str(tmp_path / "stream_corpus")
+    indir = str(tmp_path / "in")
+    build_pq_index(half, idx, n_lists=8, m=4, n_codes=8)
+    half.write.parquet(corpus)
+
+    # three single-file micro-batches of new vectors
+    for i in range(3):
+        rest.where(F.pmod("vec_id", 3) == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(indir)
+    # simulate at-least-once redelivery: duplicate one input file
+    import os
+
+    part = next(
+        f for f in os.listdir(indir) if f.endswith(".parquet")
+    )
+    shutil.copy(os.path.join(indir, part), os.path.join(indir, "redelivered.parquet"))
+
+    q = (
+        spark.readStream.schema(embs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(indir)
+        .writeStream.foreachBatch(foreach_batch_index_ingest(idx, corpus))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == n_total
+    assert codes.select("vec_id").distinct().count() == n_total
+    stored = spark.read.parquet(corpus)
+    assert stored.count() == n_total
+    assert stored.select("vec_id").distinct().count() == n_total
+
+    qs = embs.where(F.col("vec_id") % 50 == 0).limit(5)
+    served = ivfpq_topk(
+        stored, qs, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
+        index_path=idx,
+    )
+    fresh = ivfpq_topk(
+        embs, qs, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
+        sample_num=1, sample_den=2, coarse_sample_num=1, coarse_sample_den=2,
+    )
+    assert _rows(served) == _rows(fresh)
