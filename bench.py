@@ -561,6 +561,7 @@ def _tier2_queries(
         semantic_dedup,
     )
 
+    d8_slice = embs.where(F.col("vec_id") < 2_500_000_000)
     d8_runs: list[float] = []
     d8_best: dict = {}
     for _ in range(2):
@@ -952,283 +953,292 @@ def main() -> None:
 
     gate = StderrCodegenGate()
     gate.__enter__()
-    spark = get_spark(app_name="candle-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    queries = entry_mod.queries()
+    try:
+        spark = get_spark(app_name="candle-bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        queries = entry_mod.queries()
 
-    # warmup: touch the parquet + exercise codegen once
-    _noop(queries["c3_day_candles"](spark, sf_dir))
+        # warmup: touch the parquet + exercise codegen once
+        _noop(queries["c3_day_candles"](spark, sf_dir))
 
-    # best of 3 runs per query (tier 1 is sub-second fixed-overhead work,
-    # so the extra run is cheap): JVM JIT and page cache stabilize after
-    # the first execution; min is the standard steady-state estimator and
-    # a single GC pause can no longer masquerade as a regression.
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        timings[name] = _time_best(lambda: queries[name](spark, sf_dir), runs=3)
-    total = round(sum(timings.values()), 3)
+        # best of 3 runs per query (tier 1 is sub-second fixed-overhead work,
+        # so the extra run is cheap): JVM JIT and page cache stabilize after
+        # the first execution; min is the standard steady-state estimator and
+        # a single GC pause can no longer masquerade as a regression.
+        timings: dict[str, float] = {}
+        for name in BENCH_QUERIES:
+            timings[name] = _time_best(lambda: queries[name](spark, sf_dir), runs=3)
+        total = round(sum(timings.values()), 3)
 
-    stream_extra: dict = {}
-    # Streaming throughput (same numbers tools/bench_streaming.py prints,
-    # folded into the driver-recorded JSON): 2M generated events drained
-    # through the real stateful pipeline with trigger(availableNow) in 4
-    # micro-batches; *_sec is the drain wall-clock. Disable with
-    # SPARK_GRAFT_BENCH_STREAM=0.
-    if os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") != "0":
-        import tools.bench_streaming as _bs
+        stream_extra: dict = {}
+        # Streaming throughput (same numbers tools/bench_streaming.py prints,
+        # folded into the driver-recorded JSON): 2M generated events drained
+        # through the real stateful pipeline with trigger(availableNow) in 4
+        # micro-batches; *_sec is the drain wall-clock. Disable with
+        # SPARK_GRAFT_BENCH_STREAM=0.
+        if os.environ.get("SPARK_GRAFT_BENCH_STREAM", "1") != "0":
+            import tools.bench_streaming as _bs
 
-        work = tempfile.mkdtemp(prefix="bench-stream-")
-        try:
-            n_ticks = int(os.environ.get("SPARK_GRAFT_BENCH_TICKS_STREAM", "40000"))
-            symbols = {f"S{i:03d}": 10.0 + 7.3 * i for i in range(50)}
-            from stock_chart_kafka_streams_spark.sources.generator import (
-                generate_trades,
-            )
-
-            spool = os.path.join(work, "spool")
-            (
-                generate_trades(spark, n_ticks, symbols=symbols)
-                .repartition(64)
-                .write.mode("overwrite")
-                .parquet(spool)
-            )
-            for shape in ("single", "chained"):
-                timings[f"t2_stream_{shape}_2m_events"] = round(
-                    _bs._drain(spark, spool, work, shape), 3
+            work = tempfile.mkdtemp(prefix="bench-stream-")
+            try:
+                n_ticks = int(os.environ.get("SPARK_GRAFT_BENCH_TICKS_STREAM", "40000"))
+                symbols = {f"S{i:03d}": 10.0 + 7.3 * i for i in range(50)}
+                from stock_chart_kafka_streams_spark.sources.generator import (
+                    generate_trades,
                 )
-        finally:
-            shutil.rmtree(work, ignore_errors=True)
 
-        # Full-pipeline REPLAY (not a noop drain): JSON micro-batch files
-        # written by the distributed spool writer (streaming/replay.py),
-        # drained through file source → watermark → minute candles →
-        # foreachBatch cascade → MERGE serving sink. This is the c12/c15
-        # correctness harness at tier-2 scale — possible since round 6
-        # because the spool writer no longer materializes rows on the
-        # driver. Spool construction is untimed; the drain (including
-        # every per-batch MERGE) is timed.
-        from pyspark.sql import functions as F_
+                spool = os.path.join(work, "spool")
+                (
+                    generate_trades(spark, n_ticks, symbols=symbols)
+                    .repartition(64)
+                    .write.mode("overwrite")
+                    .parquet(spool)
+                )
+                for shape in ("single", "chained"):
+                    timings[f"t2_stream_{shape}_2m_events"] = round(
+                        _bs._drain(spark, spool, work, shape), 3
+                    )
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
 
-        from stock_chart_kafka_streams_spark.sources.generator import generate_trades
-        from stock_chart_kafka_streams_spark.sources.trades import (
-            read_trades_json_stream,
-        )
-        from stock_chart_kafka_streams_spark.streaming.pipeline import (
-            start_candle_pipeline,
-        )
-        from stock_chart_kafka_streams_spark.streaming.replay import (
-            write_replay_batches,
-        )
+            # Full-pipeline REPLAY (not a noop drain): JSON micro-batch files
+            # written by the distributed spool writer (streaming/replay.py),
+            # drained through file source → watermark → minute candles →
+            # foreachBatch cascade → MERGE serving sink. This is the c12/c15
+            # correctness harness at tier-2 scale — possible since round 6
+            # because the spool writer no longer materializes rows on the
+            # driver. Spool construction is untimed; the drain (including
+            # every per-batch MERGE) is timed.
+            from pyspark.sql import functions as F_
 
-        work = tempfile.mkdtemp(prefix="bench-replay-")
-        try:
-            n_ticks_r = int(os.environ.get("SPARK_GRAFT_BENCH_TICKS_REPLAY", "20000"))
-            symbols = {f"S{i:03d}": 10.0 + 7.3 * i for i in range(50)}
-            trades = generate_trades(spark, n_ticks_r, symbols=symbols)
-            lo, hi = trades.agg(F_.min("ts"), F_.max("ts")).collect()[0]
-            span = max((hi - lo).total_seconds(), 1.0)
-            width = max(int(span // 12) + 1, 1)
-            tb = trades.withColumn(
-                "batch",
-                ((F_.col("ts").cast("long") - int(lo.timestamp())) / width).cast(
-                    "long"
-                ),
+            from stock_chart_kafka_streams_spark.sources.generator import generate_trades
+            from stock_chart_kafka_streams_spark.sources.trades import (
+                read_trades_json_stream,
             )
-            write_replay_batches(tb, os.path.join(work, "in"))
-
-            def _batch_ms(q) -> list[float]:
-                """Per-micro-batch triggerExecution wall-clock from the
-                query's progress log — the r8 variance diagnostic for
-                the replay entries (a slow RUN with uniform batches is
-                environmental; a slow BATCH is MERGE/listing churn)."""
-                out = []
-                for p in q.recentProgress:
-                    if isinstance(p, str):
-                        p = json.loads(p)
-                    out.append(float(p.get("durationMs", {}).get("triggerExecution", 0)))
-                return out
-
-            # Best-of-2 since round 8 (was single-run): the variance
-            # probe (tools/variance_probe.py, PERF.md round 8) attributed
-            # the r7 41-63 s spread to first-execution state — per-batch
-            # addBatch dominates uniformly and the first run carries the
-            # codegen/page-cache/GC debt — so one warmup execution
-            # restores the steady-state estimator. Per-run walls and the
-            # best run's per-batch triggerExecution ms are recorded.
             from stock_chart_kafka_streams_spark.streaming.pipeline import (
-                start_candle_pipeline_batched,
+                start_candle_pipeline,
+            )
+            from stock_chart_kafka_streams_spark.streaming.replay import (
+                write_replay_batches,
             )
 
-            replay_runs, compact_runs = [], []
-            for r in range(2):
-                stream = read_trades_json_stream(
-                    spark, os.path.join(work, "in"), max_files_per_trigger=2
+            work = tempfile.mkdtemp(prefix="bench-replay-")
+            try:
+                n_ticks_r = int(os.environ.get("SPARK_GRAFT_BENCH_TICKS_REPLAY", "20000"))
+                symbols = {f"S{i:03d}": 10.0 + 7.3 * i for i in range(50)}
+                trades = generate_trades(spark, n_ticks_r, symbols=symbols)
+                lo, hi = trades.agg(F_.min("ts"), F_.max("ts")).collect()[0]
+                span = max((hi - lo).total_seconds(), 1.0)
+                width = max(int(span // 12) + 1, 1)
+                tb = trades.withColumn(
+                    "batch",
+                    ((F_.col("ts").cast("long") - int(lo.timestamp())) / width).cast(
+                        "long"
+                    ),
                 )
-                spark.sparkContext._jvm.System.gc()
-                t0 = time.perf_counter()
-                q = start_candle_pipeline(
-                    stream,
-                    os.path.join(work, f"serving{r}"),
-                    os.path.join(work, f"ck{r}"),
-                    frames=["MINUTE", "HOUR"],
-                    watermark_delay="0 seconds",
-                    available_now=True,
-                )
-                q.awaitTermination()
-                replay_runs.append(round(time.perf_counter() - t0, 3))
-                if replay_runs[-1] == min(replay_runs):
-                    stream_extra["replay_batch_ms"] = _batch_ms(q)
+                write_replay_batches(tb, os.path.join(work, "in"))
 
-                # Same replay through the BatchedCompactionSink (r8):
-                # append staging per batch, MERGE every 8, coarse frames
-                # at finalize — the high-throughput serving-sink option;
-                # finalize is inside the timed window so the entry covers
-                # the identical end state as the cascade entry above.
-                stream2 = read_trades_json_stream(
-                    spark, os.path.join(work, "in"), max_files_per_trigger=2
-                )
-                spark.sparkContext._jvm.System.gc()
-                t0 = time.perf_counter()
-                q2, sink2 = start_candle_pipeline_batched(
-                    stream2,
-                    os.path.join(work, f"serving_c{r}"),
-                    os.path.join(work, f"ck_c{r}"),
-                    frames=["MINUTE", "HOUR"],
-                    watermark_delay="0 seconds",
-                    available_now=True,
-                    merge_every=8,
-                )
-                q2.awaitTermination()
-                sink2.finalize(["MINUTE", "HOUR"])
-                compact_runs.append(round(time.perf_counter() - t0, 3))
-                if compact_runs[-1] == min(compact_runs):
-                    stream_extra["replay_compact_batch_ms"] = _batch_ms(q2)
-            timings["t2_stream_replay_full_1m"] = min(replay_runs)
-            timings["t2_stream_replay_compact_1m"] = min(compact_runs)
-            stream_extra["replay_runs_s"] = replay_runs
-            stream_extra["replay_compact_runs_s"] = compact_runs
-        finally:
-            shutil.rmtree(work, ignore_errors=True)
+                def _batch_ms(q) -> list[float]:
+                    """Per-micro-batch triggerExecution wall-clock from the
+                    query's progress log — the r8 variance diagnostic for
+                    the replay entries (a slow RUN with uniform batches is
+                    environmental; a slow BATCH is MERGE/listing churn)."""
+                    out = []
+                    for p in q.recentProgress:
+                        if isinstance(p, str):
+                            p = json.loads(p)
+                        out.append(float(p.get("durationMs", {}).get("triggerExecution", 0)))
+                    return out
 
-    tier2_info = {}
-    if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") != "0":
-        work = tempfile.mkdtemp(prefix="bench-tier2-")
-        try:
-            trades_path, docs_path, embs_path, n_trades, n_docs = _tier2_inputs(
-                spark, sf_dir, work
-            )
-            t2_timings, t2_extra = _tier2_queries(
-                spark, trades_path, docs_path, embs_path
-            )
-            timings.update(t2_timings)
-            # fresh-JVM isolation for the five suite-state-sensitive
-            # entries (r10 verdict #4): the subprocess number becomes the
-            # number of record; the in-suite one stays as insuite_* so
-            # the suite-state delta itself is visible in the record.
-            if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
-                import subprocess
+                # Best-of-2 since round 8 (was single-run): the variance
+                # probe (tools/variance_probe.py, PERF.md round 8) attributed
+                # the r7 41-63 s spread to first-execution state — per-batch
+                # addBatch dominates uniformly and the first run carries the
+                # codegen/page-cache/GC debt — so one warmup execution
+                # restores the steady-state estimator. Per-run walls and the
+                # best run's per-batch triggerExecution ms are recorded.
+                from stock_chart_kafka_streams_spark.streaming.pipeline import (
+                    start_candle_pipeline_batched,
+                )
 
-                for hname in HEAVY_ISOLATED:
-                    if hname not in timings:
-                        continue
-                    proc = subprocess.run(
-                        [
-                            sys.executable,
-                            os.path.abspath(__file__),
-                            "--isolated",
-                            hname,
-                            trades_path,
-                            docs_path,
-                            embs_path,
-                        ],
-                        capture_output=True,
-                        text=True,
-                        timeout=3600,
+                replay_runs, compact_runs = [], []
+                for r in range(2):
+                    stream = read_trades_json_stream(
+                        spark, os.path.join(work, "in"), max_files_per_trigger=2
                     )
-                    line = next(
-                        (
-                            ln
-                            for ln in reversed(proc.stdout.splitlines())
-                            if ln.startswith("{")
-                        ),
-                        None,
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.perf_counter()
+                    q = start_candle_pipeline(
+                        stream,
+                        os.path.join(work, f"serving{r}"),
+                        os.path.join(work, f"ck{r}"),
+                        frames=["MINUTE", "HOUR"],
+                        watermark_delay="0 seconds",
+                        available_now=True,
                     )
-                    # the subprocess's stderr is captured, so feed it to
-                    # the codegen gate by hand — an isolated run must not
-                    # be able to hide a fallback from the record
-                    from tools.codegen_gate import scan_text
+                    q.awaitTermination()
+                    replay_runs.append(round(time.perf_counter() - t0, 3))
+                    if replay_runs[-1] == min(replay_runs):
+                        stream_extra["replay_batch_ms"] = _batch_ms(q)
 
-                    for h in scan_text(proc.stderr):
-                        if h not in gate.hits:
-                            gate.hits.append(h)
-                    if proc.returncode != 0 or line is None:
-                        t2_extra[f"isolated_{hname}_error"] = (
-                            proc.stderr.strip().splitlines() or ["no output"]
-                        )[-1][:300]
-                        continue
-                    iso = json.loads(line)
-                    t2_extra[f"insuite_{hname}"] = timings[hname]
-                    t2_extra[f"isolated_{hname}_runs_s"] = iso["runs"]
-                    timings[hname] = iso["sec"]
-            n_vecs = spark.read.parquet(embs_path).count()
-            tier2_info = {
-                "trades_rows": n_trades,
-                "documents_rows": n_docs,
-                "embedding_rows": n_vecs,
-                **t2_extra,
-            }
-        finally:
-            shutil.rmtree(work, ignore_errors=True)
+                    # Same replay through the BatchedCompactionSink (r8):
+                    # append staging per batch, MERGE every 8, coarse frames
+                    # at finalize — the high-throughput serving-sink option;
+                    # finalize is inside the timed window so the entry covers
+                    # the identical end state as the cascade entry above.
+                    stream2 = read_trades_json_stream(
+                        spark, os.path.join(work, "in"), max_files_per_trigger=2
+                    )
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.perf_counter()
+                    q2, sink2 = start_candle_pipeline_batched(
+                        stream2,
+                        os.path.join(work, f"serving_c{r}"),
+                        os.path.join(work, f"ck_c{r}"),
+                        frames=["MINUTE", "HOUR"],
+                        watermark_delay="0 seconds",
+                        available_now=True,
+                        merge_every=8,
+                    )
+                    q2.awaitTermination()
+                    sink2.finalize(["MINUTE", "HOUR"])
+                    compact_runs.append(round(time.perf_counter() - t0, 3))
+                    if compact_runs[-1] == min(compact_runs):
+                        stream_extra["replay_compact_batch_ms"] = _batch_ms(q2)
+                timings["t2_stream_replay_full_1m"] = min(replay_runs)
+                timings["t2_stream_replay_compact_1m"] = min(compact_runs)
+                stream_extra["replay_runs_s"] = replay_runs
+                stream_extra["replay_compact_runs_s"] = compact_runs
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
 
-    tier2_info.update(stream_extra)
-    spark.stop()
-    gate.__exit__()
-    gate_failed = gate.report()  # stderr; bench still emits its record
+        tier2_info = {}
+        if os.environ.get("SPARK_GRAFT_BENCH_TIER2", "1") != "0":
+            work = tempfile.mkdtemp(prefix="bench-tier2-")
+            try:
+                trades_path, docs_path, embs_path, n_trades, n_docs = _tier2_inputs(
+                    spark, sf_dir, work
+                )
+                t2_timings, t2_extra = _tier2_queries(
+                    spark, trades_path, docs_path, embs_path
+                )
+                timings.update(t2_timings)
+                # fresh-JVM isolation for the five suite-state-sensitive
+                # entries (r10 verdict #4): the subprocess number becomes the
+                # number of record; the in-suite one stays as insuite_* so
+                # the suite-state delta itself is visible in the record.
+                if os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
+                    import subprocess
 
-    out = {
-        "metric": "candle_c1_c7_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "codegen_fallbacks": len(gate.hits),
-    }
-    if tier2_info:
-        out["tier2"] = tier2_info
-    print(json.dumps(out))
-    # The driver's capture keeps only the TAIL of stdout, so the full
-    # record above has had "parsed": null for two rounds (r9/r10 bench
-    # files hold a head-truncated fragment). Contract fix (r10 verdict
-    # #2): the LAST stdout line is a compact headline the driver can
-    # always parse — tier-1 per-query seconds + total + the headline
-    # tier-2/streaming keys; the full record stays one line above for
-    # human diffing.
-    headline_keys = [k for k in BENCH_QUERIES] + [
-        "t2_stream_replay_full_1m",
-        "t2_d2_dedup_minhash_100x",
-        "t2_d5_neardup_50k",
-        "t2_p9_curation_100x",
-        "t2_s4_knn_200k",
-        "t2_s5_pq_topk_200k",
-        "t2_s6_ivfpq_topk_200k",
-        "t2_s6_index_build_200k",
-        "t2_s6_index_q50_200k",
-    ]
-    compact = {
-        "metric": "candle_c1_c7_total",
-        "value": total,
-        "unit": "sec",
-        "queries": {k: timings[k] for k in headline_keys if k in timings},
-        "sf": sf,
-        "codegen_fallbacks": len(gate.hits),
-    }
-    print(json.dumps(compact))
-    if gate_failed:
-        # perf-regression signal, not a correctness failure: the record
-        # above is still valid, so report loudly but do not lose it.
-        print("WARNING: codegen fallback detected during bench "
-              f"({len(gate.hits)} hit(s)) — see stderr", file=sys.stderr)
+                    for hname in HEAVY_ISOLATED:
+                        if hname not in timings:
+                            continue
+                        proc = subprocess.run(
+                            [
+                                sys.executable,
+                                os.path.abspath(__file__),
+                                "--isolated",
+                                hname,
+                                trades_path,
+                                docs_path,
+                                embs_path,
+                            ],
+                            capture_output=True,
+                            text=True,
+                            timeout=3600,
+                        )
+                        line = next(
+                            (
+                                ln
+                                for ln in reversed(proc.stdout.splitlines())
+                                if ln.startswith("{")
+                            ),
+                            None,
+                        )
+                        # the subprocess's stderr is captured, so feed it to
+                        # the codegen gate by hand — an isolated run must not
+                        # be able to hide a fallback from the record
+                        from tools.codegen_gate import scan_text
 
+                        for h in scan_text(proc.stderr):
+                            if h not in gate.hits:
+                                gate.hits.append(h)
+                        if proc.returncode != 0 or line is None:
+                            t2_extra[f"isolated_{hname}_error"] = (
+                                proc.stderr.strip().splitlines() or ["no output"]
+                            )[-1][:300]
+                            continue
+                        iso = json.loads(line)
+                        t2_extra[f"insuite_{hname}"] = timings[hname]
+                        t2_extra[f"isolated_{hname}_runs_s"] = iso["runs"]
+                        timings[hname] = iso["sec"]
+                n_vecs = spark.read.parquet(embs_path).count()
+                tier2_info = {
+                    "trades_rows": n_trades,
+                    "documents_rows": n_docs,
+                    "embedding_rows": n_vecs,
+                    **t2_extra,
+                }
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+
+        tier2_info.update(stream_extra)
+        spark.stop()
+        gate.__exit__()
+        gate_failed = gate.report()  # stderr; bench still emits its record
+
+        out = {
+            "metric": "candle_c1_c7_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "codegen_fallbacks": len(gate.hits),
+        }
+        if tier2_info:
+            out["tier2"] = tier2_info
+        print(json.dumps(out))
+        # The driver's capture keeps only the TAIL of stdout, so the full
+        # record above has had "parsed": null for two rounds (r9/r10 bench
+        # files hold a head-truncated fragment). Contract fix (r10 verdict
+        # #2): the LAST stdout line is a compact headline the driver can
+        # always parse — tier-1 per-query seconds + total + the headline
+        # tier-2/streaming keys; the full record stays one line above for
+        # human diffing.
+        headline_keys = [k for k in BENCH_QUERIES] + [
+            "t2_stream_replay_full_1m",
+            "t2_d2_dedup_minhash_100x",
+            "t2_d5_neardup_50k",
+            "t2_p9_curation_100x",
+            "t2_s4_knn_200k",
+            "t2_s5_pq_topk_200k",
+            "t2_s6_ivfpq_matmul_q50_200k",
+            "t2_s6_index_build_200k",
+            "t2_s6_index_q50_200k",
+        ]
+        compact = {
+            "metric": "candle_c1_c7_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: timings[k] for k in headline_keys if k in timings},
+            "sf": sf,
+            "codegen_fallbacks": len(gate.hits),
+        }
+        print(json.dumps(compact))
+        if gate_failed:
+            # perf-regression signal, not a correctness failure: the record
+            # above is still valid, so report loudly but do not lose it.
+            print("WARNING: codegen fallback detected during bench "
+                  f"({len(gate.hits)} hit(s)) — see stderr", file=sys.stderr)
+
+
+    finally:
+        # idempotent (no-op after the normal exit above): on a CRASH
+        # this restores fd 2 and drains the tee BEFORE the interpreter
+        # prints the traceback — without it the pump daemon dies at
+        # process exit and the traceback tail is swallowed (seen in
+        # the first r11 full-bench run).
+        gate.__exit__()
 
 if __name__ == "__main__":
     if len(sys.argv) >= 6 and sys.argv[1] == "--isolated":

@@ -100,8 +100,9 @@ class StderrCodegenGate:
                 self.hits.append(line)
 
     def __exit__(self, *exc) -> None:
+        if self._saved_fd is None:
+            return  # idempotent: already exited (crash-path finally)
         sys.stderr.flush()
-        assert self._saved_fd is not None
         # Restore the real fd 2; closing the pipe's last writer ends _pump.
         os.dup2(self._saved_fd, 2)
         if self._thread is not None:
