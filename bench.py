@@ -284,7 +284,10 @@ def _tier2_queries(
         global_interleave,
         temperature_mixture_sample,
     )
-    from stock_chart_kafka_streams_spark.operators.windows_ext import kmv_daily_stats
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        kmv_daily_stats,
+        rolling_correlation_matrix,
+    )
 
     trades = spark.read.parquet(trades_path)
     docs = spark.read.parquet(docs_path)
@@ -332,6 +335,15 @@ def _tier2_queries(
         "t2_d2_dedup_minhash_100x": lambda: dedup_minhash(docs),
         "t2_p1_training_set_100x": lambda: training_set_selection(docs),
         "t2_w9_kmv_sketch_25m": lambda: kmv_daily_stats(trades),
+        # w15 all-pairs rolling correlation over the 25M-trade minute
+        # candles: 50 symbols -> 1225 pairs in ONE bucket-keyed self-join
+        # (S rows per bucket per side) + ONE pair-partitioned window —
+        # the S² expansion is the operator's documented cost, and this
+        # entry watches that it stays a clean two-shuffle plan as the
+        # series lengthens.
+        "t2_w15_corr_matrix_50sym": lambda: rolling_correlation_matrix(
+            candles(trades, "MINUTE"), n=20, frame="MINUTE"
+        ),
         # ANN over the perturbed corpus. n_bits scales with corpus size
         # exactly as the operator docs prescribe (keep mean bucket size
         # O(1) so Σ bucket² stays ~linear): 8 bits for the 5-query top-k

