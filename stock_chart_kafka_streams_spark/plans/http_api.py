@@ -128,7 +128,7 @@ class _Handler(BaseHTTPRequestHandler):
         # Spring ignores an unbound param, so /symbols?minutes=abc is fine
         minutes = lambda: int(q.get("minutes", "60"))
         try:
-            if parts[:2] != ["api", "charts"] or len(parts) not in (3, 4):
+            if parts[:2] != ["api", "charts"] or len(parts) not in (3, 4, 5):
                 self._send(404, {"error": f"no route for {url.path}"})
                 return
             frame = q.get("frame", "MINUTE")
@@ -140,6 +140,35 @@ class _Handler(BaseHTTPRequestHandler):
                 self._send(
                     200,
                     self._candles(self.store.recent(parts[3], frame, n=minutes())),
+                )
+            elif parts[2] == "corr" and len(parts) == 5:
+                # rolling correlation between two stored series (w14
+                # through the store's pruned range read): /api/charts/
+                # corr/<a>/<b>?frame=&n=&from=&to= — same result cap and
+                # 400/strict-parse contract as the candle routes
+                n = int(q.get("n", "20"))
+                df = self.store.correlation(
+                    parts[3], parts[4], frame,
+                    n=n, start=q.get("from"), end=q.get("to"),
+                )
+                rows = df.limit(MAX_RESULT_ROWS + 1).collect()
+                if len(rows) > MAX_RESULT_ROWS:
+                    raise ValueError(
+                        f"result exceeds {MAX_RESULT_ROWS} rows; narrow "
+                        "the from/to range"
+                    )
+                self._send(
+                    200,
+                    [
+                        {
+                            "pair": r["pair"],
+                            "bucketStart": _iso_instant(r["bucket_start"]),
+                            "closeA": r["close_a"],
+                            "closeB": r["close_b"],
+                            "corr": r[f"corr_{n}"],
+                        }
+                        for r in rows
+                    ],
                 )
             elif parts[2] == "point" and len(parts) == 4:
                 # single candle by calendar parts (reference Q6) through

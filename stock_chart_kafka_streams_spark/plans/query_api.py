@@ -251,6 +251,35 @@ class CandleStore:
                 self._point_cache.popitem(last=False)
         return row
 
+    # -- cross-series analytics over the stored table -----------------------
+    def correlation(
+        self,
+        symbol_a: str,
+        symbol_b: str,
+        frame: str = "MINUTE",
+        n: int = 20,
+        start: TsLike | None = None,
+        end: TsLike | None = None,
+    ) -> DataFrame:
+        """Rolling Pearson correlation between two stored series (w14)
+        over an optional [start, end] range — the pairs-trading overlay a
+        chart backend serves beside the candles themselves. Routed
+        through ``get_candles`` so the scan gets the same directory-level
+        partition pruning as every other range read; the correlation math
+        is ``rolling_correlation`` (exact quantized integer sums).
+        Warm-up rows use the shorter prefix WITHIN the selected range —
+        a range read starts its windows at the range's first bucket, the
+        same contract as serving a chart for that range."""
+        from stock_chart_kafka_streams_spark.operators.windows_ext import (
+            rolling_correlation,
+        )
+
+        base = self.get_candles(symbol_a, frame, start, end).unionByName(
+            self.get_candles(symbol_b, frame, start, end),
+            allowMissingColumns=False,
+        )
+        return rolling_correlation(base, symbol_a, symbol_b, n=n, frame=frame)
+
     # -- Q7/Q8: catalogs ----------------------------------------------------
     def catalog(
         self, symbol: str | None = None, frame: str | None = None

@@ -397,3 +397,47 @@ def _get_err(url):
             return resp.status, json.loads(resp.read())
     except urllib.error.HTTPError as exc:
         return exc.code, json.loads(exc.read())
+
+
+def test_corr_endpoint_round_trip(store, base_url, spark):
+    """/corr/<a>/<b> serves w14 through the store's pruned range read:
+    values equal the operator over the same candles, strict parse on n,
+    unknown pair is an empty 200 (the range-read convention)."""
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        rolling_correlation,
+    )
+
+    syms = [r["symbol"] for r in store.symbols().collect()]
+    a, b = syms[0], syms[1]
+    status, got = _get(f"{base_url}/api/charts/corr/{a}/{b}?frame=HOUR&n=10")
+    assert status == 200 and len(got) > 0
+    want = {
+        r["bucket_start"]: r["corr_10"]
+        for r in rolling_correlation(store.df, a, b, n=10, frame="HOUR").collect()
+    }
+    assert len(got) == len(want)
+    for row in got:
+        import datetime as dt
+
+        key = dt.datetime.fromisoformat(row["bucketStart"].replace("Z", "+00:00"))
+        w = want[key.replace(tzinfo=None)]
+        assert (row["corr"] is None) == (w is None)
+        if w is not None:
+            assert abs(row["corr"] - w) < 1e-12
+        assert row["pair"] == f"{a}/{b}"
+
+    # range-bounded: windows start at the range's first bucket
+    status, ranged = _get(
+        f"{base_url}/api/charts/corr/{a}/{b}?frame=HOUR&n=10"
+        f"&from=2024-01-05T00:00:00&to=2024-01-07T00:00:00"
+    )
+    assert status == 200 and 0 < len(ranged) < len(got)
+
+    status, _ = _get_err(f"{base_url}/api/charts/corr/{a}/{b}?frame=HOUR&n=1")
+    assert status == 400  # n must be >= 2
+    status, _ = _get_err(f"{base_url}/api/charts/corr/{a}/{b}?frame=HOUR&n=abc")
+    assert status == 400
+    status, empty = _get(f"{base_url}/api/charts/corr/nope1/nope2?frame=HOUR")
+    assert status == 200 and empty == []
+    status, _ = _get_err(f"{base_url}/api/charts/corr/{a}?frame=HOUR")
+    assert status == 404  # corr needs two symbols
