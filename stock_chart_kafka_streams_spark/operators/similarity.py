@@ -2056,6 +2056,37 @@ def extend_pq_index(new_vectors: DataFrame, path: str) -> int:
     return n_new
 
 
+def compact_pq_index(spark, path: str) -> None:
+    """Compact a persisted index's code table: one file per ``cid``
+    partition (or one file total for a flat index) — the candle sink's
+    ``compact_candles`` discipline applied to the ANN artifact. Every
+    streaming ``extend_pq_index`` batch APPENDS at least one small file
+    per touched list; after thousands of micro-batches the file count,
+    not the byte count, dominates probe listing and scan planning. Rows
+    sort by id within files so parquet min/max stats narrow the
+    extend-time anti-join's id probes too. Contents are byte-equal rows
+    (pytest-asserted); probe pruning is unaffected (same directories)."""
+    meta, _, _ = read_pq_index(spark, path)
+    codes = spark.read.parquet(f"{path}/codes")
+    id_col = meta["id_col"]
+    if meta["kind"] == "ivfpq":
+        compacted = (
+            codes.repartition("cid")
+            .sortWithinPartitions(id_col)
+            .localCheckpoint(eager=True)  # materialize before overwrite
+        )
+        (
+            compacted.write.mode("overwrite")
+            .partitionBy("cid")
+            .parquet(f"{path}/codes")
+        )
+    else:
+        compacted = codes.coalesce(1).sortWithinPartitions(
+            id_col
+        ).localCheckpoint(eager=True)
+        compacted.write.mode("overwrite").parquet(f"{path}/codes")
+
+
 def _check_index_meta(meta: dict, kind: str, m: int, n_codes: int, dim: int) -> None:
     """A stored index silently serving different hyper-parameters than
     the caller asked for is the wrong-answer class — raise instead."""

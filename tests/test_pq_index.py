@@ -239,3 +239,66 @@ def test_streaming_index_ingest_replay_equals_one_shot(spark, embs, tmp_path):
         sample_num=1, sample_den=2, coarse_sample_num=1, coarse_sample_den=2,
     )
     assert _rows(served) == _rows(fresh)
+
+
+def test_compact_pq_index_one_file_per_list_same_rows(spark, embs, queries, tmp_path):
+    """After streaming extends fragment the code table, compaction leaves
+    ONE file per cid directory with byte-equal rows and unchanged query
+    results (compact_candles' discipline for the ANN artifact)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        compact_pq_index,
+        extend_pq_index,
+    )
+
+    third = embs.where(F.pmod("vec_id", 3) == 0)
+    path = str(tmp_path / "compact_ivf")
+    build_pq_index(third, path, n_lists=4, m=4, n_codes=8)
+    for i in (1, 2):  # two extend batches -> multiple files per list
+        extend_pq_index(embs.where(F.pmod("vec_id", 3) == i), path)
+
+    def files_per_cid():
+        counts = {}
+        root = f"{path}/codes"
+        for d in os.listdir(root):
+            if d.startswith("cid="):
+                counts[d] = len(
+                    [f for f in os.listdir(os.path.join(root, d))
+                     if f.endswith(".parquet")]
+                )
+        return counts
+
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(f"{path}/codes").collect())
+    )
+    assert max(files_per_cid().values()) > 1  # fragmentation is real
+    served_before = ivfpq_topk(
+        embs, queries, k=5, n_lists=4, n_probe=2, m=4, n_codes=8,
+        index_path=path,
+    )
+    rows_before = _rows(served_before)
+
+    compact_pq_index(spark, path)
+    after = files_per_cid()
+    assert after and all(v == 1 for v in after.values()), after
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{path}/codes").collect())
+    ) == before_rows
+    served_after = ivfpq_topk(
+        embs, queries, k=5, n_lists=4, n_probe=2, m=4, n_codes=8,
+        index_path=path,
+    )
+    assert _rows(served_after) == rows_before
+
+    # flat index compacts to a single file
+    flat = str(tmp_path / "compact_flat")
+    build_pq_index(third, flat, m=4, n_codes=8)
+    extend_pq_index(embs.where(F.pmod("vec_id", 3) == 1), flat)
+    compact_pq_index(spark, flat)
+    n_files = len(
+        [f for f in os.listdir(f"{flat}/codes") if f.endswith(".parquet")]
+    )
+    assert n_files == 1
