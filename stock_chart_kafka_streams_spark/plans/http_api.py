@@ -170,6 +170,36 @@ class _Handler(BaseHTTPRequestHandler):
                         for r in rows
                     ],
                 )
+            elif parts[2] == "corrmatrix" and len(parts) == 3:
+                # all-pairs rolling correlation over the stored symbols
+                # (w15): ?frame=&n=&symbols=a,b,c&from=&to= — symbols
+                # bounds the S² matrix; omit for all stored symbols
+                n = int(q.get("n", "20"))
+                syms = q["symbols"].split(",") if "symbols" in q else None
+                df = self.store.correlation_matrix(
+                    symbols=syms, frame=frame, n=n,
+                    start=q.get("from"), end=q.get("to"),
+                )
+                rows = df.limit(MAX_RESULT_ROWS + 1).collect()
+                if len(rows) > MAX_RESULT_ROWS:
+                    raise ValueError(
+                        f"result exceeds {MAX_RESULT_ROWS} rows; narrow "
+                        "the from/to range or the symbols list"
+                    )
+                self._send(
+                    200,
+                    [
+                        {
+                            "symA": r["sym_a"],
+                            "symB": r["sym_b"],
+                            "bucketStart": _iso_instant(r["bucket_start"]),
+                            "closeA": r["close_a"],
+                            "closeB": r["close_b"],
+                            "corr": r[f"corr_{n}"],
+                        }
+                        for r in rows
+                    ],
+                )
             elif parts[2] == "point" and len(parts) == 4:
                 # single candle by calendar parts (reference Q6) through
                 # the store's LRU point tier — the chart poller's

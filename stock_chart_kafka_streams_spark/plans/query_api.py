@@ -280,6 +280,37 @@ class CandleStore:
         )
         return rolling_correlation(base, symbol_a, symbol_b, n=n, frame=frame)
 
+    def correlation_matrix(
+        self,
+        symbols: list[str] | None = None,
+        frame: str = "MINUTE",
+        n: int = 20,
+        start: TsLike | None = None,
+        end: TsLike | None = None,
+    ) -> DataFrame:
+        """All-pairs rolling correlation (w15) over the stored table —
+        the reference's five-symbols-side-by-side serving view
+        (StockChartController.kt:35-39) upgraded to the full pair matrix.
+        ``symbols=None`` = every stored symbol (the matrix is
+        S²-proportional; pass a list to bound it). Range pruning via the
+        same bucket_date/bucket_start filters as ``get_candles``."""
+        from stock_chart_kafka_streams_spark.operators.windows_ext import (
+            rolling_correlation_matrix,
+        )
+
+        check_frame(frame)
+        out = self._df.where(F.col("time_frame") == frame)
+        has_bd = "bucket_date" in self._df.columns
+        if start is not None:
+            out = out.where(F.col("bucket_start") >= F.lit(_ts(start)))
+            if has_bd:
+                out = out.where(F.col("bucket_date") >= F.lit(_ts(start).date()))
+        if end is not None:
+            out = out.where(F.col("bucket_start") <= F.lit(_ts(end)))
+            if has_bd:
+                out = out.where(F.col("bucket_date") <= F.lit(_ts(end).date()))
+        return rolling_correlation_matrix(out, symbols=symbols, n=n, frame=frame)
+
     # -- Q7/Q8: catalogs ----------------------------------------------------
     def catalog(
         self, symbol: str | None = None, frame: str | None = None

@@ -441,3 +441,36 @@ def test_corr_endpoint_round_trip(store, base_url, spark):
     assert status == 200 and empty == []
     status, _ = _get_err(f"{base_url}/api/charts/corr/{a}?frame=HOUR")
     assert status == 404  # corr needs two symbols
+
+
+def test_corrmatrix_endpoint_round_trip(store, base_url):
+    """/corrmatrix serves w15 over the stored table: pair set equals the
+    store's symbols choose 2, a symbols= filter bounds the matrix, and
+    each (a,b) slice equals the pairwise /corr values (correlation is
+    symmetric)."""
+    syms = [r["symbol"] for r in store.symbols().collect()]
+    status, got = _get(f"{base_url}/api/charts/corrmatrix?frame=HOUR&n=10")
+    assert status == 200 and len(got) > 0
+    pairs = {(r["symA"], r["symB"]) for r in got}
+    want_pairs = {
+        (a, b) for a in syms for b in syms if a < b
+    }
+    assert pairs == want_pairs
+
+    a, b = sorted(syms)[:2]
+    status, two = _get(
+        f"{base_url}/api/charts/corrmatrix?frame=HOUR&n=10&symbols={a},{b}"
+    )
+    assert status == 200
+    assert {(r["symA"], r["symB"]) for r in two} == {(a, b)}
+    status, pairwise = _get(f"{base_url}/api/charts/corr/{a}/{b}?frame=HOUR&n=10")
+    assert status == 200
+    matrix_by_bucket = {r["bucketStart"]: r["corr"] for r in two}
+    assert len(pairwise) == len(two)
+    for r in pairwise:
+        assert matrix_by_bucket[r["bucketStart"]] == r["corr"]
+
+    status, _ = _get_err(f"{base_url}/api/charts/corrmatrix?frame=HOUR&symbols={a}")
+    assert status == 400  # at least 2 series
+    status, _ = _get_err(f"{base_url}/api/charts/corrmatrix?frame=HOUR&n=0")
+    assert status == 400
