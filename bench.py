@@ -948,6 +948,7 @@ def _tier2_queries(
 
 
 def main() -> None:
+    wall_t0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -1206,6 +1207,7 @@ def main() -> None:
             "queries": timings,
             "sf": sf,
             "codegen_fallbacks": len(gate.hits),
+            "bench_wall_s": round(time.perf_counter() - wall_t0, 1),
         }
         if tier2_info:
             out["tier2"] = tier2_info
@@ -1235,6 +1237,7 @@ def main() -> None:
             "queries": {k: timings[k] for k in headline_keys if k in timings},
             "sf": sf,
             "codegen_fallbacks": len(gate.hits),
+            "bench_wall_s": round(time.perf_counter() - wall_t0, 1),
         }
         print(json.dumps(compact))
         if gate_failed:
