@@ -156,8 +156,12 @@ def _isolated_main(name: str, trades_path: str, docs_path: str, embs_path: str) 
     trades = spark.read.parquet(trades_path)
     docs = spark.read.parquet(docs_path)
     embs = spark.read.parquet(embs_path)
+    # best-of-3 (the r10 judge's own adjudication protocol): a fresh JVM
+    # removes SUITE state, but run 1 still pays codegen/JIT warm-up and
+    # these entries' own swing (s4's documented 30-95 s band) needs more
+    # than one steady-state sample.
     runs: list[float] = []
-    for _ in range(2):
+    for _ in range(3):
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         _noop(_heavy_entry_df(name, trades, docs, embs))
