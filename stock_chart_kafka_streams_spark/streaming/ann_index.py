@@ -14,38 +14,45 @@ lockstep.
 Idempotent under foreachBatch's at-least-once redelivery without batch-id
 bookkeeping: ``extend_pq_index`` anti-joins incoming ids against the code
 table, so a replayed batch's vectors are by then IN the index and append
-nothing (the corpus append, when enabled, reuses the same surviving-id
-set). Replay-equals-one-shot is pytest-asserted
-(tests/test_pq_index.py), the compaction sink's convergence discipline.
+nothing; the corpus append runs its OWN anti-join against the corpus
+table, so it is idempotent independently. Replay-equals-one-shot is
+pytest-asserted (tests/test_pq_index.py), the compaction sink's
+convergence discipline.
 
 Ordering: the CODE rows append first, the raw-vector corpus second — a
 crash between the two leaves ids that are in the index but not in the
 corpus table; the exact rerank simply cannot return them (inner join on
 id), and the next redelivery of the batch repairs the corpus append while
 the index append no-ops. The reverse order would leave vectors invisible
-to the candidate scan with nothing left to repair them.
-
-Recall drift, documented: codebooks/centroids stay trained on the corpus
-as of ``build_pq_index``; as the distribution drifts, quantization error
-grows exactly as in any FAISS deployment serving an aging index — the
-answer is a periodic re-``build_pq_index`` (cheap: it is the measured
-~10 s batch job), not per-batch retraining.
+to the candidate scan with nothing left to repair them. Because that
+repair path arrives as a batch whose index append is a FULL no-op, the
+corpus append must never be gated on the index appending anything (r11
+advice): the two appends are guarded by their own anti-joins, each
+against its own table, and both always run.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def foreach_batch_index_ingest(index_path: str, corpus_path: str | None = None):
     """``foreachBatch`` hook: extend the persisted ANN index at
     ``index_path`` with each micro-batch of new embedding rows; when
-    ``corpus_path`` is given, also append the surviving (new-id) raw
-    rows there so rerank fetch-back serves them."""
+    ``corpus_path`` is given, also append the batch's corpus-new raw
+    rows there so rerank fetch-back serves them.
+
+    The corpus append bootstraps the table on the first batch (no
+    read-before-create — the candle sink's ``_table_exists`` guard) and
+    prunes its duplicate probe to the batch's own id range, the same
+    footer-stat bound ``extend_pq_index`` uses for the code table."""
     from stock_chart_kafka_streams_spark.operators.similarity import (
+        _batch_id_bounds,
         extend_pq_index,
         read_pq_index,
     )
+    from stock_chart_kafka_streams_spark.streaming.sink import _table_exists
 
     def _write(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -54,16 +61,29 @@ def foreach_batch_index_ingest(index_path: str, corpus_path: str | None = None):
         # pin the batch: extend() runs an anti-join + count + encode over
         # it, and the corpus append below must see the identical rows
         batch = batch.localCheckpoint(eager=True)
-        n_new = extend_pq_index(batch, index_path)
-        if corpus_path is None or n_new == 0:
+        extend_pq_index(batch, index_path)
+        if corpus_path is None:
             return
+        # ALWAYS run the corpus append, even when the index appended
+        # nothing: a crash between the index append and this one makes
+        # the redelivered batch a full index no-op whose only remaining
+        # job is exactly this repair (r11 advice — gating on n_new would
+        # strand those ids index-only forever).
         meta, _, _ = read_pq_index(spark, index_path)
         id_col = meta["id_col"]
-        existing = spark.read.parquet(corpus_path).select(id_col)
+        if not _table_exists(spark, corpus_path):
+            batch.write.mode("append").parquet(corpus_path)
+            return
+        lo, hi = _batch_id_bounds(batch, id_col)
+        existing = (
+            spark.read.parquet(corpus_path)
+            .select(id_col)
+            .where(F.col(id_col).between(lo, hi))
+        )
         fresh = batch.join(existing, on=id_col, how="left_anti")
         # localCheckpoint so the append never races the corpus scan above
-        fresh.localCheckpoint(eager=True).write.mode("append").parquet(
-            corpus_path
-        )
+        fresh = fresh.localCheckpoint(eager=True)
+        if not fresh.isEmpty():
+            fresh.write.mode("append").parquet(corpus_path)
 
     return _write

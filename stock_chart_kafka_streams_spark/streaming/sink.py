@@ -28,23 +28,77 @@ from stock_chart_kafka_streams_spark.schemas import CANDLE_COLUMNS, CANDLE_KEY
 
 PARTITION_COLS = ["time_frame", "bucket_date"]
 
-# Serving-table write counter (r10 verdict #7): every writer below bumps
-# the table's version so driver-side read caches (CandleStore's point-
-# lookup LRU) can invalidate on MERGE instead of serving stale rows.
-# Driver-process scope by design — the cache it serves lives on the same
-# driver; a table written by ANOTHER process is a different serving
-# deployment and gets a fresh CandleStore anyway.
+# Serving-table write counter (r10 verdict #7, widened cross-process in
+# r12 per the r11 verdict #3): every writer below bumps the table's
+# version so driver-side read caches (CandleStore's point-lookup LRU)
+# can invalidate on MERGE instead of serving stale rows. Two layers:
+#   1. an in-process monotonic counter (free, covers the single-driver
+#      topology), and
+#   2. a ``_table_version`` sentinel FILE inside the table directory,
+#      rewritten atomically (tmp + rename) on every MERGE / overwrite /
+#      compaction / expiry — so a reader in a DIFFERENT process (the
+#      streaming-writer-here, HTTP-reader-there deployment) sees the
+#      bump too. The leading underscore keeps Spark's file index from
+#      treating it as data (the _SUCCESS convention). Reading it is one
+#      local open of a ~40-byte file (~µs); on "://" object-store paths
+#      the sentinel is skipped and the counter alone applies
+#      (documented: single-writer per driver there).
 _TABLE_VERSIONS: dict[str, int] = {}
 
+VERSION_SENTINEL = "_table_version"
 
-def table_version(path: str) -> int:
-    """Monotonic per-path write counter (0 if never written here)."""
-    return _TABLE_VERSIONS.get(os.path.abspath(path), 0)
+
+def _version_key(path: str) -> str:
+    return path if "://" in path else os.path.abspath(path)
+
+
+def _read_version_sentinel(path: str) -> str | None:
+    if "://" in path:
+        return None
+    try:
+        with open(os.path.join(path, VERSION_SENTINEL)) as fh:
+            return fh.read()
+    except OSError:
+        return None
+
+
+def _write_version_sentinel(path: str) -> None:
+    if "://" in path:
+        return
+    import time as _time
+
+    try:
+        os.makedirs(path, exist_ok=True)
+        token = (
+            f"{os.getpid()}-"
+            f"{_TABLE_VERSIONS.get(_version_key(path), 0)}-"
+            f"{_time.time_ns()}"
+        )
+        tmp = os.path.join(path, f".{VERSION_SENTINEL}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(token)
+        os.replace(tmp, os.path.join(path, VERSION_SENTINEL))
+    except OSError:
+        # best-effort: a read-only or racing filesystem must not fail the
+        # WRITE that just succeeded; the in-process counter still bumped.
+        pass
+
+
+def table_version(path: str):
+    """Opaque freshness token for the serving table at ``path``: the
+    in-process write counter paired with the on-disk sentinel content.
+    Equality means "no write observed anywhere since"; any writer using
+    this module — in this process or another — changes the token."""
+    return (
+        _TABLE_VERSIONS.get(_version_key(path), 0),
+        _read_version_sentinel(path),
+    )
 
 
 def _bump_table_version(path: str) -> None:
-    key = os.path.abspath(path)
+    key = _version_key(path)
     _TABLE_VERSIONS[key] = _TABLE_VERSIONS.get(key, 0) + 1
+    _write_version_sentinel(path)
 
 
 @contextmanager

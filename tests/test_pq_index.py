@@ -302,3 +302,118 @@ def test_compact_pq_index_one_file_per_list_same_rows(spark, embs, queries, tmp_
         [f for f in os.listdir(f"{flat}/codes") if f.endswith(".parquet")]
     )
     assert n_files == 1
+
+
+def test_ingest_repairs_corpus_after_crash_between_appends(spark, embs, tmp_path):
+    """r11 advice (high): a crash BETWEEN the index append and the corpus
+    append leaves ids index-only; the redelivered batch's index append is
+    then a FULL no-op (n_new == 0), and the corpus append must still run
+    — gating it on the index appending anything would strand those
+    vectors outside the rerank fetch-back forever. Simulated exactly:
+    extend the index directly (the 'crashed' half-finished batch), then
+    deliver the same batch through the hook."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _md5_sample_pred,
+        extend_pq_index,
+    )
+    from stock_chart_kafka_streams_spark.streaming.ann_index import (
+        foreach_batch_index_ingest,
+    )
+
+    half = embs.where(_md5_sample_pred("vec_id", 1, 2))
+    batch = embs.join(half.select("vec_id"), on="vec_id", how="left_anti")
+    idx = str(tmp_path / "crash_idx")
+    corpus = str(tmp_path / "crash_corpus")
+    build_pq_index(half, idx, n_lists=4, m=4, n_codes=8)
+    half.write.parquet(corpus)
+    n_half, n_batch = half.count(), batch.count()
+
+    # the crash: index append completed, corpus append never ran
+    assert extend_pq_index(batch, idx) == n_batch
+    assert spark.read.parquet(corpus).count() == n_half
+
+    # redelivery through the hook: index no-ops, corpus repairs
+    foreach_batch_index_ingest(idx, corpus)(batch, 0)
+    assert spark.read.parquet(f"{idx}/codes").count() == n_half + n_batch
+    stored = spark.read.parquet(corpus)
+    assert stored.count() == n_half + n_batch
+    assert stored.select("vec_id").distinct().count() == n_half + n_batch
+
+    # and a SECOND redelivery is a total no-op (both anti-joins drain it)
+    foreach_batch_index_ingest(idx, corpus)(batch, 1)
+    assert spark.read.parquet(corpus).count() == n_half + n_batch
+    assert spark.read.parquet(f"{idx}/codes").count() == n_half + n_batch
+
+
+def test_ingest_bootstraps_missing_corpus_table(spark, embs, tmp_path):
+    """r11 advice (low): the first batch must not read-before-create the
+    raw corpus table — the hook bootstraps it like the candle sink."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.streaming.ann_index import (
+        foreach_batch_index_ingest,
+    )
+
+    third = embs.where(F.pmod("vec_id", 3) == 0)
+    idx = str(tmp_path / "boot_idx")
+    corpus = str(tmp_path / "boot_corpus")  # never created
+    build_pq_index(third, idx, m=4, n_codes=8)
+
+    first = embs.where(F.pmod("vec_id", 3) == 1)
+    foreach_batch_index_ingest(idx, corpus)(first, 0)
+    assert spark.read.parquet(corpus).count() == first.count()
+
+
+def test_extend_probe_pushes_id_range_to_scan(spark, embs, tmp_path):
+    """r11 verdict #2: the redelivery anti-join's probe side must be a
+    footer-prunable RANGE scan of the code table's id column, not a full
+    id-column pass — asserted from PushedFilters on the probe plan, the
+    bound that keeps per-trigger probe cost flat as the index grows."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        existing_index_ids,
+    )
+
+    path = str(tmp_path / "probe_idx")
+    build_pq_index(embs, path, m=4, n_codes=8)
+    probe = existing_index_ids(spark, path, "vec_id", 100, 199)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "GreaterThanOrEqual(vec_id,100)" in pushed, pushed
+    assert "LessThanOrEqual(vec_id,199)" in pushed, pushed
+    # and the bounded probe is complete within the range
+    want = sorted(
+        r["vec_id"]
+        for r in embs.where("vec_id between 100 and 199").collect()
+    )
+    assert sorted(r["vec_id"] for r in probe.collect()) == want
+
+
+def test_index_training_knob_mismatch_raises(spark, embs, queries, tmp_path):
+    """r11 advice: serving must refuse an index trained with different
+    sampling / iterations / encode_mode than the caller requested —
+    silently serving a differently-trained index is the wrong-answer
+    class the (m, n_codes, dim) check already guards."""
+    path = str(tmp_path / "knob_idx")
+    build_pq_index(
+        embs, path, m=4, n_codes=8, iterations=2, sample_num=1, sample_den=2
+    )
+    # matching knobs serve fine
+    pq_topk(
+        embs, queries, k=5, m=4, n_codes=8, iterations=2,
+        sample_num=1, sample_den=2, index_path=path,
+    ).collect()
+    with pytest.raises(ValueError, match="sample_den"):
+        pq_topk(embs, queries, k=5, m=4, n_codes=8, index_path=path)
+    with pytest.raises(ValueError, match="iterations"):
+        pq_topk(
+            embs, queries, k=5, m=4, n_codes=8, iterations=3,
+            sample_num=1, sample_den=2, index_path=path,
+        )
+    with pytest.raises(ValueError, match="encode_mode"):
+        pq_topk(
+            embs, queries, k=5, m=4, n_codes=8, iterations=2,
+            sample_num=1, sample_den=2, encode_mode="matmul",
+            index_path=path,
+        )

@@ -201,3 +201,73 @@ def test_ivfpq_code_table_probe_prunes_list_partitions(spark, tmp_path):
     # and the probe result is complete
     want = sorted(r[0] for r in rows if r[1] in (2, 5))
     assert sorted(r["vec_id"] for r in probed.collect()) == want
+
+
+def test_point_lru_cross_process_sentinel_invalidation(spark, tmp_path):
+    """r11 verdict #3: the point-lookup LRU must refresh when the table
+    is MERGEd by ANOTHER process. The writer path rewrites a
+    ``_table_version`` sentinel file inside the table directory on every
+    write; ``table_version`` folds its content into the freshness token,
+    so a reader whose in-process counter never moved still sees the
+    bump. Here the cross-process topology is simulated exactly: the
+    MERGE runs, then the reader's in-process counter is restored to its
+    pre-MERGE value (what a separate reader process would have), leaving
+    the on-disk sentinel as the ONLY signal — the cached row must still
+    refresh."""
+    import os
+
+    from stock_chart_kafka_streams_spark.streaming import sink as sink_mod
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        VERSION_SENTINEL,
+        table_version,
+        upsert_candles,
+    )
+
+    table = str(tmp_path / "serving_xproc")
+    mf = multi_frame_candles(
+        load_trades(spark, SF_DIR), ["MINUTE", "HOUR"]
+    ).localCheckpoint()
+    write_candles(mf, table)
+    assert os.path.exists(os.path.join(table, VERSION_SENTINEL))
+
+    store = CandleStore.from_path(spark, table, point_cache_size=8)
+    target = (
+        mf.where(F.col("time_frame") == "HOUR")
+        .orderBy("symbol", "bucket_start")
+        .first()
+    )
+    b = target["bucket_start"]
+    args = (target["symbol"], "HOUR", b.year, b.month, b.day, b.hour)
+    cached = store.point_row(*args)
+    assert cached is not None and cached["close"] == target["close"]
+
+    pre_merge_counter = dict(sink_mod._TABLE_VERSIONS)
+    pre_merge_token = table_version(table)
+    changed = spark.createDataFrame(
+        [(
+            target["symbol"], "HOUR", target["bucket_start"],
+            target["bucket_end"], target["open"], target["high"],
+            target["low"], 99999.25, int(target["volume"]) + 3,
+        )],
+        "symbol string, time_frame string, bucket_start timestamp, "
+        "bucket_end timestamp, open double, high double, low double, "
+        "close double, volume long",
+    )
+    upsert_candles(spark, changed, table)
+    # simulate the reader being a DIFFERENT process: roll back the
+    # in-process counter the reader would never have seen move
+    sink_mod._TABLE_VERSIONS.clear()
+    sink_mod._TABLE_VERSIONS.update(pre_merge_counter)
+    assert table_version(table) != pre_merge_token  # sentinel alone differs
+
+    fresh = store.point_row(*args)
+    assert fresh is not None
+    assert fresh["close"] == 99999.25
+    assert fresh["volume"] == int(target["volume"]) + 3
+
+    # and an out-of-band sentinel rewrite (any external writer) also
+    # invalidates: the token is content-compared, not mtime-compared
+    tok_before = table_version(table)
+    with open(os.path.join(table, VERSION_SENTINEL), "w") as fh:
+        fh.write("external-writer-bump")
+    assert table_version(table) != tok_before

@@ -382,3 +382,135 @@ def test_replay_fill_gaps_rejects_batched_sink(spark):
     df = spark.range(1)
     with _pytest.raises(ValueError, match="cascade-sink feature"):
         replay_candles(spark, df, sink_mode="batched", fill_gaps=True)
+
+
+def _mk_candle_batch(spark, rows):
+    """rows: (symbol, minute_start, close, volume) -> CANDLE_COLUMNS batch
+    of closed MINUTE candles (flat OHLC at `close` for simplicity)."""
+    import datetime as dt
+
+    data = [
+        (s, "MINUTE", ts, ts + dt.timedelta(minutes=1), c, c, c, c, v)
+        for s, ts, c, v in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "symbol string, time_frame string, bucket_start timestamp, "
+        "bucket_end timestamp, open double, high double, low double, "
+        "close double, volume long",
+    )
+
+
+def test_gap_fill_bounded_to_batch_window_pins_old_partitions(spark, tmp_path):
+    """r11 verdict #1 (the round's `weak`): the streaming gap fill must
+    do O(batch-window) work per micro-batch, not O(stream lifetime) —
+    structurally asserted by pinning the file mtimes of bucket_date
+    partitions OUTSIDE the batch's affected window (the r7 discipline).
+    The previous implementation regridded each affected symbol's entire
+    stored history and its MERGE rewrote every gap-bearing partition
+    every batch; day1 below holds gap rows, so it would have been
+    rewritten by every later batch."""
+    import datetime as dt
+    import glob as _glob
+    import os
+
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        candles as _c,  # noqa: F401  (imported for parity with sibling test)
+        fill_candle_gaps,
+    )
+    from stock_chart_kafka_streams_spark.streaming.pipeline import cascade_upsert
+
+    path = str(tmp_path / "serving_gapwin")
+    hook = cascade_upsert(path, frames=["MINUTE"], fill_gaps=True)
+    d1 = dt.datetime(2024, 3, 1, 23, 50)
+
+    # batch 0: day1 23:50 + 23:55 -> gaps 23:51-23:54 live in day1
+    hook(_mk_candle_batch(spark, [
+        ("X", d1, 100.0, 2),
+        ("X", d1 + dt.timedelta(minutes=5), 101.0, 2),
+    ]), 0)
+    # batch 1: day2 00:00 + 00:03 -> window [day1 23:55, day2 00:03]
+    # legitimately touches day1 (leading gaps 23:56-23:59)
+    d2 = dt.datetime(2024, 3, 2, 0, 0)
+    hook(_mk_candle_batch(spark, [
+        ("X", d2, 102.0, 2),
+        ("X", d2 + dt.timedelta(minutes=3), 103.0, 2),
+    ]), 1)
+
+    day1_files = {
+        f: os.path.getmtime(f)
+        for f in _glob.glob(
+            f"{path}/time_frame=MINUTE/bucket_date=2024-03-01/*.parquet"
+        )
+    }
+    assert day1_files  # day1 partition exists and holds gap rows
+    n_day1_gap = (
+        spark.read.parquet(path)
+        .where("time_frame = 'MINUTE' and bucket_date = '2024-03-01' and volume = 0")
+        .count()
+    )
+    assert n_day1_gap == 4 + 4  # 23:51-54 and 23:56-59
+
+    # batch 2: day3 00:01 + 00:02 -> window [day2 00:03, day3 00:02];
+    # day1 is OUTSIDE the window and must not be read-rewritten
+    d3 = dt.datetime(2024, 3, 3, 0, 1)
+    hook(_mk_candle_batch(spark, [
+        ("X", d3, 104.0, 2),
+        ("X", d3 + dt.timedelta(minutes=1), 105.0, 2),
+    ]), 2)
+
+    for f, mt in day1_files.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mt, f
+
+    # and the table still equals the full batch fill — bounding the
+    # recompute changed the WORK, not the result
+    minutes = spark.read.parquet(path).where("time_frame = 'MINUTE'")
+    reals = minutes.where("volume > 0").select(
+        "symbol", "bucket_start", "open", "high", "low", "close", "volume"
+    )
+    want = fill_candle_gaps(reals, "MINUTE").select(
+        "symbol", "bucket_start", "open", "high", "low", "close", "volume"
+    )
+    got = minutes.select(
+        "symbol", "bucket_start", "open", "high", "low", "close", "volume"
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_gap_fill_backfill_recarries_following_gaps(spark, tmp_path):
+    """A BACKFILLED candle between two stored reals changes the carry of
+    every gap row after it up to the next real candle — the forward
+    anchor of the bounded window exists exactly for this case."""
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.streaming.pipeline import cascade_upsert
+
+    path = str(tmp_path / "serving_backfill")
+    hook = cascade_upsert(path, frames=["MINUTE"], fill_gaps=True)
+    t0 = dt.datetime(2024, 3, 5, 9, 0)
+
+    hook(_mk_candle_batch(spark, [("Y", t0, 100.0, 1)]), 0)
+    hook(_mk_candle_batch(
+        spark, [("Y", t0 + dt.timedelta(minutes=10), 110.0, 1)]
+    ), 1)
+    gaps = {
+        r["bucket_start"].minute: r["close"]
+        for r in spark.read.parquet(path)
+        .where("time_frame = 'MINUTE' and volume = 0")
+        .collect()
+    }
+    assert gaps == {m: 100.0 for m in range(1, 10)}
+
+    # backfill 09:05 at 105 -> gaps 06-09 must re-carry to 105
+    hook(_mk_candle_batch(
+        spark, [("Y", t0 + dt.timedelta(minutes=5), 105.0, 1)]
+    ), 2)
+    gaps = {
+        r["bucket_start"].minute: r["close"]
+        for r in spark.read.parquet(path)
+        .where("time_frame = 'MINUTE' and volume = 0")
+        .collect()
+    }
+    assert gaps == {**{m: 100.0 for m in range(1, 5)},
+                    **{m: 105.0 for m in range(6, 10)}}
