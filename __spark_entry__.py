@@ -1316,6 +1316,98 @@ def _w15_sql() -> str:
     return rolling_correlation_matrix_sql(_candle_sql("HOUR"), n=20, frame="HOUR")
 
 
+def _q_w16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming correlation tier (w16, round 12 — r11 verdict #7): the
+    w15 pair matrix maintained INCREMENTALLY per micro-batch by the
+    cascade+corr sink (``streaming/corr.py``), each batch recomputing
+    only its anchor-bounded window of pair rows, over the zero-grace
+    late-data replay bounded to the first 7 event days. The oracle is
+    the one-shot w15 matrix over the gap-filled replay-kept minute
+    candles — incremental maintenance must converge to exactly the batch
+    recompute (the cascade-sink discipline applied to the first
+    cross-series analytic)."""
+    from pyspark.sql import functions as _F
+
+    from stock_chart_kafka_streams_spark.streaming.replay import (
+        late_replay_trades,
+        replay_corr_tier,
+    )
+
+    tune_session(spark)
+    trades = late_replay_trades(spark, sf_dir, batch_size=250)
+    d0 = trades.agg(_F.min(_F.to_date("ts"))).collect()[0][0]
+    trades = trades.where(_F.to_date("ts") < _F.date_add(_F.lit(d0), 7))
+    return replay_corr_tier(spark, trades, n=20)
+
+
+def _w16_kept_cte(batch_size: int, days: int) -> str:
+    """The c12 replay-kept CTE parameterized for w16: smaller batches
+    (more micro-batches at small SF) and an event-time bound of the
+    first ``days`` calendar days (bounds the gap-filled grid — and the
+    matrix — to days x symbols rows at any SF)."""
+    day_pred = (
+        f"CAST(ts AS DATE) < (SELECT min(CAST(ts AS DATE)) + {days} "
+        "FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL "
+        "AND ts IS NOT NULL)"
+    )
+    return f"""
+batched AS (
+    SELECT
+        event_type AS symbol,
+        value AS price,
+        CAST(props->>'$.k' AS BIGINT) AS quantity,
+        CAST(ts AS TIMESTAMP) AS ts,
+        (event_id // {batch_size}) + (CASE WHEN event_id % 23 = 7 THEN 2 ELSE 0 END) AS b
+    FROM events
+    WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+      AND {day_pred}
+),
+batch_max AS (
+    SELECT b, max(ts) AS mx FROM batched GROUP BY b
+),
+wm AS (
+    SELECT b, max(mx) OVER (
+        ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING
+    ) AS wm_eff
+    FROM batch_max
+),
+kept AS (
+    SELECT t.*
+    FROM batched t JOIN wm USING (b)
+    WHERE wm.wm_eff IS NULL
+       OR date_trunc('minute', t.ts) + INTERVAL 1 MINUTE > wm.wm_eff
+)
+"""
+
+
+def _w16_sql() -> str:
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        fill_candle_gaps_sql,
+    )
+    from stock_chart_kafka_streams_spark.operators.windows_ext import (
+        rolling_correlation_matrix_sql,
+    )
+
+    minute = f"""
+WITH {_w16_kept_cte(250, 7).strip()}
+SELECT
+    symbol,
+    'MINUTE' AS time_frame,
+    CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket_start,
+    CAST(date_trunc('minute', ts) + INTERVAL 1 minute AS TIMESTAMP) AS bucket_end,
+    arg_min(price, ts) AS "open",
+    max(price) AS high,
+    min(price) AS low,
+    arg_max(price, ts) AS "close",
+    CAST(sum(quantity) AS BIGINT) AS volume
+FROM kept
+GROUP BY symbol, date_trunc('minute', ts)
+"""
+    return rolling_correlation_matrix_sql(
+        fill_candle_gaps_sql(minute, "MINUTE"), n=20, frame="MINUTE"
+    )
+
+
 def _q_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range-lookup join (the BroadcastNestedLoopJoin killer):
     lineitem prices classified into quadratically-widening bands via an
@@ -1919,6 +2011,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_pq_index_extend": _q_s5x,
         "s6_ivfpq_index_extend": _q_s6x,
         "w15_corr_matrix": _q_w15,
+        "w16_streaming_corr": _q_w16,
     }
 
 
@@ -2117,6 +2210,7 @@ FROM documents
         "c16_gap_fill": _c16_sql(),
         "w14_rolling_corr": _w14_sql(),
         "w15_corr_matrix": _w15_sql(),
+        "w16_streaming_corr": _w16_sql(),
         "w13_mad_outliers": _wx.mad_outlier_stats_sql(_TRADES_CTE),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"

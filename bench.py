@@ -90,6 +90,13 @@ HEAVY_ISOLATED = [
     "t2_s6_ivfpq_matmul_q50_200k",
     "t2_d8_semdedup_50k",
     "t2_d9b_incr_50k_vs_500k",
+    # r11 verdict #5: p11 drifted +21% over two rounds with unchanged
+    # plans and t7/p4b sat in the same suite-noise band — none were in
+    # the isolated set, so every drift became a hand adjudication. Now
+    # their numbers of record are fresh-JVM too.
+    "t2_p11_dsir_100x",
+    "t2_t7_vocabulary_500k",
+    "t2_p4b_ngram_decontam_100x",
 ]
 
 
@@ -139,6 +146,31 @@ def _heavy_entry_df(name: str, trades, docs, embs, **kw):
             ),
             mode="minhash",
             **kw,
+        )
+    if name == "t2_p11_dsir_100x":
+        from stock_chart_kafka_streams_spark.operators.sampling import (
+            dsir_importance,
+        )
+
+        return dsir_importance(
+            docs,
+            docs.where(F.pmod(F.col("doc_id"), 9973) == 0),
+            n_buckets=10_000,
+            **kw,
+        )
+    if name == "t2_t7_vocabulary_500k":
+        from stock_chart_kafka_streams_spark.operators.text import (
+            vocabulary_stats,
+        )
+
+        return vocabulary_stats(docs, top_n=10_000, **kw)
+    if name == "t2_p4b_ngram_decontam_100x":
+        from stock_chart_kafka_streams_spark.operators.text import (
+            ngram_collision_decontaminate,
+        )
+
+        return ngram_collision_decontaminate(
+            docs, docs.where(F.pmod(F.col("doc_id"), 9973) == 0), **kw
         )
     raise ValueError(f"unknown heavy entry {name!r}")
 
@@ -784,6 +816,42 @@ def _tier2_queries(
             )
         )
         timings["t2_s6_index_q50_200k"] = round(time.perf_counter() - t0, 3)
+
+        # extend-probe flatness pair (r11 verdict #2): the redelivery
+        # anti-join's probe side is bounded to the batch's id range
+        # (footer-stat pruned), so extending a 1k batch onto a 10×
+        # larger index must cost ~the same — the number that proves the
+        # O(index)-per-trigger scan is gone. Same batch, same encode
+        # work, only the index size differs.
+        from pyspark.sql import functions as _F
+
+        from stock_chart_kafka_streams_spark.operators.similarity import (
+            extend_pq_index,
+        )
+
+        ext_batch = (
+            embs.where(_F.col("vec_id") % 200 == 7)
+            .select(
+                (_F.col("vec_id") + _F.lit(50_000_000_000)).alias("vec_id"),
+                "embedding",
+            )
+            .localCheckpoint(eager=True)
+        )
+        for tag, base in (
+            ("20k", embs.where(_F.col("vec_id") % 10 == 0)),
+            ("200k", embs),
+        ):
+            ipath = os.path.join(idx_root, f"pq_ext_{tag}")
+            build_pq_index(
+                base, ipath, m=4, n_codes=16,
+                sample_num=1, sample_den=16, encode_mode="matmul",
+            )
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            extend_pq_index(ext_batch, ipath)
+            timings[f"t2_s5_index_extend_1k_on_{tag}"] = round(
+                time.perf_counter() - t0, 3
+            )
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 

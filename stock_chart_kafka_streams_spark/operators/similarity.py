@@ -2161,6 +2161,103 @@ def compact_pq_index(spark, path: str) -> None:
     _swap_dirs(spark, tmp, f"{path}/codes")
 
 
+# ---------------------------------------------------------------------------
+# Blue/green index refresh (round 12, r11 verdict #6): the recall-drift
+# answer. ``foreach_batch_index_ingest`` keeps EXTENDING the live index
+# with codebooks frozen at build time; as the corpus distribution drifts,
+# quantization error grows (the aging-FAISS-index problem the ann_index
+# docstring documents). The fix is periodic re-TRAINING — but an in-place
+# rebuild would break readers mid-swap. Blue/green: each rebuild lands in
+# a fresh versioned directory under one root, and a CURRENT pointer file
+# flips atomically (tmp + rename); a reader resolves the pointer, then
+# serves from an immutable artifact — queries in flight keep their
+# version, queries after the flip get the new one, and no query ever
+# observes a half-written index. Old versions stay until pruned.
+# ---------------------------------------------------------------------------
+
+INDEX_POINTER = "CURRENT"
+
+
+def _pointer_file(root: str) -> str:
+    return f"{root.rstrip('/')}/{INDEX_POINTER}"
+
+
+def current_index_version(root: str) -> int:
+    """The version number the CURRENT pointer names (0 if no pointer —
+    a root that has never been refreshed)."""
+    import os as _os
+
+    try:
+        with open(_pointer_file(root)) as fh:
+            name = fh.read().strip()
+    except OSError:
+        return 0
+    if not name.startswith("v"):
+        raise ValueError(f"malformed index pointer {name!r} at {root!r}")
+    return int(name[1:])
+
+
+def current_index_path(root: str) -> str:
+    """Resolve the CURRENT pointer to the servable index directory —
+    pass the result straight to ``pq_topk``/``ivfpq_topk(index_path=...)``.
+    Raises if the root has never been refreshed."""
+    ver = current_index_version(root)
+    if ver == 0:
+        raise ValueError(
+            f"no CURRENT index under {root!r} — run refresh_pq_index first"
+        )
+    return f"{root.rstrip('/')}/v{ver}"
+
+
+def refresh_pq_index(corpus: DataFrame, root: str, **build_kwargs) -> str:
+    """Blue/green rebuild: train + encode a brand-new index over
+    ``corpus`` into ``root/v{N+1}``, then atomically repoint
+    ``root/CURRENT`` at it. Returns the new version directory.
+
+    The build writes into a directory no reader resolves yet, so serving
+    from ``current_index_path(root)`` never fails during a refresh —
+    the pointer flip is a single rename. The PREVIOUS version directory
+    is left intact (readers that resolved it before the flip finish
+    against an immutable artifact); reclaim space with
+    ``prune_index_versions`` once in-flight readers have drained.
+
+    Local/NFS-posix pointer semantics (os.replace); at object-store
+    scale the pointer becomes the catalog entry of whatever table format
+    hosts the artifact — the versioned-directory layout is unchanged."""
+    import os as _os
+
+    ver = current_index_version(root) + 1
+    vdir = f"{root.rstrip('/')}/v{ver}"
+    build_pq_index(corpus, vdir, **build_kwargs)
+    _os.makedirs(root, exist_ok=True)
+    tmp = _pointer_file(root) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(f"v{ver}")
+    _os.replace(tmp, _pointer_file(root))
+    return vdir
+
+
+def prune_index_versions(root: str, keep: int = 2) -> list[str]:
+    """Drop all but the newest ``keep`` version directories (never the
+    CURRENT one regardless of ``keep``). Returns dropped dir names."""
+    import os as _os
+    import re as _re
+    import shutil as _shutil
+
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    cur = current_index_version(root)
+    vers = sorted(
+        int(m.group(1))
+        for d in _os.listdir(root)
+        if (m := _re.fullmatch(r"v(\d+)", d)) and _os.path.isdir(f"{root}/{d}")
+    )
+    drop = [v for v in vers[:-keep] if v != cur]
+    for v in drop:
+        _shutil.rmtree(f"{root}/v{v}", ignore_errors=True)
+    return [f"v{v}" for v in drop]
+
+
 def _check_index_meta(
     meta: dict,
     kind: str,

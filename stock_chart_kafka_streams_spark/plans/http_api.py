@@ -81,6 +81,19 @@ def candle_rows_to_json(rows) -> list[dict]:
     return out
 
 
+def _parse_materialized(q: dict):
+    """?materialized=true|false -> True/False; absent -> None (auto: use
+    the attached streaming corr overlay when frame/n match, else
+    recompute). Strict parse — a typo is the 400 class."""
+    raw = q.get("materialized")
+    if raw is None:
+        return None
+    low = raw.lower()
+    if low not in ("true", "false"):
+        raise ValueError(f"materialized must be true or false, got {raw!r}")
+    return low == "true"
+
+
 _CANDLE_COLS = [
     "symbol", "bucket_start", "bucket_end", "open", "high", "low", "close",
     "volume",
@@ -150,6 +163,7 @@ class _Handler(BaseHTTPRequestHandler):
                 df = self.store.correlation(
                     parts[3], parts[4], frame,
                     n=n, start=q.get("from"), end=q.get("to"),
+                    materialized=_parse_materialized(q),
                 )
                 rows = df.limit(MAX_RESULT_ROWS + 1).collect()
                 if len(rows) > MAX_RESULT_ROWS:
@@ -179,6 +193,7 @@ class _Handler(BaseHTTPRequestHandler):
                 df = self.store.correlation_matrix(
                     symbols=syms, frame=frame, n=n,
                     start=q.get("from"), end=q.get("to"),
+                    materialized=_parse_materialized(q),
                 )
                 rows = df.limit(MAX_RESULT_ROWS + 1).collect()
                 if len(rows) > MAX_RESULT_ROWS:

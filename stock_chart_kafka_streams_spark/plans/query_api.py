@@ -255,6 +255,69 @@ class CandleStore:
         return row
 
     # -- cross-series analytics over the stored table -----------------------
+    def attach_corr_table(self, path: str, n: int) -> None:
+        """Attach a MATERIALIZED correlation overlay (the streaming corr
+        tier, ``streaming.corr`` — r11 verdict #7): ``correlation`` /
+        ``correlation_matrix`` calls with ``materialized=True`` (or the
+        auto default, when ``frame``/``n`` match) become pruned reads of
+        the live pair table instead of per-request window recomputes.
+        Re-read per call (fresh file listing — the MERGE rewrites files),
+        like ``point_row``'s path-backed reads."""
+        if self._spark is None:
+            raise ValueError(
+                "attach_corr_table needs a path-backed store "
+                "(CandleStore.from_path) — the overlay is re-read per call"
+            )
+        self._corr_path = path
+        self._corr_n = int(n)
+
+    _corr_path: str | None = None
+    _corr_n: int | None = None
+
+    def _corr_materialized(
+        self,
+        n: int,
+        frame: str,
+        materialized: bool | None,
+    ) -> DataFrame | None:
+        """The attached overlay when this request can (or must) use it.
+        ``materialized=None`` (auto): use it iff attached and frame/n
+        match — note the semantics difference: the overlay stores
+        FULL-HISTORY trailing windows (the live chart overlay), while the
+        recompute path starts windows at the requested range's first
+        bucket; a ranged auto request therefore prefers the overlay's
+        trailing-window values. Pass ``materialized=False`` to force the
+        range-local recompute."""
+        if materialized is False:
+            return None
+        ok = (
+            self._corr_path is not None
+            and self._corr_n == n
+            and frame == "MINUTE"
+        )
+        if not ok:
+            if materialized:
+                raise ValueError(
+                    f"no materialized correlation overlay for frame={frame!r}"
+                    f", n={n} (attached: path={self._corr_path!r}, "
+                    f"n={self._corr_n})"
+                )
+            return None
+        assert self._spark is not None
+        return self._spark.read.parquet(self._corr_path)
+
+    @staticmethod
+    def _corr_range(df: DataFrame, start, end) -> DataFrame:
+        if start is not None:
+            df = df.where(F.col("bucket_start") >= F.lit(_ts(start)))
+            if "bucket_date" in df.columns:
+                df = df.where(F.col("bucket_date") >= F.lit(_ts(start).date()))
+        if end is not None:
+            df = df.where(F.col("bucket_start") <= F.lit(_ts(end)))
+            if "bucket_date" in df.columns:
+                df = df.where(F.col("bucket_date") <= F.lit(_ts(end).date()))
+        return df
+
     def correlation(
         self,
         symbol_a: str,
@@ -263,6 +326,7 @@ class CandleStore:
         n: int = 20,
         start: TsLike | None = None,
         end: TsLike | None = None,
+        materialized: bool | None = None,
     ) -> DataFrame:
         """Rolling Pearson correlation between two stored series (w14)
         over an optional [start, end] range — the pairs-trading overlay a
@@ -277,6 +341,26 @@ class CandleStore:
             rolling_correlation,
         )
 
+        overlay = self._corr_materialized(n, frame, materialized)
+        if overlay is not None:
+            a, b = sorted((symbol_a, symbol_b))
+            rows = self._corr_range(
+                overlay.where(
+                    (F.col("sym_a") == a) & (F.col("sym_b") == b)
+                ),
+                start,
+                end,
+            )
+            ca, cb = (
+                ("close_a", "close_b") if a == symbol_a else ("close_b", "close_a")
+            )
+            return rows.select(
+                F.lit(f"{symbol_a}/{symbol_b}").alias("pair"),
+                "bucket_start",
+                F.col(ca).alias("close_a"),
+                F.col(cb).alias("close_b"),
+                f"corr_{n}",
+            ).orderBy("bucket_start")
         base = self.get_candles(symbol_a, frame, start, end).unionByName(
             self.get_candles(symbol_b, frame, start, end),
             allowMissingColumns=False,
@@ -290,6 +374,7 @@ class CandleStore:
         n: int = 20,
         start: TsLike | None = None,
         end: TsLike | None = None,
+        materialized: bool | None = None,
     ) -> DataFrame:
         """All-pairs rolling correlation (w15) over the stored table —
         the reference's five-symbols-side-by-side serving view
@@ -302,6 +387,18 @@ class CandleStore:
         )
 
         check_frame(frame)
+        overlay = self._corr_materialized(n, frame, materialized)
+        if overlay is not None:
+            rows = self._corr_range(overlay, start, end)
+            if symbols is not None:
+                syms = list(symbols)
+                rows = rows.where(
+                    F.col("sym_a").isin(syms) & F.col("sym_b").isin(syms)
+                )
+            return rows.select(
+                "sym_a", "sym_b", "bucket_start", "close_a", "close_b",
+                f"corr_{n}",
+            )
         out = self._df.where(F.col("time_frame") == frame)
         has_bd = "bucket_date" in self._df.columns
         if start is not None:

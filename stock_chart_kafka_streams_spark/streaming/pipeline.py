@@ -242,6 +242,64 @@ def enrich_trades_with_dim(trades: DataFrame, dim: DataFrame, on: str = "symbol"
     return trades.join(F.broadcast(dim), on=on, how="left")
 
 
+def _real_rows(df: DataFrame):
+    """Predicate selecting REAL candle rows (not synthesized gap rows).
+    Fill-maintained serving tables persist ``is_gap``; tables without the
+    column were never gap-filled, so every row is real."""
+    if "is_gap" in df.columns:
+        return ~F.coalesce(F.col("is_gap"), F.lit(False))
+    return F.lit(True)
+
+
+def affected_symbol_windows(spark, batch: DataFrame, path: str) -> list:
+    """Per affected symbol, the stored-REAL-candle anchor window
+    ``[last real candle strictly before min(batch bucket), first real
+    candle strictly after max(batch bucket)]`` (falling back to the
+    batch's own bounds when no anchor exists) — the span of stored rows
+    this batch can have CHANGED, directly (the candle MERGE) or
+    indirectly (the gap re-carry between the anchors). One aggregate-only
+    probe pass; O(affected symbols) Rows(symbol, __wlo, __whi) reach the
+    driver — the same order as upsert_candles' touched-partition collect.
+    Shared by the bounded gap fill and the streaming correlation tier.
+
+    "Real" means NOT a synthesized gap row: fill-maintained tables carry
+    an explicit ``is_gap`` marker (round 12 — the previous volume == 0
+    in-band marker misclassified genuine volume-0 candles, which the
+    events fixture produces via quantity-0 trades, and silently skipped
+    gap spans after them); tables never touched by the gap filler have
+    only real rows."""
+    bounds = batch.groupBy("symbol").agg(
+        F.min("bucket_start").alias("__lo"),
+        F.max("bucket_start").alias("__hi"),
+    )
+    stored = spark.read.parquet(path)
+    real = (
+        stored.where(F.col("time_frame") == "MINUTE")
+        .where(_real_rows(stored))
+        .select("symbol", "bucket_start")
+        .join(F.broadcast(bounds), on="symbol")
+    )
+    return (
+        real.groupBy("symbol")
+        .agg(
+            F.max(
+                F.when(F.col("bucket_start") < F.col("__lo"), F.col("bucket_start"))
+            ).alias("__prev"),
+            F.min(
+                F.when(F.col("bucket_start") > F.col("__hi"), F.col("bucket_start"))
+            ).alias("__next"),
+            F.first("__lo").alias("__lo"),
+            F.first("__hi").alias("__hi"),
+        )
+        .select(
+            "symbol",
+            F.coalesce("__prev", "__lo").alias("__wlo"),
+            F.coalesce("__next", "__hi").alias("__whi"),
+        )
+        .collect()
+    )
+
+
 def _fill_gap_window(spark, batch: DataFrame, path: str) -> None:
     """Materialize the gap minutes this batch can have CHANGED — and only
     those (r11 verdict #1, the round's one ``weak``). Per affected
@@ -272,38 +330,7 @@ def _fill_gap_window(spark, batch: DataFrame, path: str) -> None:
         fill_candle_gaps,
     )
 
-    bounds = batch.groupBy("symbol").agg(
-        F.min("bucket_start").alias("__lo"),
-        F.max("bucket_start").alias("__hi"),
-    )
-    real = (
-        spark.read.parquet(path)
-        .where(F.col("time_frame") == "MINUTE")
-        .where(F.col("volume") > 0)
-        .select("symbol", "bucket_start")
-        .join(F.broadcast(bounds), on="symbol")
-    )
-    # one pass, both anchors; O(affected symbols) rows reach the driver
-    # (the same order as upsert_candles' touched-partition collect)
-    win_rows = (
-        real.groupBy("symbol")
-        .agg(
-            F.max(
-                F.when(F.col("bucket_start") < F.col("__lo"), F.col("bucket_start"))
-            ).alias("__prev"),
-            F.min(
-                F.when(F.col("bucket_start") > F.col("__hi"), F.col("bucket_start"))
-            ).alias("__next"),
-            F.first("__lo").alias("__lo"),
-            F.first("__hi").alias("__hi"),
-        )
-        .select(
-            "symbol",
-            F.coalesce("__prev", "__lo").alias("__wlo"),
-            F.coalesce("__next", "__hi").alias("__whi"),
-        )
-        .collect()
-    )
+    win_rows = affected_symbol_windows(spark, batch, path)
     if not win_rows:
         return
     win = F.broadcast(
@@ -315,10 +342,10 @@ def _fill_gap_window(spark, batch: DataFrame, path: str) -> None:
     # per-symbol join filter then trims the rectangle to the exact spans
     lo_date = min(r["__wlo"] for r in win_rows).date()
     hi_date = max(r["__whi"] for r in win_rows).date()
+    stored = spark.read.parquet(path)
     real_win = (
-        spark.read.parquet(path)
-        .where(F.col("time_frame") == "MINUTE")
-        .where(F.col("volume") > 0)
+        stored.where(F.col("time_frame") == "MINUTE")
+        .where(_real_rows(stored))
         .where(
             (F.col("bucket_date") >= F.lit(lo_date))
             & (F.col("bucket_date") <= F.lit(hi_date))
@@ -330,11 +357,12 @@ def _fill_gap_window(spark, batch: DataFrame, path: str) -> None:
         )
         .drop("__wlo", "__whi")
     )
+    # keep is_gap=True on the synthesized rows: the PERSISTED marker the
+    # next batch's real-row filters key on (no volume overloading)
     gaps = (
-        fill_candle_gaps(real_win, "MINUTE")
+        fill_candle_gaps(real_win.drop("is_gap"), "MINUTE")
         .where(F.col("is_gap"))
-        .drop("is_gap")
-        .select(*CANDLE_COLUMNS)
+        .select(*CANDLE_COLUMNS, "is_gap")
     )
     upsert_candles(spark, gaps, path)
 
@@ -358,13 +386,15 @@ def cascade_upsert(
     (``_fill_gap_window``; the carry logic is ``fill_candle_gaps``, the
     same as the read path) — and MERGEs them in, so the streamed table
     itself is the continuous series.
-    Invariants that keep this idempotent and batch-order-free: real
-    candles always have volume > 0 (a candle needs >= 1 trade), so
-    volume == 0 identifies synthesized rows; gaps are recomputed from the
-    REAL rows only (volume > 0) each batch, so a replayed or re-delivered
-    batch rewrites byte-identical gap rows; and the coarse-frame rollups
-    below read only volume > 0 minutes, so HOUR/DAY/MONTH stay the
-    rollup of real trades whether or not gaps are materialized. Per-batch
+    Invariants that keep this idempotent and batch-order-free: the
+    serving table persists ``is_gap`` (real rows stamp False, synthesized
+    rows True — round 12; the r11 volume == 0 marker misclassified
+    genuine volume-0 candles, e.g. quantity-0 trades, and dropped the gap
+    spans after them); gaps are recomputed from the REAL rows only each
+    batch, so a replayed or re-delivered batch rewrites byte-identical
+    gap rows; and the coarse-frame rollups below read only real minutes,
+    so HOUR/DAY/MONTH stay the rollup of real trades whether or not gaps
+    are materialized. Per-batch
     cost is bounded by the batch's affected window, NOT the stream's
     lifetime (r11 verdict #1 — see ``_fill_gap_window``); the
     batched/finalize sink remains the high-throughput path."""
@@ -375,17 +405,24 @@ def cascade_upsert(
             return
         spark = batch.sparkSession
         batch = batch.select(*CANDLE_COLUMNS).localCheckpoint(eager=True)
-        upsert_candles(spark, batch, path)
+        real_batch = batch
+        if fill_gaps:
+            # stamp the marker on every REAL write so the table carries
+            # the is_gap column from its very first file (no mixed-schema
+            # partitions for the real-row filters to trip on)
+            real_batch = batch.withColumn("is_gap", F.lit(False))
+        upsert_candles(spark, real_batch, path)
         if fill_gaps:
             _fill_gap_window(spark, batch, path)
         if not frames:
             return
         # (re)read AFTER any gap MERGE — the earlier listing's files may
         # have been rewritten by it
-        minutes = spark.read.parquet(path).where(F.col("time_frame") == "MINUTE")
+        stored = spark.read.parquet(path)
+        minutes = stored.where(F.col("time_frame") == "MINUTE")
         if fill_gaps:
             # coarse frames roll up REAL minutes only (see docstring)
-            minutes = minutes.where(F.col("volume") > 0)
+            minutes = minutes.where(_real_rows(stored)).drop("is_gap")
         for frame in frames:
             affected = batch.select(
                 "symbol", bucket_start("bucket_start", frame).alias("bucket_start")

@@ -289,3 +289,62 @@ def replay_candles(
     finally:
         if own_tmp:
             shutil.rmtree(work_dir, ignore_errors=True)
+
+
+def replay_corr_tier(
+    spark: SparkSession,
+    trades_with_batch: DataFrame,
+    n: int = 20,
+    work_dir: str | None = None,
+) -> DataFrame:
+    """Run the cascade sink WITH the incremental correlation tier
+    (``streaming.corr.cascade_upsert_with_corr``, fill_gaps=True) over a
+    deterministic batch replay and return the materialized pair table —
+    the oracle surface for w16: the incrementally-maintained table must
+    equal the one-shot w15 matrix over the gap-filled replay-kept minute
+    candles (sentinel rows excluded)."""
+    from stock_chart_kafka_streams_spark.streaming.corr import (
+        cascade_upsert_with_corr,
+    )
+    from stock_chart_kafka_streams_spark.streaming.pipeline import (
+        streaming_minute_candles,
+    )
+
+    own_tmp = work_dir is None
+    work_dir = work_dir or tempfile.mkdtemp(prefix="corr-replay-")
+    replay_dir = os.path.join(work_dir, "input")
+    table_dir = os.path.join(work_dir, "serving")
+    corr_dir = os.path.join(work_dir, "corr")
+    ckpt_dir = os.path.join(work_dir, "checkpoint")
+    try:
+        write_replay_batches(trades_with_batch, replay_dir)
+        stream = read_trades_json_stream(spark, replay_dir, max_files_per_trigger=1)
+        q = (
+            streaming_minute_candles(stream, "0 seconds")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .foreachBatch(
+                cascade_upsert_with_corr(
+                    table_dir, corr_dir, frames=["MINUTE"], corr_n=n
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.read.parquet(corr_dir)
+            .where(F.col("bucket_start") < F.lit(SENTINEL_CUTOFF).cast("timestamp"))
+            .where(
+                (F.col("sym_a") != "__heartbeat__")
+                & (F.col("sym_b") != "__heartbeat__")
+            )
+            .select(
+                "sym_a", "sym_b", "bucket_start", "close_a", "close_b",
+                f"corr_{n}",
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        if own_tmp:
+            shutil.rmtree(work_dir, ignore_errors=True)

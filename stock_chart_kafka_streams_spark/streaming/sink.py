@@ -171,12 +171,21 @@ def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
     Only partitions touched by the batch are rewritten (dynamic partition
     overwrite); untouched history is never read or written.
     """
-    batch = _with_partition_cols(batch.select(*CANDLE_COLUMNS))
+    # optional persisted gap marker (round 12): fill-maintained tables
+    # carry ``is_gap``; harmonize whichever side lacks it (a coarse
+    # rollup upserting into a fill table is real by construction)
+    cols = list(CANDLE_COLUMNS) + (["is_gap"] if "is_gap" in batch.columns else [])
+    batch = _with_partition_cols(batch.select(*cols))
     if not _table_exists(spark, path):
         write_candles(batch.drop("bucket_date"), path, mode="overwrite")
         return
 
     existing = spark.read.parquet(path)
+    if "is_gap" in batch.columns and "is_gap" not in existing.columns:
+        existing = existing.withColumn("is_gap", F.lit(False))
+    elif "is_gap" in existing.columns and "is_gap" not in batch.columns:
+        batch = batch.withColumn("is_gap", F.lit(False))
+    cols = list(CANDLE_COLUMNS) + (["is_gap"] if "is_gap" in batch.columns else [])
     # Restrict the read to partitions the batch touches. Two layers:
     # (1) static In-filters on each partition column (the collect is
     # tiny — distinct frames x dates of ONE micro-batch) give the scan
@@ -201,7 +210,7 @@ def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
     keep = pruned.join(
         F.broadcast(part_keys), on=PARTITION_COLS, how="left_semi"
     ).join(batch.select(*CANDLE_KEY), on=CANDLE_KEY, how="left_anti")
-    merged = keep.select(*CANDLE_COLUMNS).unionByName(batch.drop("bucket_date"))
+    merged = keep.select(*cols).unionByName(batch.drop("bucket_date"))
     merged = _with_partition_cols(merged)
     # Materialize before overwriting the partitions being read.
     merged = merged.localCheckpoint(eager=True)
@@ -238,7 +247,10 @@ def compact_candles(
     housekeeping job — dynamic partition overwrite leaves the rest of the
     table untouched); None compacts the whole table."""
     existing = spark.read.parquet(path)
-    df = _with_partition_cols(existing.select(*CANDLE_COLUMNS))
+    keep_cols = list(CANDLE_COLUMNS) + (
+        ["is_gap"] if "is_gap" in existing.columns else []
+    )
+    df = _with_partition_cols(existing.select(*keep_cols))
     if partitions is not None:
         cond = None
         for tf, bd in partitions:

@@ -417,3 +417,102 @@ def test_index_training_knob_mismatch_raises(spark, embs, queries, tmp_path):
             sample_num=1, sample_den=2, encode_mode="matmul",
             index_path=path,
         )
+
+
+def test_blue_green_refresh_serves_without_interruption(
+    spark, embs, queries, tmp_path
+):
+    """r11 verdict #6, the missing last step of the index lifecycle
+    (build / serve / extend / compact / REFRESH): a periodic re-train
+    lands in a fresh versioned directory and the CURRENT pointer flips
+    atomically, so readers resolving the pointer never fail mid-swap and
+    a reader that resolved the old version finishes against an immutable
+    artifact. Served results after the flip equal a from-scratch build
+    on the union corpus (same deterministic training, same knobs)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _md5_sample_pred,
+        current_index_path,
+        current_index_version,
+        extend_pq_index,
+        prune_index_versions,
+        refresh_pq_index,
+    )
+
+    root = str(tmp_path / "idx_root")
+    half = embs.where(_md5_sample_pred("vec_id", 1, 2))
+    rest = embs.join(half.select("vec_id"), on="vec_id", how="left_anti")
+
+    with pytest.raises(ValueError, match="no CURRENT"):
+        current_index_path(root)
+
+    v1 = refresh_pq_index(half, root, n_lists=8, m=4, n_codes=8)
+    assert current_index_version(root) == 1
+    assert current_index_path(root) == v1
+
+    # the live ingest loop keeps extending whatever CURRENT names
+    extend_pq_index(rest, current_index_path(root))
+    pinned = current_index_path(root)  # a reader that resolved pre-flip
+
+    # rebuild on the union corpus UNDER LOAD: serve in a loop while the
+    # refresh runs; zero queries may fail across the flip
+    failures, serves = [], []
+
+    def _serve_loop(stop):
+        while not stop.is_set():
+            try:
+                got = ivfpq_topk(
+                    embs, queries, k=5, n_lists=8, n_probe=2, m=4,
+                    n_codes=8, index_path=current_index_path(root),
+                ).collect()
+                serves.append(len(got))
+            except Exception as exc:  # noqa: BLE001 — the assertion IS "none"
+                failures.append(repr(exc))
+
+    stop = threading.Event()
+    reader = threading.Thread(target=_serve_loop, args=(stop,))
+    reader.start()
+    try:
+        v2 = refresh_pq_index(embs, root, n_lists=8, m=4, n_codes=8)
+    finally:
+        stop.set()
+        reader.join()
+    assert not failures, failures
+    assert serves and all(n > 0 for n in serves)
+    assert current_index_version(root) == 2
+    assert current_index_path(root) == v2
+
+    # post-flip serving equals a from-scratch build on the union corpus
+    scratch = str(tmp_path / "scratch")
+    build_pq_index(embs, scratch, n_lists=8, m=4, n_codes=8)
+    served_v2 = ivfpq_topk(
+        embs, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
+        index_path=current_index_path(root),
+    )
+    served_scratch = ivfpq_topk(
+        embs, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
+        index_path=scratch,
+    )
+    assert _rows(served_v2) == _rows(served_scratch)
+
+    # the pre-flip reader's pinned version is intact (extended artifact)
+    pinned_rows = ivfpq_topk(
+        embs, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
+        index_path=pinned,
+    ).collect()
+    assert len(pinned_rows) > 0
+
+    # prune old versions: v1 goes, CURRENT survives, serving unaffected
+    assert prune_index_versions(root, keep=1) == ["v1"]
+    import os
+
+    assert not os.path.exists(pinned)
+    assert _rows(
+        ivfpq_topk(
+            embs, queries, k=5, n_lists=8, n_probe=2, m=4, n_codes=8,
+            index_path=current_index_path(root),
+        )
+    ) == _rows(served_scratch)

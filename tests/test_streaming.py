@@ -514,3 +514,37 @@ def test_gap_fill_backfill_recarries_following_gaps(spark, tmp_path):
     }
     assert gaps == {**{m: 100.0 for m in range(1, 5)},
                     **{m: 105.0 for m in range(6, 10)}}
+
+
+def test_gap_fill_keeps_volume_zero_real_candles(spark, tmp_path):
+    """Round-12 regression (found by w16's oracle): a REAL candle whose
+    trades net to quantity 0 — volume 0, which the events fixture
+    genuinely produces — must anchor gap synthesis like any other real
+    candle. The r11 design used volume == 0 as the in-band synthetic-row
+    marker, so such candles were misclassified as gaps and the quiet
+    span after them was silently never filled; the marker is now the
+    PERSISTED ``is_gap`` column."""
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.streaming.pipeline import cascade_upsert
+
+    path = str(tmp_path / "serving_vol0")
+    hook = cascade_upsert(path, frames=["MINUTE"], fill_gaps=True)
+    t0 = dt.datetime(2024, 3, 8, 10, 0)
+
+    hook(_mk_candle_batch(spark, [("Z", t0, 100.0, 0)]), 0)  # volume-0 REAL
+    hook(_mk_candle_batch(
+        spark, [("Z", t0 + dt.timedelta(minutes=5), 105.0, 3)]
+    ), 1)
+
+    rows = {
+        r["bucket_start"].minute: (r["close"], r["volume"], r["is_gap"])
+        for r in spark.read.parquet(path)
+        .where("time_frame = 'MINUTE'")
+        .collect()
+    }
+    # the volume-0 candle is REAL; minutes 1-4 are synthesized at its close
+    assert rows[0] == (100.0, 0, False)
+    assert rows[5] == (105.0, 3, False)
+    for m in range(1, 5):
+        assert rows[m] == (100.0, 0, True), (m, rows[m])

@@ -1,0 +1,196 @@
+"""Streaming correlation tier (round 12, r11 verdict #7): the w15 pair
+table maintained incrementally per micro-batch must equal the one-shot
+batch recompute over the final stored candles (replay-equals-batch), stay
+byte-stable under redelivery, touch only the batch's affected bucket_date
+partitions (the mtime-pin discipline), and serve over HTTP from the live
+materialized table."""
+
+import datetime as dt
+import glob
+import json
+import os
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_chart_kafka_streams_spark import CandleStore
+from stock_chart_kafka_streams_spark.operators.windows_ext import (
+    rolling_correlation_matrix,
+)
+from stock_chart_kafka_streams_spark.streaming.corr import (
+    cascade_upsert_with_corr,
+)
+from tests.test_streaming import _mk_candle_batch
+
+N = 3  # small window keeps the affected spans tight and assertions sharp
+
+
+def _mk_batch(spark, start, minutes, closes):
+    """closes: {symbol: base} -> dense per-minute candles for each symbol
+    over [start, start + minutes)."""
+    rows = []
+    for sym, base in closes.items():
+        for m in range(minutes):
+            rows.append(
+                (sym, start + dt.timedelta(minutes=m), base + 0.5 * m, 2)
+            )
+    return _mk_candle_batch(spark, rows)
+
+
+def _corr_rows(df, n=N):
+    return sorted(
+        (
+            r["sym_a"], r["sym_b"], r["bucket_start"],
+            r["close_a"], r["close_b"], r[f"corr_{n}"],
+        )
+        for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def built(spark, tmp_path):
+    path = str(tmp_path / "candles")
+    corr = str(tmp_path / "corr")
+    hook = cascade_upsert_with_corr(
+        path, corr, frames=["MINUTE"], corr_n=N
+    )
+    d1 = dt.datetime(2024, 4, 1, 23, 50)
+    d2 = dt.datetime(2024, 4, 2, 0, 0)
+    batches = [
+        _mk_batch(spark, d1, 10, {"A": 100.0, "B": 50.0, "C": 75.0}),
+        _mk_batch(spark, d2, 10, {"A": 101.0, "B": 49.0, "C": 80.0}),
+        _mk_batch(spark, d2 + dt.timedelta(minutes=10), 10,
+                  {"A": 99.0, "B": 52.0, "C": 70.0}),
+    ]
+    return path, corr, hook, batches
+
+
+def test_incremental_corr_equals_batch_recompute(spark, built):
+    path, corr, hook, batches = built
+    for i, b in enumerate(batches[:2]):
+        hook(b, i)
+
+    # bounded work: batch 2's span stays inside day 2 — day 1's corr
+    # partition files must not be rewritten (r7 mtime discipline)
+    day1 = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{corr}/bucket_date=2024-04-01/*.parquet")
+    }
+    assert day1
+    hook(batches[2], 2)
+    for f, mt in day1.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mt, f
+
+    stored = spark.read.parquet(path)
+    want = rolling_correlation_matrix(
+        stored.where(F.col("time_frame") == "MINUTE"), n=N
+    )
+    got = spark.read.parquet(corr)
+    assert _corr_rows(got) == _corr_rows(want)
+
+    # redelivery: replaying an old batch leaves both tables byte-stable
+    before = _corr_rows(spark.read.parquet(corr))
+    hook(batches[1], 99)
+    assert _corr_rows(spark.read.parquet(corr)) == before
+    assert _corr_rows(spark.read.parquet(corr)) == _corr_rows(want)
+
+
+def test_corr_tier_covers_gap_refill_and_backfill(spark, tmp_path):
+    """A backfilled candle re-carries following gap closes; the corr
+    tier's anchor window must propagate that into the pair rows (the
+    hardest update path: closes changed OUTSIDE the batch's own
+    buckets)."""
+    path = str(tmp_path / "candles_bf")
+    corr = str(tmp_path / "corr_bf")
+    hook = cascade_upsert_with_corr(path, corr, frames=["MINUTE"], corr_n=N)
+    t0 = dt.datetime(2024, 4, 5, 9, 0)
+
+    # A trades every minute 0..10; B trades at 0 and 10 (gap-filled in
+    # between), then B backfills minute 5 — gaps 6..9 re-carry
+    hook(_mk_batch(spark, t0, 11, {"A": 100.0}), 0)
+    hook(_mk_candle_batch(spark, [("B", t0, 50.0, 1)]), 1)
+    hook(_mk_candle_batch(
+        spark, [("B", t0 + dt.timedelta(minutes=10), 60.0, 1)]
+    ), 2)
+    hook(_mk_candle_batch(
+        spark, [("B", t0 + dt.timedelta(minutes=5), 55.0, 1)]
+    ), 3)
+
+    stored = spark.read.parquet(path)
+    want = rolling_correlation_matrix(
+        stored.where(F.col("time_frame") == "MINUTE"), n=N
+    )
+    assert _corr_rows(spark.read.parquet(corr)) == _corr_rows(want)
+
+
+def test_http_serves_materialized_corr_overlay(spark, built):
+    path, corr, hook, batches = built
+    for i, b in enumerate(batches):
+        hook(b, i)
+
+    from stock_chart_kafka_streams_spark.plans.http_api import (
+        serve_in_background,
+    )
+
+    store = CandleStore.from_path(spark, path)
+    store.attach_corr_table(corr, n=N)
+    server, url = serve_in_background(store)
+    try:
+        with urllib.request.urlopen(
+            f"{url}/api/charts/corr/A/B?n={N}&materialized=true", timeout=120
+        ) as resp:
+            got = json.loads(resp.read())
+        assert resp.status == 200
+        stored = spark.read.parquet(corr).where(
+            (F.col("sym_a") == "A") & (F.col("sym_b") == "B")
+        )
+        want = {
+            (r["bucket_start"], round(r[f"corr_{N}"], 9))
+            for r in stored.collect()
+            if r[f"corr_{N}"] is not None
+        }
+        got_set = {
+            (dt.datetime.fromisoformat(r["bucketStart"].replace("Z", "+00:00"))
+             .astimezone().replace(tzinfo=None), round(r["corr"], 9))
+            for r in got
+            if r["corr"] is not None
+        }
+        assert got_set == want and len(got) == stored.count()
+        # pair label follows the CALLER's order; closes swap with it
+        with urllib.request.urlopen(
+            f"{url}/api/charts/corr/B/A?n={N}&materialized=true", timeout=120
+        ) as resp:
+            rev = json.loads(resp.read())
+        assert {r["pair"] for r in rev} == {"B/A"}
+        fwd_by_t = {r["bucketStart"]: r for r in got}
+        for r in rev:
+            f = fwd_by_t[r["bucketStart"]]
+            assert r["closeA"] == f["closeB"] and r["closeB"] == f["closeA"]
+            assert r["corr"] == f["corr"]
+
+        # corrmatrix from the overlay
+        with urllib.request.urlopen(
+            f"{url}/api/charts/corrmatrix?n={N}&materialized=true", timeout=120
+        ) as resp:
+            mat = json.loads(resp.read())
+        assert len(mat) == spark.read.parquet(corr).count()
+
+        # overlay mismatch (different n) with materialized=true -> 400
+        try:
+            urllib.request.urlopen(
+                f"{url}/api/charts/corr/A/B?n=7&materialized=true", timeout=120
+            )
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+        # strict parse
+        try:
+            urllib.request.urlopen(
+                f"{url}/api/charts/corr/A/B?n={N}&materialized=yes", timeout=120
+            )
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as exc:
+            assert exc.code == 400
+    finally:
+        server.shutdown()
