@@ -2179,6 +2179,14 @@ INDEX_POINTER = "CURRENT"
 
 
 def _pointer_file(root: str) -> str:
+    if "://" in root:
+        # silently returning version 0 on a URL path would route callers
+        # into "never refreshed" behavior against a live remote root
+        raise ValueError(
+            "versioned-pointer refresh uses local/NFS atomic rename; on "
+            f"object stores ({root!r}) the pointer belongs in your table "
+            "catalog — keep the same v{N} directory layout"
+        )
     return f"{root.rstrip('/')}/{INDEX_POINTER}"
 
 
@@ -2209,7 +2217,12 @@ def current_index_path(root: str) -> str:
     return f"{root.rstrip('/')}/v{ver}"
 
 
-def refresh_pq_index(corpus: DataFrame, root: str, **build_kwargs) -> str:
+def refresh_pq_index(
+    corpus: DataFrame,
+    root: str,
+    reconcile_path: str | None = None,
+    **build_kwargs,
+) -> str:
     """Blue/green rebuild: train + encode a brand-new index over
     ``corpus`` into ``root/v{N+1}``, then atomically repoint
     ``root/CURRENT`` at it. Returns the new version directory.
@@ -2221,14 +2234,38 @@ def refresh_pq_index(corpus: DataFrame, root: str, **build_kwargs) -> str:
     against an immutable artifact); reclaim space with
     ``prune_index_versions`` once in-flight readers have drained.
 
+    ``reconcile_path`` closes the refresh-under-ingest gap: vectors the
+    streaming loop (``foreach_batch_index_ingest``) adds to the LIVE
+    version while this rebuild runs are in the raw corpus table but not
+    in ``corpus`` (the build's snapshot), and no later extend re-delivers
+    them — after the flip they would be unservable from CURRENT forever.
+    Pass the raw corpus table's path and, AFTER the build and BEFORE the
+    flip, the new version is extended with every corpus row whose id is
+    not yet in its code table (one anti-join against the full id column —
+    a once-per-refresh maintenance scan, not a per-batch cost; the delta
+    it appends is bounded by the build window's ingests). Encoding uses
+    the new version's stored codebooks, so the reconciled index is
+    exactly "train on snapshot, encode snapshot ∪ delta" — the same
+    sampled-train shape the extend oracles already verify.
+
     Local/NFS-posix pointer semantics (os.replace); at object-store
     scale the pointer becomes the catalog entry of whatever table format
     hosts the artifact — the versioned-directory layout is unchanged."""
     import os as _os
 
+    spark = corpus.sparkSession
     ver = current_index_version(root) + 1
     vdir = f"{root.rstrip('/')}/v{ver}"
-    build_pq_index(corpus, vdir, **build_kwargs)
+    meta = build_pq_index(corpus, vdir, **build_kwargs)
+    if reconcile_path is not None:
+        id_col = meta["id_col"]
+        live = spark.read.parquet(reconcile_path)
+        stored_ids = spark.read.parquet(f"{vdir}/codes").select(id_col)
+        delta = live.join(stored_ids, on=id_col, how="left_anti")
+        # pin: extend() re-reads the index it is appending to
+        delta = delta.localCheckpoint(eager=True)
+        if not delta.isEmpty():
+            extend_pq_index(delta, vdir)
     _os.makedirs(root, exist_ok=True)
     tmp = _pointer_file(root) + ".tmp"
     with open(tmp, "w") as fh:

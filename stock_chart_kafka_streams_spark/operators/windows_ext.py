@@ -781,6 +781,7 @@ def rolling_correlation_matrix(
     symbols: list[str] | None = None,
     n: int = 20,
     frame: str = "MINUTE",
+    pairs_with: list[str] | None = None,
 ) -> DataFrame:
     """Rolling Pearson correlation for EVERY symbol pair (w15 — the
     generalization of w14 the multi-symbol serving layer asks for,
@@ -837,6 +838,17 @@ def rolling_correlation_matrix(
         F.col("x").alias("xb"),
     )
     pair = a.join(b, on="bucket_start").where(F.col("sym_a") < F.col("sym_b"))
+    if pairs_with is not None:
+        # restrict to pairs with at least one leg in the list BEFORE the
+        # window pass (round 12 — the streaming corr tier's per-batch
+        # bound: only pairs involving a symbol the batch CHANGED can have
+        # changed rows, so the window never buffers the other
+        # S(S-1)/2 − |affected|·S pairs). Lossless: window partitions are
+        # per-pair, so dropping whole pairs cannot perturb survivors.
+        pw = list(pairs_with)
+        pair = pair.where(
+            F.col("sym_a").isin(pw) | F.col("sym_b").isin(pw)
+        )
     w = (
         Window.partitionBy("sym_a", "sym_b")
         .orderBy("bucket_start")

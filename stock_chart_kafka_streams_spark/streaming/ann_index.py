@@ -37,11 +37,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def foreach_batch_index_ingest(index_path: str, corpus_path: str | None = None):
-    """``foreachBatch`` hook: extend the persisted ANN index at
-    ``index_path`` with each micro-batch of new embedding rows; when
-    ``corpus_path`` is given, also append the batch's corpus-new raw
-    rows there so rerank fetch-back serves them.
+def foreach_batch_index_ingest(
+    index_path: str | None = None,
+    corpus_path: str | None = None,
+    index_root: str | None = None,
+):
+    """``foreachBatch`` hook: extend the persisted ANN index with each
+    micro-batch of new embedding rows; when ``corpus_path`` is given,
+    also append the batch's corpus-new raw rows there so rerank
+    fetch-back serves them.
+
+    Address the index one of two ways: ``index_path`` pins a single
+    artifact directory; ``index_root`` names a blue/green versioned root
+    (``refresh_pq_index``) and the hook re-resolves the CURRENT pointer
+    EVERY batch — after a refresh flips the pointer mid-stream, the very
+    next micro-batch extends the new version with zero coordination.
+    Vectors ingested into the OLD version during the rebuild window are
+    picked up by the refresh's ``reconcile_path`` pass (they are in the
+    corpus table; the pre-flip reconcile anti-join appends them to the
+    new version) — the pair of mechanisms that closes the
+    refresh-under-ingest loss window.
 
     The corpus append bootstraps the table on the first batch (no
     read-before-create — the candle sink's ``_table_exists`` guard) and
@@ -49,19 +64,26 @@ def foreach_batch_index_ingest(index_path: str, corpus_path: str | None = None):
     footer-stat bound ``extend_pq_index`` uses for the code table."""
     from stock_chart_kafka_streams_spark.operators.similarity import (
         _batch_id_bounds,
+        current_index_path,
         extend_pq_index,
         read_pq_index,
     )
     from stock_chart_kafka_streams_spark.streaming.sink import _table_exists
 
+    if (index_path is None) == (index_root is None):
+        raise ValueError("pass exactly one of index_path or index_root")
+
     def _write(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        target = (
+            index_path if index_path is not None else current_index_path(index_root)
+        )
         spark = batch.sparkSession
         # pin the batch: extend() runs an anti-join + count + encode over
         # it, and the corpus append below must see the identical rows
         batch = batch.localCheckpoint(eager=True)
-        extend_pq_index(batch, index_path)
+        extend_pq_index(batch, target)
         if corpus_path is None:
             return
         # ALWAYS run the corpus append, even when the index appended
@@ -69,7 +91,7 @@ def foreach_batch_index_ingest(index_path: str, corpus_path: str | None = None):
         # the redelivered batch a full index no-op whose only remaining
         # job is exactly this repair (r11 advice — gating on n_new would
         # strand those ids index-only forever).
-        meta, _, _ = read_pq_index(spark, index_path)
+        meta, _, _ = read_pq_index(spark, target)
         id_col = meta["id_col"]
         if not _table_exists(spark, corpus_path):
             batch.write.mode("append").parquet(corpus_path)

@@ -63,6 +63,7 @@ def upsert_corr(spark: SparkSession, rows: DataFrame, path: str) -> None:
     if not _table_exists(spark, path):
         (
             rows.repartition(*CORR_PARTITION)
+            .sortWithinPartitions(*CORR_KEY)
             .write.mode("overwrite")
             .partitionBy(*CORR_PARTITION)
             .parquet(path)
@@ -77,8 +78,13 @@ def upsert_corr(spark: SparkSession, rows: DataFrame, path: str) -> None:
         keep.select(*data_cols).unionByName(rows.select(*data_cols))
     ).localCheckpoint(eager=True)  # materialize before overwriting the read
     with _dynamic_partition_overwrite(spark):
+        # rows sort by (sym_a, sym_b, bucket_start) within each date file
+        # so parquet min/max stats let a one-pair serving read skip row
+        # groups — the overlay's point-read economics (compact_candles'
+        # key-sort discipline)
         (
             merged.repartition(*CORR_PARTITION)
+            .sortWithinPartitions(*CORR_KEY)
             .write.mode("overwrite")
             .partitionBy(*CORR_PARTITION)
             .parquet(path)
@@ -132,9 +138,14 @@ def corr_batch_update(
             & (F.col("bucket_start") <= F.lit(out_hi))
         )
     )
-    updates = rolling_correlation_matrix(candles, n=n, frame="MINUTE").where(
-        F.col("bucket_start") >= F.lit(out_lo)
-    )
+    # only pairs with an AFFECTED leg can have changed rows: every stored
+    # pair row was written by the batch that delivered its later leg, so
+    # restricting to affected-leg pairs is lossless — and it keeps the
+    # per-batch window work O(affected × S), not O(S²), at wide universes
+    affected = [r["symbol"] for r in win_rows]
+    updates = rolling_correlation_matrix(
+        candles, n=n, frame="MINUTE", pairs_with=affected
+    ).where(F.col("bucket_start") >= F.lit(out_lo))
     upsert_corr(spark, updates, corr_path)
 
 

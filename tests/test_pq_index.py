@@ -516,3 +516,88 @@ def test_blue_green_refresh_serves_without_interruption(
             index_path=current_index_path(root),
         )
     ) == _rows(served_scratch)
+
+
+def test_refresh_reconciles_ingests_and_root_hook_follows_flip(
+    spark, embs, queries, tmp_path
+):
+    """The refresh-under-ingest loss window, closed from both ends:
+    (a) ``refresh_pq_index(reconcile_path=...)`` appends every corpus row
+    missing from the new version's codes BEFORE the pointer flips — rows
+    ingested into the OLD version during the rebuild stay servable; and
+    (b) ``foreach_batch_index_ingest(index_root=...)`` re-resolves the
+    CURRENT pointer per batch, so post-flip batches extend the NEW
+    version with zero coordination. The reconciled index is bit-equal to
+    the sampled-train rebuild (train on the snapshot, encode the union)
+    — the existing extend oracle shape."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _md5_sample_pred,
+        current_index_path,
+        current_index_version,
+        refresh_pq_index,
+    )
+    from stock_chart_kafka_streams_spark.streaming.ann_index import (
+        foreach_batch_index_ingest,
+    )
+
+    root = str(tmp_path / "bg_root")
+    corpus_tab = str(tmp_path / "bg_corpus")
+    half = embs.where(_md5_sample_pred("vec_id", 1, 2))
+    rest = embs.join(half.select("vec_id"), on="vec_id", how="left_anti")
+
+    # v1 over the snapshot; the corpus table starts as the snapshot
+    refresh_pq_index(half, root, m=4, n_codes=8)
+    half.write.parquet(corpus_tab)
+
+    # "during the rebuild": the live loop ingests `rest` into v1+corpus
+    hook = foreach_batch_index_ingest(index_root=root, corpus_path=corpus_tab)
+    hook(rest, 0)
+    v1 = current_index_path(root)
+    n_v1 = spark.read.parquet(f"{v1}/codes").count()
+    assert n_v1 == embs.count()
+
+    # refresh v2 from the OLD snapshot (what a rebuild that raced the
+    # ingest would have read) + reconcile from the corpus table
+    v2 = refresh_pq_index(half, root, reconcile_path=corpus_tab, m=4, n_codes=8)
+    assert current_index_version(root) == 2
+    assert spark.read.parquet(f"{v2}/codes").count() == embs.count()
+
+    # bit-equality: v2 == train-on-half / encode-union (the extend oracle)
+    served = pq_topk(
+        spark.read.parquet(corpus_tab), queries, k=5, m=4, n_codes=8,
+        index_path=current_index_path(root),
+    )
+    fresh = pq_topk(embs, queries, k=5, m=4, n_codes=8, sample_num=1, sample_den=2)
+    assert _rows(served) == _rows(fresh)
+
+    # redelivery of the reconciled rows no-ops on v2
+    hook(rest, 1)
+    assert spark.read.parquet(f"{v2}/codes").count() == embs.count()
+
+    # post-flip batches land on v2, never v1
+    new_rows = rest.select(
+        (F.col("vec_id") + F.lit(40_000_000_000)).alias("vec_id"), "embedding"
+    )
+    hook(new_rows, 2)
+    assert spark.read.parquet(f"{v1}/codes").count() == n_v1
+    assert (
+        spark.read.parquet(f"{v2}/codes").count()
+        == embs.count() + new_rows.count()
+    )
+
+    # exactly-one-of validation
+    with pytest.raises(ValueError, match="exactly one"):
+        foreach_batch_index_ingest()
+    with pytest.raises(ValueError, match="exactly one"):
+        foreach_batch_index_ingest(index_path="x", index_root="y")
+
+
+def test_index_pointer_rejects_object_store_urls():
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        current_index_version,
+    )
+
+    with pytest.raises(ValueError, match="catalog"):
+        current_index_version("s3a://bucket/index-root")

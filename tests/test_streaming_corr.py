@@ -95,6 +95,20 @@ def test_incremental_corr_equals_batch_recompute(spark, built):
     assert _corr_rows(spark.read.parquet(corr)) == before
     assert _corr_rows(spark.read.parquet(corr)) == _corr_rows(want)
 
+    # a batch touching ONE symbol updates only its pairs (the affected-
+    # leg bound) — and the table still equals the full recompute, i.e.
+    # the untouched B/C pair rows were already right and stayed put
+    solo = _mk_batch(
+        spark,
+        dt.datetime(2024, 4, 2, 0, 20), 5, {"A": 98.0},
+    )
+    hook(solo, 3)
+    stored2 = spark.read.parquet(path)
+    want2 = rolling_correlation_matrix(
+        stored2.where(F.col("time_frame") == "MINUTE"), n=N
+    )
+    assert _corr_rows(spark.read.parquet(corr)) == _corr_rows(want2)
+
 
 def test_corr_tier_covers_gap_refill_and_backfill(spark, tmp_path):
     """A backfilled candle re-carries following gap closes; the corr
@@ -194,3 +208,43 @@ def test_http_serves_materialized_corr_overlay(spark, built):
             assert exc.code == 400
     finally:
         server.shutdown()
+
+
+def test_materialized_corr_read_pushes_pair_filters(spark, built):
+    """The overlay serve is a pruned READ: the pair equality predicates
+    must reach the parquet scan (PushedFilters), where the upsert's
+    within-file (sym_a, sym_b, bucket_start) sort lets row-group min/max
+    stats skip other pairs — the point-read economics the tier exists
+    for."""
+    path, corr, hook, batches = built
+    for i, b in enumerate(batches):
+        hook(b, i)
+    store = CandleStore.from_path(spark, path)
+    store.attach_corr_table(corr, n=N)
+    df = store.correlation("A", "B", n=N)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "EqualTo(sym_a,A)" in pushed, pushed
+    assert "EqualTo(sym_b,B)" in pushed, pushed
+
+
+def test_materialized_corr_range_prunes_date_partitions(spark, built):
+    """A ranged overlay read must prune bucket_date directories exactly
+    like every other serving-table range read (the get_candles
+    discipline): asking for day 2 only may list only day 2."""
+    from tests.test_serving_table import _scan_stats
+
+    path, corr, hook, batches = built
+    for i, b in enumerate(batches):
+        hook(b, i)
+    store = CandleStore.from_path(spark, path)
+    store.attach_corr_table(corr, n=N)
+    on_disk, _, _ = _scan_stats(spark.read.parquet(corr))
+    assert on_disk >= 2  # day 1 and day 2 exist
+    ranged = store.correlation_matrix(
+        n=N, start="2024-04-02T00:00:00", end="2024-04-02T23:59:00",
+        materialized=True,
+    )
+    n_parts, _, md = _scan_stats(ranged)
+    assert n_parts == 1, (n_parts, md)
+    assert "bucket_date" in md["PartitionFilters"]
