@@ -893,6 +893,48 @@ def _tier2_queries(
         timings["t2_corr_pair_materialized_50sym"] = round(
             time.perf_counter() - t0, 3
         )
+
+        # steady-state maintenance cost: ONE 10-minute 50-symbol batch
+        # appended at the table's tail, candle MERGE + incremental corr
+        # update (affected-leg pairs within the anchor window only) —
+        # the per-micro-batch price of keeping the overlay current,
+        # which must stay flat as the stored series lengthens.
+        import datetime as _bdt
+
+        from stock_chart_kafka_streams_spark.streaming.corr import (
+            corr_batch_update,
+        )
+        from stock_chart_kafka_streams_spark.streaming.sink import (
+            upsert_candles,
+        )
+
+        tail = (
+            spark.read.parquet(ct_dir)
+            .agg(F.max("bucket_start").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        syms = [f"S{i:03d}" for i in range(50)]
+        rows = [
+            (
+                s, "MINUTE",
+                tail + _bdt.timedelta(minutes=m + 1),
+                tail + _bdt.timedelta(minutes=m + 2),
+                100.0, 101.0, 99.0, 100.0 + 0.01 * m, 5,
+            )
+            for s in syms
+            for m in range(10)
+        ]
+        tick = spark.createDataFrame(
+            rows,
+            "symbol string, time_frame string, bucket_start timestamp, "
+            "bucket_end timestamp, open double, high double, low double, "
+            "close double, volume long",
+        ).localCheckpoint(eager=True)
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        upsert_candles(spark, tick, ct_dir)
+        corr_batch_update(spark, tick, ct_dir, ov_dir, n=20)
+        timings["t2_corr_tier_batch_50sym"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(corr_root, ignore_errors=True)
 

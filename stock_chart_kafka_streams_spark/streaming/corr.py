@@ -16,12 +16,15 @@ rows' own windows reach before the pad and did not change). The MERGE
 touches only the span's ``bucket_date`` partitions.
 
 Row-window vs time-window: the w14/w15 window is (n-1) PRECEDING ROWS of
-the pair's ALIGNED series, while the pad here is (n-1) minutes of TIME —
-the two coincide exactly when each symbol's stored minute series is
-contiguous across the update span, which is precisely what the pipeline's
-``fill_gaps=True`` materialization guarantees (and what densely-traded
-symbols give for free). Run the corr tier on a gap-filled serving table;
-the replay-equals-batch test does.
+the pair's ALIGNED series, while the pad is measured in TIME — the two
+coincide on a contiguous minute grid (the pipeline's ``fill_gaps=True``
+materialization, or densely-traded symbols), and for sparse series the
+update ADAPTIVELY WIDENS the pad (doubling) until every affected pair
+either has its full (n-1) aligned rows before its first updated bucket
+inside the slice or the slice reaches the pair's history floor — exact
+in both regimes (pytest: the sparse-without-gap-fill test), with the
+widening loop costing aligned-count probe aggregates only, never extra
+rewrites. Gap-filled tables pass the first check.
 
 Idempotency: the update derives from the STORED candle table, not from
 batch contents, so a redelivered batch recomputes byte-identical rows and
@@ -119,32 +122,100 @@ def corr_batch_update(
     win_rows = affected_symbol_windows(spark, batch, candle_path)
     if not win_rows:
         return
-    pad = _dt.timedelta(minutes=n - 1)
     out_lo = min(r["__wlo"] for r in win_rows)
-    out_hi = max(r["__whi"] for r in win_rows) + pad
-    in_lo = out_lo - pad
-    # ALL symbols with rows inside the rectangle participate: a partner
-    # with no rows here has no aligned buckets here, hence no corr rows
-    # to update — partners never need enumerating up front.
-    candles = (
-        spark.read.parquet(candle_path)
-        .where(F.col("time_frame") == "MINUTE")
-        .where(
-            (F.col("bucket_date") >= F.lit(in_lo.date()))
-            & (F.col("bucket_date") <= F.lit(out_hi.date()))
+    out_hi = max(r["__whi"] for r in win_rows) + _dt.timedelta(minutes=n - 1)
+    affected = [r["symbol"] for r in win_rows]
+
+    def _slice(in_lo):
+        # ALL symbols with rows inside the rectangle participate: a
+        # partner with no rows here has no aligned buckets here, hence no
+        # corr rows to update — partners never need enumerating up front.
+        return (
+            spark.read.parquet(candle_path)
+            .where(F.col("time_frame") == "MINUTE")
+            .where(
+                (F.col("bucket_date") >= F.lit(in_lo.date()))
+                & (F.col("bucket_date") <= F.lit(out_hi.date()))
+            )
+            .where(
+                (F.col("bucket_start") >= F.lit(in_lo))
+                & (F.col("bucket_start") <= F.lit(out_hi))
+            )
         )
-        .where(
-            (F.col("bucket_start") >= F.lit(in_lo))
-            & (F.col("bucket_start") <= F.lit(out_hi))
+
+    # Adaptive pad (round 12, exactness without the contiguity caveat):
+    # the w15 window is (n-1) PRECEDING ALIGNED ROWS, so a fixed
+    # (n-1)-minute pad under-covers sparse series (a symbol quiet for an
+    # hour has <19 aligned rows in 19 minutes) and the updated rows near
+    # out_lo would silently use shorter windows than the batch
+    # recompute. Verify sufficiency per affected-leg pair — at least
+    # n-1 aligned buckets strictly before the pair's FIRST updated
+    # bucket, or the slice already reaches the pair's history floor
+    # (max of the two legs' global first buckets — no aligned row can
+    # precede it) — and DOUBLE the pad until every pair passes.
+    # Gap-filled (contiguous) tables pass on the first check; each extra
+    # iteration is one slim aligned-count aggregate, never a rewrite.
+    floors: dict[str, _dt.datetime] = {}
+    pad_minutes = n - 1
+    while True:
+        in_lo = out_lo - _dt.timedelta(minutes=pad_minutes)
+        sl = _slice(in_lo).select("symbol", "bucket_start")
+        a = sl.select(
+            F.col("symbol").alias("sym_a"), "bucket_start"
         )
-    )
+        b = sl.select(F.col("symbol").alias("sym_b"), "bucket_start")
+        aligned = (
+            a.join(b, on="bucket_start")
+            .where(F.col("sym_a") < F.col("sym_b"))
+            .where(
+                F.col("sym_a").isin(affected) | F.col("sym_b").isin(affected)
+            )
+        )
+        fu = aligned.groupBy("sym_a", "sym_b").agg(
+            F.min(
+                F.when(
+                    F.col("bucket_start") >= F.lit(out_lo), F.col("bucket_start")
+                )
+            ).alias("__fu")
+        )
+        stats = (
+            aligned.join(fu, on=["sym_a", "sym_b"])
+            .where(F.col("__fu").isNotNull())
+            .groupBy("sym_a", "sym_b")
+            .agg(
+                F.sum(
+                    F.when(F.col("bucket_start") < F.col("__fu"), 1).otherwise(0)
+                ).alias("__pre")
+            )
+            .where(F.col("__pre") < F.lit(n - 1))
+            .collect()
+        )
+        if not stats:
+            break
+        need = {s for r in stats for s in (r["sym_a"], r["sym_b"])}
+        missing = [s for s in need if s not in floors]
+        if missing:
+            for r in (
+                spark.read.parquet(candle_path)
+                .where(F.col("time_frame") == "MINUTE")
+                .where(F.col("symbol").isin(missing))
+                .groupBy("symbol")
+                .agg(F.min("bucket_start").alias("__floor"))
+                .collect()
+            ):
+                floors[r["symbol"]] = r["__floor"]
+        if all(
+            max(floors[r["sym_a"]], floors[r["sym_b"]]) >= in_lo for r in stats
+        ):
+            break  # deficient pairs already see their full aligned history
+        pad_minutes *= 2
+
     # only pairs with an AFFECTED leg can have changed rows: every stored
     # pair row was written by the batch that delivered its later leg, so
     # restricting to affected-leg pairs is lossless — and it keeps the
     # per-batch window work O(affected × S), not O(S²), at wide universes
-    affected = [r["symbol"] for r in win_rows]
     updates = rolling_correlation_matrix(
-        candles, n=n, frame="MINUTE", pairs_with=affected
+        _slice(in_lo), n=n, frame="MINUTE", pairs_with=affected
     ).where(F.col("bucket_start") >= F.lit(out_lo))
     upsert_corr(spark, updates, corr_path)
 
@@ -173,3 +244,45 @@ def cascade_upsert_with_corr(
         corr_batch_update(batch.sparkSession, batch, path, corr_path, n=corr_n)
 
     return _write
+
+
+def expire_corr(spark: SparkSession, path: str, before) -> list[str]:
+    """Retention for the materialized pair table: DROP whole
+    ``bucket_date`` partition directories strictly before ``before`` —
+    the candle store's ``expire_candles`` discipline (directory deletes
+    only; kept partitions' files are never opened). Returns the dropped
+    dates (empty = idempotent no-op). The usual policy pairs this with
+    the candle table's own expiry: correlations over expired candles
+    can no longer be recomputed, so they expire together."""
+    import datetime as _dt
+
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        _bump_table_version as _bump,
+    )
+
+    cutoff = (
+        before
+        if isinstance(before, _dt.date) and not isinstance(before, _dt.datetime)
+        else _dt.date.fromisoformat(str(before)[:10])
+    )
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    jsc = spark._jsc  # type: ignore[attr-defined]
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return []
+    dropped: list[str] = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("bucket_date="):
+            continue
+        try:
+            bd = _dt.date.fromisoformat(name.split("=", 1)[1])
+        except ValueError:
+            continue  # never delete what we can't parse
+        if bd < cutoff:
+            fs.delete(st.getPath(), True)
+            dropped.append(bd.isoformat())
+    if dropped:
+        _bump(path)
+    return sorted(dropped)

@@ -248,3 +248,71 @@ def test_materialized_corr_range_prunes_date_partitions(spark, built):
     n_parts, _, md = _scan_stats(ranged)
     assert n_parts == 1, (n_parts, md)
     assert "bucket_date" in md["PartitionFilters"]
+
+
+def test_expire_corr_drops_old_partitions_without_touching_kept(spark, built):
+    from stock_chart_kafka_streams_spark.streaming.corr import expire_corr
+
+    path, corr, hook, batches = built
+    for i, b in enumerate(batches):
+        hook(b, i)
+    kept = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{corr}/bucket_date=2024-04-02/*.parquet")
+    }
+    assert kept
+    assert expire_corr(spark, corr, "2024-04-02") == ["2024-04-01"]
+    assert not os.path.exists(f"{corr}/bucket_date=2024-04-01")
+    for f, mt in kept.items():
+        assert os.path.exists(f) and os.path.getmtime(f) == mt
+    # idempotent + missing table
+    assert expire_corr(spark, corr, "2024-04-02") == []
+    assert expire_corr(spark, str(corr) + ".nope", "2024-04-02") == []
+    # the day-2 rows still serve
+    assert (
+        spark.read.parquet(corr)
+        .where("bucket_date = '2024-04-02'")
+        .count()
+        > 0
+    )
+
+
+def test_corr_tier_exact_on_sparse_series_without_gap_fill(spark, tmp_path):
+    """Adaptive pad (round 12): the w15 window is (n-1) preceding ALIGNED
+    ROWS, so on a sparse, NON-gap-filled table a fixed (n-1)-minute pad
+    under-covers it — the first updated rows after a long quiet stretch
+    would silently use shorter windows than the batch recompute. The
+    update must widen its read until every affected pair's window
+    history is inside the slice."""
+    from stock_chart_kafka_streams_spark.streaming.corr import (
+        cascade_upsert_with_corr,
+    )
+
+    path = str(tmp_path / "candles_sparse")
+    corr = str(tmp_path / "corr_sparse")
+    hook = cascade_upsert_with_corr(
+        path, corr, frames=["MINUTE"], fill_gaps=False, corr_n=N
+    )
+    t0 = dt.datetime(2024, 4, 8, 9, 0)
+
+    # aligned rows at minutes 0,1,2 — then two hours of silence — then
+    # new aligned rows at 120,121 whose windows reach back to minute 1
+    hook(_mk_batch(spark, t0, 3, {"A": 100.0, "B": 50.0}), 0)
+    hook(_mk_batch(
+        spark, t0 + dt.timedelta(minutes=120), 2, {"A": 101.0, "B": 51.0}
+    ), 1)
+
+    stored = spark.read.parquet(path)
+    want = rolling_correlation_matrix(
+        stored.where(F.col("time_frame") == "MINUTE"), n=N
+    )
+    assert _corr_rows(spark.read.parquet(corr)) == _corr_rows(want)
+    # the late rows really do carry full n-row windows (non-null corr
+    # needs n>=2 aligned rows and both legs varying — minute 120's
+    # window spans rows {1, 2, 120}, all present)
+    late = [
+        r for r in spark.read.parquet(corr).collect()
+        if r["bucket_start"] >= t0 + dt.timedelta(minutes=120)
+    ]
+    assert len(late) == 2
+    assert all(r[f"corr_{N}"] is not None for r in late)
