@@ -102,11 +102,18 @@ def corr_batch_update(
     corr_path: str,
     n: int = 20,
     frame: str = "MINUTE",
+    symbols: list[str] | None = None,
 ) -> None:
     """Recompute and MERGE the correlation rows this batch can have
     changed (module docstring for the bound). Runs AFTER the batch's
     candle upsert (and gap fill, if enabled) — it reads the stored
-    table, never the batch's own rows."""
+    table, never the batch's own rows.
+
+    ``symbols`` bounds the tracked pair universe (w15's S² knob applied
+    to the maintained table): only pairs WITHIN the list are kept
+    current — at 10k stored symbols the full matrix is ~50M pairs per
+    bucket of storage, a policy decision the caller owns, not a default
+    this tier should make."""
     from stock_chart_kafka_streams_spark.operators.windows_ext import (
         rolling_correlation_matrix,
     )
@@ -119,6 +126,10 @@ def corr_batch_update(
             "the streaming corr tier maintains the MINUTE overlay; coarse "
             "frames are cheap on-demand reads over it"
         )
+    if symbols is not None:
+        batch = batch.where(F.col("symbol").isin(list(symbols)))
+        if batch.isEmpty():
+            return
     win_rows = affected_symbol_windows(spark, batch, candle_path)
     if not win_rows:
         return
@@ -127,10 +138,12 @@ def corr_batch_update(
     affected = [r["symbol"] for r in win_rows]
 
     def _slice(in_lo):
-        # ALL symbols with rows inside the rectangle participate: a
-        # partner with no rows here has no aligned buckets here, hence no
-        # corr rows to update — partners never need enumerating up front.
-        return (
+        # ALL tracked symbols with rows inside the rectangle participate:
+        # a partner with no rows here has no aligned buckets here, hence
+        # no corr rows to update — partners never need enumerating up
+        # front. With a bounded universe, out-of-universe symbols never
+        # even enter the pair join.
+        out = (
             spark.read.parquet(candle_path)
             .where(F.col("time_frame") == "MINUTE")
             .where(
@@ -142,6 +155,9 @@ def corr_batch_update(
                 & (F.col("bucket_start") <= F.lit(out_hi))
             )
         )
+        if symbols is not None:
+            out = out.where(F.col("symbol").isin(list(symbols)))
+        return out
 
     # Adaptive pad (round 12, exactness without the contiguity caveat):
     # the w15 window is (n-1) PRECEDING ALIGNED ROWS, so a fixed
@@ -226,6 +242,7 @@ def cascade_upsert_with_corr(
     frames: list[str] | None = None,
     fill_gaps: bool = True,
     corr_n: int = 20,
+    corr_symbols: list[str] | None = None,
 ):
     """``foreachBatch`` hook: the full cascade sink (minute MERGE, gap
     fill, coarse rollups) followed by the incremental correlation-tier
@@ -241,7 +258,10 @@ def cascade_upsert_with_corr(
         if batch.isEmpty():
             return
         base(batch, batch_id)
-        corr_batch_update(batch.sparkSession, batch, path, corr_path, n=corr_n)
+        corr_batch_update(
+            batch.sparkSession, batch, path, corr_path,
+            n=corr_n, symbols=corr_symbols,
+        )
 
     return _write
 

@@ -316,3 +316,33 @@ def test_corr_tier_exact_on_sparse_series_without_gap_fill(spark, tmp_path):
     ]
     assert len(late) == 2
     assert all(r[f"corr_{N}"] is not None for r in late)
+
+
+def test_corr_tier_bounded_universe(spark, tmp_path):
+    """corr_symbols bounds the maintained pair universe (the w15 S² knob
+    applied to storage): pairs outside the list are never computed or
+    stored, and the tracked pairs still equal the bounded batch
+    recompute."""
+    from stock_chart_kafka_streams_spark.streaming.corr import (
+        cascade_upsert_with_corr,
+    )
+
+    path = str(tmp_path / "candles_u")
+    corr = str(tmp_path / "corr_u")
+    hook = cascade_upsert_with_corr(
+        path, corr, frames=["MINUTE"], corr_n=N, corr_symbols=["A", "B"]
+    )
+    t0 = dt.datetime(2024, 4, 9, 9, 0)
+    hook(_mk_batch(spark, t0, 8, {"A": 100.0, "B": 50.0, "C": 75.0}), 0)
+
+    got = spark.read.parquet(corr)
+    assert {
+        (r["sym_a"], r["sym_b"])
+        for r in got.select("sym_a", "sym_b").distinct().collect()
+    } == {("A", "B")}
+    stored = spark.read.parquet(path)
+    want = rolling_correlation_matrix(
+        stored.where(F.col("time_frame") == "MINUTE"),
+        symbols=["A", "B"], n=N,
+    )
+    assert _corr_rows(got) == _corr_rows(want)
