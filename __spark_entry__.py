@@ -1408,6 +1408,72 @@ GROUP BY symbol, date_trunc('minute', ts)
     )
 
 
+def _q_p13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation loop (p13, round 12): two document snapshots
+    (even / odd doc_ids) ingested through
+    ``foreach_batch_curation_ingest`` — per batch, Gopher quality gate
+    (map-side rules, t10's set with the corpus-sensitive knobs p9g
+    documents) -> 13-gram benchmark decontamination (p4b's rule against
+    the ``doc_id % 9973`` held-out slice) -> within-batch exact dedup ->
+    incremental dedup against the accumulated curated corpus -> append.
+    The oracle replays the same fold in SQL: gates are row-pure (so they
+    commute with the batch split), stage-1 dedup is d1's twin, stage-2
+    is d9's incremental twin over the gated sides."""
+    import tempfile
+
+    from stock_chart_kafka_streams_spark.streaming.dedup import (
+        foreach_batch_curation_ingest,
+    )
+
+    tune_session(spark)
+    docs = _docs(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="p13-curation-")
+    bench_path = f"{work}/bench"
+    corpus_path = f"{work}/curated"
+    docs.where(F.col("doc_id") % 9973 == 0).write.parquet(bench_path)
+    hook = foreach_batch_curation_ingest(
+        corpus_path,
+        bench_path=bench_path,
+        mode="exact",
+        quality_mode="gopher",
+        gopher_min_words=40,
+        gopher_required_min=1,
+        decontam_mode="ngram",
+        ngram_n=13,
+    )
+    hook(docs.where(F.col("doc_id") % 2 == 0), 0)
+    hook(docs.where(F.col("doc_id") % 2 == 1), 1)
+    out = spark.read.parquet(corpus_path).select("doc_id").orderBy("doc_id")
+    return out.localCheckpoint(eager=True)
+
+
+def _p13_sql() -> str:
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        dedup_exact_sql,
+        incremental_dedup_sql,
+    )
+    from stock_chart_kafka_streams_spark.operators.text import (
+        gopher_quality_sql,
+        ngram_collision_decontaminate_sql,
+    )
+
+    gq = gopher_quality_sql("documents", min_words=40, required_min=1)
+    dc = ngram_collision_decontaminate_sql("documents", "doc_id % 9973 = 0", n=13)
+    gate = (
+        f"(SELECT d.* FROM documents d JOIN ({gq}) q USING (doc_id) "
+        f"JOIN ({dc}) c USING (doc_id) WHERE q.keep AND NOT c.contaminated)"
+    )
+    a = f"(SELECT * FROM {gate} ga WHERE doc_id % 2 = 0)"
+    b = f"(SELECT * FROM {gate} gb WHERE doc_id % 2 = 1)"
+    d1a = f"({dedup_exact_sql(a)})"
+    d1b = f"({dedup_exact_sql(b)})"
+    fresh_b = f"({incremental_dedup_sql(d1a, d1b, mode='exact')})"
+    return (
+        f"SELECT doc_id FROM {d1a} u1 "
+        f"UNION ALL SELECT doc_id FROM {fresh_b} u2 ORDER BY doc_id"
+    )
+
+
 def _q_j8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized range-lookup join (the BroadcastNestedLoopJoin killer):
     lineitem prices classified into quadratically-widening bands via an
@@ -2012,6 +2078,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_ivfpq_index_extend": _q_s6x,
         "w15_corr_matrix": _q_w15,
         "w16_streaming_corr": _q_w16,
+        "p13_streaming_curation": _q_p13,
     }
 
 
@@ -2211,6 +2278,7 @@ FROM documents
         "w14_rolling_corr": _w14_sql(),
         "w15_corr_matrix": _w15_sql(),
         "w16_streaming_corr": _w16_sql(),
+        "p13_streaming_curation": _p13_sql(),
         "w13_mad_outliers": _wx.mad_outlier_stats_sql(_TRADES_CTE),
         "p9_curation_ngram": _pipeline.curation_pipeline_sql(
             threshold=0.4, decontam_mode="ngram"

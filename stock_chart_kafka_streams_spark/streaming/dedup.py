@@ -158,3 +158,117 @@ def foreach_batch_corpus_ingest(
             )
 
     return _write
+
+
+def foreach_batch_curation_ingest(
+    corpus_path: str,
+    bench_path: str | None = None,
+    mode: str = "minhash",
+    threshold: float = 0.5,
+    quality_mode: str = "gopher",
+    keep_num: int = 1,
+    keep_den: int = 2,
+    gopher_min_words: int = 50,
+    gopher_required_min: int = 2,
+    decontam_mode: str = "ngram",
+    decontam_threshold: float | None = None,
+    ngram_n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    band_cap: int | None = None,
+    buckets_path: str | None = None,
+):
+    """Continuous CURATION ingestion (round 12) — the streaming
+    composition of the batch p9 pipeline's gate stages with the d9
+    operational loop: every micro-batch of raw documents is
+
+    1. QUALITY-gated (``quality_stage`` — ``"gopher"`` default: the
+       published rule set is a pure map-side boolean, the natural
+       streaming form; ``"approx"``/``"exact"`` elect per-batch
+       thresholds, deterministic per batch content so replay still
+       converges, but their cut drifts with batch composition — a
+       policy the caller opts into),
+    2. DECONTAMINATED against a static held-out benchmark table at
+       ``bench_path`` (broadcast gram/fingerprint set; ``"ngram"`` =
+       p4b's 13-gram collision rule, ``"winnow"`` = p4's fuzzy overlap
+       with ``decontam_threshold``). Contaminated rows drop BEFORE
+       dedup, so a contaminated document can never become the stored
+       canonical that suppresses a clean near-duplicate,
+    3. DEDUPLICATED within the batch and against the accumulated curated
+       corpus, and APPENDED — ``foreach_batch_corpus_ingest``'s loop
+       verbatim, including the band-bucket artifact and its
+       crash-repair discipline.
+
+    Idempotency: stages 1-2 are deterministic row predicates against
+    static state (the rule set / the benchmark table), and stage 3 is
+    the redelivery-idempotent d9 loop — so a replayed batch converges to
+    the same curated corpus (pytest: replay equals the batch-operator
+    fold of the same snapshots)."""
+    if decontam_mode not in ("ngram", "winnow"):
+        raise ValueError(
+            f"decontam_mode must be 'ngram' or 'winnow', got {decontam_mode!r}"
+        )
+    from stock_chart_kafka_streams_spark.operators.pipeline import quality_stage
+
+    inner = foreach_batch_corpus_ingest(
+        corpus_path,
+        mode=mode,
+        threshold=threshold,
+        id_col=id_col,
+        text_col=text_col,
+        band_cap=band_cap,
+        buckets_path=buckets_path,
+    )
+
+    def _write(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        gated = quality_stage(
+            batch,
+            quality_mode=quality_mode,
+            keep_num=keep_num,
+            keep_den=keep_den,
+            id_col=id_col,
+            text_col=text_col,
+            strata_col=strata_col,
+            gopher_min_words=gopher_min_words,
+            gopher_required_min=gopher_required_min,
+        )
+        if bench_path is not None:
+            from stock_chart_kafka_streams_spark.operators.text import (
+                DECONTAM_THRESHOLD,
+                decontaminate,
+                ngram_collision_decontaminate,
+            )
+
+            bench = spark.read.parquet(bench_path)
+            if decontam_mode == "ngram":
+                flags = ngram_collision_decontaminate(
+                    gated, bench, n=ngram_n, id_col=id_col, text_col=text_col
+                )
+            else:
+                flags = decontaminate(
+                    gated,
+                    bench,
+                    threshold=(
+                        DECONTAM_THRESHOLD
+                        if decontam_threshold is None
+                        else decontam_threshold
+                    ),
+                    id_col=id_col,
+                    text_col=text_col,
+                )
+            # LEFT join: a doc too short to produce fingerprints/grams is
+            # absent from the flag table and must pass, not vanish
+            gated = (
+                gated.join(
+                    flags.select(id_col, "contaminated"), on=id_col, how="left"
+                )
+                .where(~F.coalesce(F.col("contaminated"), F.lit(False)))
+                .drop("contaminated")
+            )
+        inner(gated, batch_id)
+
+    return _write

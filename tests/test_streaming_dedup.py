@@ -256,3 +256,90 @@ def test_corpus_ingest_buckets_path_requires_minhash(tmp_path):
         foreach_batch_corpus_ingest(
             str(tmp_path / "c"), mode="exact", buckets_path=str(tmp_path / "b")
         )
+
+
+def test_streaming_curation_ingest_gates_then_dedups(spark, tmp_path):
+    """Round 12: the continuous curation loop — per micro-batch quality
+    gate (Gopher rules) -> benchmark decontamination (13-gram rule,
+    n=5 here) -> within-batch + against-corpus dedup -> append. The
+    final curated corpus equals folding the same batches through the
+    batch operators in the same order, and redelivery converges."""
+    from stock_chart_kafka_streams_spark.operators.dedup import (
+        dedup_exact,
+        incremental_dedup,
+    )
+    from stock_chart_kafka_streams_spark.operators.text import (
+        gopher_keep,
+        ngram_collision_decontaminate,
+    )
+    from stock_chart_kafka_streams_spark.streaming.dedup import (
+        foreach_batch_curation_ingest,
+    )
+
+    good1 = ("the quick brown fox and the lazy dog ran over a hill in the "
+             "morning light")
+    good3 = ("another perfectly normal document with the usual and expected "
+             "words about nothing in particular today")
+    contaminated = ("we found that alpha beta gamma delta epsilon zeta "
+                    "appears in the held out set and more words here")
+    batches = [
+        [(1, good1), (2, "x"), (3, good1)],          # 2 fails quality, 3 dups 1
+        [(11, good1), (12, contaminated), (13, good3)],  # 11 dups corpus
+    ]
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(900, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    ).write.parquet(bench_path)
+    corpus = str(tmp_path / "curated")
+
+    hook = foreach_batch_curation_ingest(
+        corpus,
+        bench_path=bench_path,
+        mode="exact",
+        quality_mode="gopher",
+        gopher_min_words=5,
+        decontam_mode="ngram",
+        ngram_n=5,
+    )
+    for i, rows in enumerate(batches):
+        hook(spark.createDataFrame(rows, "doc_id long, text string"), i)
+
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(corpus).collect()
+    )
+    assert [d for d, _ in got] == [1, 13]
+
+    # batch-operator fold of the same snapshots, same stage order
+    acc = None
+    for rows in batches:
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        b = b.where(gopher_keep(min_words=5))
+        flags = ngram_collision_decontaminate(
+            b, spark.read.parquet(bench_path), n=5
+        )
+        b = (
+            b.join(flags.select("doc_id", "contaminated"), on="doc_id", how="left")
+            .where(~F.coalesce(F.col("contaminated"), F.lit(False)))
+            .drop("contaminated")
+        )
+        b = dedup_exact(b)
+        fresh = b if acc is None else incremental_dedup(acc, b, mode="exact")
+        acc = fresh if acc is None else acc.unionByName(fresh)
+    want = sorted((r["doc_id"], r["text"]) for r in acc.collect())
+    assert got == want
+
+    # redelivery of both batches: corpus unchanged
+    for i, rows in enumerate(batches):
+        hook(spark.createDataFrame(rows, "doc_id long, text string"), 90 + i)
+    again = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(corpus).collect()
+    )
+    assert again == got
+
+    # bad decontam mode -> explicit error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="decontam_mode"):
+        foreach_batch_curation_ingest(corpus, decontam_mode="fuzzy")
