@@ -57,7 +57,11 @@ def upsert_corr(spark: SparkSession, rows: DataFrame, path: str) -> None:
     (sym_a, sym_b, bucket_start) — the candle sink's partition-scoped
     rewrite (new rows win, only touched ``bucket_date`` partitions are
     read or written), reused for the corr overlay's key shape."""
-    rows = _with_corr_partition(rows)
+    # materialize once: the touched-partition collect, the key anti-join
+    # and the union below each evaluate ``rows`` — without the pin a
+    # window recompute (corr_batch_update's matrix) would re-run per
+    # evaluation
+    rows = _with_corr_partition(rows).localCheckpoint(eager=True)
     touched = rows.select(*CORR_PARTITION).distinct().collect()
     if not touched:
         # nothing to merge — and never bootstrap an EMPTY table (a

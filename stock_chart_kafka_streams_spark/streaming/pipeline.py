@@ -359,10 +359,14 @@ def _fill_gap_window(spark, batch: DataFrame, path: str) -> None:
     )
     # keep is_gap=True on the synthesized rows: the PERSISTED marker the
     # next batch's real-row filters key on (no volume overloading)
+    # materialize once: the MERGE evaluates its batch several times
+    # (touched-partition collect, anti-join, union) — without the pin the
+    # window-sized grid would re-derive per evaluation
     gaps = (
         fill_candle_gaps(real_win.drop("is_gap"), "MINUTE")
         .where(F.col("is_gap"))
         .select(*CANDLE_COLUMNS, "is_gap")
+        .localCheckpoint(eager=True)
     )
     upsert_candles(spark, gaps, path)
 

@@ -346,3 +346,56 @@ def test_corr_tier_bounded_universe(spark, tmp_path):
         symbols=["A", "B"], n=N,
     )
     assert _corr_rows(got) == _corr_rows(want)
+
+
+def test_corr_tier_random_sparse_out_of_order_patterns(spark, tmp_path):
+    """Randomized adversarial replay (deterministic seeds): sparse minute
+    sets for three symbols, shuffled into OUT-OF-ORDER batches — every
+    delivery is potentially a backfill that re-carries gap rows and
+    shifts pair windows. After the replay, (a) the stored minutes equal
+    the batch gap fill of the real candles, and (b) the overlay equals
+    the batch matrix recompute — the two invariants that define the
+    tier, under patterns no hand-written case covers."""
+    import random
+
+    from stock_chart_kafka_streams_spark.operators.candles import (
+        fill_candle_gaps,
+    )
+    from stock_chart_kafka_streams_spark.streaming.corr import (
+        cascade_upsert_with_corr,
+    )
+
+    t0 = dt.datetime(2024, 4, 10, 9, 0)
+    for trial in (0, 1):
+        rng = random.Random(100 + trial)
+        path = str(tmp_path / f"rc_candles_{trial}")
+        corr = str(tmp_path / f"rc_corr_{trial}")
+        hook = cascade_upsert_with_corr(
+            path, corr, frames=["MINUTE"], corr_n=N
+        )
+        rows = []
+        for si, sym in enumerate(("A", "B", "C")):
+            minutes = sorted(rng.sample(range(0, 120), rng.randint(6, 14)))
+            for m in minutes:
+                rows.append(
+                    (sym, t0 + dt.timedelta(minutes=m),
+                     50.0 * (si + 1) + 0.25 * m, 1 + (m % 3))
+                )
+        rng.shuffle(rows)
+        cuts = sorted(rng.sample(range(1, len(rows)), 2))
+        batches = [
+            rows[: cuts[0]], rows[cuts[0]:cuts[1]], rows[cuts[1]:],
+        ]
+        for i, b in enumerate(batches):
+            hook(_mk_candle_batch(spark, b), i)
+
+        stored = spark.read.parquet(path).where("time_frame = 'MINUTE'")
+        sel = ["symbol", "bucket_start", "open", "high", "low", "close", "volume"]
+        reals = stored.where("NOT is_gap").select(*sel)
+        want_fill = fill_candle_gaps(reals, "MINUTE").select(*sel)
+        got_fill = stored.select(*sel)
+        assert got_fill.exceptAll(want_fill).count() == 0, trial
+        assert want_fill.exceptAll(got_fill).count() == 0, trial
+
+        want_corr = rolling_correlation_matrix(stored, n=N)
+        assert _corr_rows(spark.read.parquet(corr)) == _corr_rows(want_corr), trial
