@@ -829,29 +829,34 @@ def _tier2_queries(
             extend_pq_index,
         )
 
-        ext_batch = (
-            embs.where(_F.col("vec_id") % 200 == 7)
-            .select(
-                (_F.col("vec_id") + _F.lit(50_000_000_000)).alias("vec_id"),
-                "embedding",
+        # a failure in this auxiliary pair must not cost the whole bench
+        # record (the r10 unparseable-record lesson) — record and move on
+        try:
+            ext_batch = (
+                embs.where(_F.col("vec_id") % 200 == 7)
+                .select(
+                    (_F.col("vec_id") + _F.lit(50_000_000_000)).alias("vec_id"),
+                    "embedding",
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
-        for tag, base in (
-            ("20k", embs.where(_F.col("vec_id") % 10 == 0)),
-            ("200k", embs),
-        ):
-            ipath = os.path.join(idx_root, f"pq_ext_{tag}")
-            build_pq_index(
-                base, ipath, m=4, n_codes=16,
-                sample_num=1, sample_den=16, encode_mode="matmul",
-            )
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            extend_pq_index(ext_batch, ipath)
-            timings[f"t2_s5_index_extend_1k_on_{tag}"] = round(
-                time.perf_counter() - t0, 3
-            )
+            for tag, base in (
+                ("20k", embs.where(_F.col("vec_id") % 10 == 0)),
+                ("200k", embs),
+            ):
+                ipath = os.path.join(idx_root, f"pq_ext_{tag}")
+                build_pq_index(
+                    base, ipath, m=4, n_codes=16,
+                    sample_num=1, sample_den=16, encode_mode="matmul",
+                )
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                extend_pq_index(ext_batch, ipath)
+                timings[f"t2_s5_index_extend_1k_on_{tag}"] = round(
+                    time.perf_counter() - t0, 3
+                )
+        except Exception as exc:  # noqa: BLE001 — keep the record parseable
+            extra["extend_pair_error"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
 
@@ -866,7 +871,7 @@ def _tier2_queries(
     from stock_chart_kafka_streams_spark.streaming.sink import write_candles
 
     corr_root = tempfile.mkdtemp(prefix="bench-corr-")
-    try:
+    try:  # noqa: SIM105 — failure here must not cost the whole record
         ct_dir = os.path.join(corr_root, "candles")
         ov_dir = os.path.join(corr_root, "pairs")
         write_candles(candles(trades, "MINUTE"), ct_dir)
@@ -935,6 +940,8 @@ def _tier2_queries(
         upsert_candles(spark, tick, ct_dir)
         corr_batch_update(spark, tick, ct_dir, ov_dir, n=20)
         timings["t2_corr_tier_batch_50sym"] = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001 — keep the record parseable
+        extra["corr_tier_block_error"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
         shutil.rmtree(corr_root, ignore_errors=True)
 
