@@ -945,6 +945,124 @@ def _tier2_queries(
     finally:
         shutil.rmtree(corr_root, ignore_errors=True)
 
+    # anchor-probe flatness (round 13, r12 verdict #1 "done" criterion):
+    # a fill-enabled tail micro-batch against 2 / 60 / 600 days of stored
+    # history. The r12 probe scanned EVERY bucket_date partition of the
+    # minute table per batch (PERF.md's 30x-history => ~1.25x-per-batch
+    # slope); the bounded probe reads the batch's own dates plus a
+    # doubling pad, so per-batch wall must stay FLAT in history depth and
+    # the probe's selected-directory count must stay O(1). Both are
+    # recorded: walls per depth, plus LAST_ANCHOR_PROBE's dates_scanned.
+    probe_root = tempfile.mkdtemp(prefix="bench-probe-")
+    try:
+        import datetime as _pdt
+
+        from stock_chart_kafka_streams_spark.streaming.pipeline import (
+            LAST_ANCHOR_PROBE,
+            cascade_upsert,
+        )
+        from stock_chart_kafka_streams_spark.streaming.sink import (
+            write_candles as _wc,
+        )
+
+        p_syms = [f"S{i:03d}" for i in range(20)]
+        gap_walls: dict[str, float] = {}
+        gap_dirs: dict[str, int] = {}
+        for days in (2, 60, 600):
+            tdir = os.path.join(probe_root, f"d{days}")
+            end_day = _pdt.datetime(2023, 12, 31, 12, 0)
+            hist = spark.createDataFrame(
+                [
+                    (
+                        s, "MINUTE",
+                        end_day - _pdt.timedelta(days=d, minutes=-m),
+                        end_day - _pdt.timedelta(days=d, minutes=-(m + 1)),
+                        100.0, 101.0, 99.0, 100.0, 5, False,
+                    )
+                    for s in p_syms
+                    for d in range(days)
+                    for m in range(4)
+                ],
+                "symbol string, time_frame string, bucket_start timestamp, "
+                "bucket_end timestamp, open double, high double, low double, "
+                "close double, volume long, is_gap boolean",
+            )
+            _wc(hist, tdir)
+            hook = cascade_upsert(tdir, frames=["MINUTE"], fill_gaps=True)
+            # tail batch ADJACENT to the last stored candle: the probe's
+            # anchors live in the newest 1-2 directories regardless of
+            # history depth, and the fill window stays tiny — isolating
+            # the probe's read cost from gap-grid size
+            tick = spark.createDataFrame(
+                [
+                    (
+                        s, "MINUTE",
+                        end_day + _pdt.timedelta(minutes=4 + m),
+                        end_day + _pdt.timedelta(minutes=5 + m),
+                        100.0, 101.0, 99.0, 100.0, 5,
+                    )
+                    for s in p_syms
+                    for m in range(10)
+                ],
+                "symbol string, time_frame string, bucket_start timestamp, "
+                "bucket_end timestamp, open double, high double, low double, "
+                "close double, volume long",
+            ).localCheckpoint(eager=True)
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            hook(tick, 1)
+            gap_walls[str(days)] = round(time.perf_counter() - t0, 3)
+            gap_dirs[str(days)] = int(LAST_ANCHOR_PROBE.get("dates_scanned", -1))
+        timings["t2_gapfill_batch_600d_hist"] = gap_walls["600"]
+        extra["gapfill_batch_walls_by_days"] = gap_walls
+        extra["gapfill_probe_dates_scanned"] = gap_dirs
+    except Exception as exc:  # noqa: BLE001 — keep the record parseable
+        extra["gapfill_probe_block_error"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        shutil.rmtree(probe_root, ignore_errors=True)
+
+    # p13 streaming curation ingest (round 13, r12 verdict #5): the
+    # quality-gate -> decontam -> dedup -> append loop driven with 100k-doc
+    # micro-batches from an empty corpus to 500k — per-batch wall recorded
+    # per step, so the array IS the flatness evidence as the accumulated
+    # corpus grows (the d9b pair's pattern: history enters the cross-batch
+    # dedup via the band-bucket artifact, never a full re-shingle).
+    p13_root = tempfile.mkdtemp(prefix="bench-p13-")
+    try:
+        from stock_chart_kafka_streams_spark.streaming.dedup import (
+            foreach_batch_curation_ingest,
+        )
+
+        bench_tab = os.path.join(p13_root, "bench")
+        corpus_tab = os.path.join(p13_root, "corpus")
+        buckets_tab = os.path.join(p13_root, "buckets")
+        docs.where(F.abs(F.hash("doc_id")) % 9973 == 0).write.parquet(bench_tab)
+        hook = foreach_batch_curation_ingest(
+            corpus_tab,
+            bench_path=bench_tab,
+            buckets_path=buckets_tab,
+            # the corpus-sensitive gate knobs the p13 oracle entry uses
+            # (the synthetic docs are shorter than web text)
+            gopher_min_words=40,
+            gopher_required_min=1,
+        )
+        n_batches = 5
+        slot = F.abs(F.hash("doc_id")) % n_batches
+        p13_walls: list[float] = []
+        for i in range(n_batches):
+            batch = docs.where(slot == i).localCheckpoint(eager=True)
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            hook(batch, i)
+            p13_walls.append(round(time.perf_counter() - t0, 3))
+        timings["t2_p13_curation_ingest_100k"] = p13_walls[-1]
+        extra["p13_batch_walls_s"] = p13_walls
+        extra["p13_corpus_rows"] = int(spark.read.parquet(corpus_tab).count())
+    except Exception as exc:  # noqa: BLE001 — keep the record parseable
+        extra["p13_block_error"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        shutil.rmtree(p13_root, ignore_errors=True)
+
     # d9b incremental near-dedup: a 10% id-shifted slice (50k docs, all
     # of them near-dups of existing rows) deduped against the full 500k
     # corpus — the continuous-ingestion shape. Both sides band map-side;

@@ -134,6 +134,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- routes -------------------------------------------------------------
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        from stock_chart_kafka_streams_spark.plans.query_api import (
+            _is_stale_listing_error,
+        )
+
         url = urlparse(self.path)
         q = {k: v[-1] for k, v in parse_qs(url.query).items()}
         parts = [p for p in url.path.split("/") if p]
@@ -141,126 +145,35 @@ class _Handler(BaseHTTPRequestHandler):
         # Spring ignores an unbound param, so /symbols?minutes=abc is fine
         minutes = lambda: int(q.get("minutes", "60"))
         try:
-            if parts[:2] != ["api", "charts"] or len(parts) not in (3, 4, 5):
-                self._send(404, {"error": f"no route for {url.path}"})
-                return
-            frame = q.get("frame", "MINUTE")
-            if parts[2] == "symbols" and len(parts) == 3:
-                self._send(
-                    200, [r["symbol"] for r in self.store.symbols().collect()]
-                )
-            elif parts[2] == "recent" and len(parts) == 4:
-                self._send(
-                    200,
-                    self._candles(self.store.recent(parts[3], frame, n=minutes())),
-                )
-            elif parts[2] == "corr" and len(parts) == 5:
-                # rolling correlation between two stored series (w14
-                # through the store's pruned range read): /api/charts/
-                # corr/<a>/<b>?frame=&n=&from=&to= — same result cap and
-                # 400/strict-parse contract as the candle routes
-                n = int(q.get("n", "20"))
-                df = self.store.correlation(
-                    parts[3], parts[4], frame,
-                    n=n, start=q.get("from"), end=q.get("to"),
-                    materialized=_parse_materialized(q),
-                )
-                rows = df.limit(MAX_RESULT_ROWS + 1).collect()
-                if len(rows) > MAX_RESULT_ROWS:
-                    raise ValueError(
-                        f"result exceeds {MAX_RESULT_ROWS} rows; narrow "
-                        "the from/to range"
+            # Stale-listing retry (r12 verdict #3): a MERGE swap-publishes
+            # files while this request's scan may have planned against the
+            # pre-swap listing; on that exact failure class the request
+            # re-runs against a store over a FRESH listing. Every response
+            # is sent only after its collect succeeds, so a retried
+            # attempt never double-sends.
+            attempts = 5
+            for attempt in range(attempts):
+                try:
+                    # fresh() per attempt AND per request: path-backed
+                    # stores re-list so merges since server start are
+                    # visible (the point_row discipline); it sits inside
+                    # the try because re-listing infers the schema from
+                    # footers, which can itself race a swap. The point
+                    # route skips the relist: point_row already re-reads
+                    # the path per miss and its LRU is version-tagged, so
+                    # an eager relist would only add a Spark listing to
+                    # what is otherwise a dict hit.
+                    store = (
+                        self.store
+                        if parts[2:3] == ["point"]
+                        else self.store.fresh()
                     )
-                self._send(
-                    200,
-                    [
-                        {
-                            "pair": r["pair"],
-                            "bucketStart": _iso_instant(r["bucket_start"]),
-                            "closeA": r["close_a"],
-                            "closeB": r["close_b"],
-                            "corr": r[f"corr_{n}"],
-                        }
-                        for r in rows
-                    ],
-                )
-            elif parts[2] == "corrmatrix" and len(parts) == 3:
-                # all-pairs rolling correlation over the stored symbols
-                # (w15): ?frame=&n=&symbols=a,b,c&from=&to= — symbols
-                # bounds the S² matrix; omit for all stored symbols
-                n = int(q.get("n", "20"))
-                syms = q["symbols"].split(",") if "symbols" in q else None
-                df = self.store.correlation_matrix(
-                    symbols=syms, frame=frame, n=n,
-                    start=q.get("from"), end=q.get("to"),
-                    materialized=_parse_materialized(q),
-                )
-                rows = df.limit(MAX_RESULT_ROWS + 1).collect()
-                if len(rows) > MAX_RESULT_ROWS:
-                    raise ValueError(
-                        f"result exceeds {MAX_RESULT_ROWS} rows; narrow "
-                        "the from/to range or the symbols list"
-                    )
-                self._send(
-                    200,
-                    [
-                        {
-                            "symA": r["sym_a"],
-                            "symB": r["sym_b"],
-                            "bucketStart": _iso_instant(r["bucket_start"]),
-                            "closeA": r["close_a"],
-                            "closeB": r["close_b"],
-                            "corr": r[f"corr_{n}"],
-                        }
-                        for r in rows
-                    ],
-                )
-            elif parts[2] == "point" and len(parts) == 4:
-                # single candle by calendar parts (reference Q6) through
-                # the store's LRU point tier — the chart poller's
-                # repeated re-read of the live candle is a dict hit, not
-                # a Spark job (strict int parse: garbage is the 400
-                # class; a missing candle is 404, the GET-nil analogue)
-                if "year" not in q or "month" not in q:
-                    raise ValueError("point lookup requires year and month")
-                row = self.store.point_row(
-                    parts[3],
-                    frame,
-                    year=int(q["year"]),
-                    month=int(q["month"]),
-                    day=int(q.get("day", "1")),
-                    hour=int(q.get("hour", "0")),
-                    minute=int(q.get("minute", "0")),
-                )
-                if row is None:
-                    self._send(404, {"error": "no candle at that bucket"})
-                else:
-                    self._send(200, candle_rows_to_json([row])[0])
-            elif len(parts) == 3:
-                symbol = parts[2]
-                # ?fill=true gap-fills the range (flat candles + is_gap,
-                # reference Q1 extension via c16); strict parse — a typo'd
-                # value is the 400 class, not a silent default
-                fill_raw = q.get("fill", "false").lower()
-                if fill_raw not in ("true", "false"):
-                    raise ValueError(f"fill must be true or false, got {q['fill']!r}")
-                fill = fill_raw == "true"
-                if "from" in q and "to" in q:
-                    df = self.store.get_candles(
-                        symbol, frame, start=q["from"], end=q["to"],
-                        fill_gaps=fill,
-                    )
-                else:
-                    df = self.store.recent(symbol, frame, n=minutes())
-                    if fill:
-                        from stock_chart_kafka_streams_spark.operators.candles import (
-                            fill_candle_gaps,
-                        )
-
-                        df = fill_candle_gaps(df, frame).orderBy("bucket_start")
-                self._send(200, self._candles(df, ["is_gap"] if fill else None))
-            else:
-                self._send(404, {"error": f"no route for {url.path}"})
+                    self._dispatch(store, url, q, parts, minutes)
+                    return
+                except Exception as exc:  # noqa: BLE001 — filtered below
+                    if attempt < attempts - 1 and _is_stale_listing_error(exc):
+                        continue
+                    raise
         except ValueError as exc:
             # unknown frame, bad ISO datetime, non-positive minutes,
             # oversized result: the 400 class, mirroring Spring's binder
@@ -271,6 +184,131 @@ class _Handler(BaseHTTPRequestHandler):
             # is the 500 class: Spring returns a JSON error body instead
             # of dropping the connection, and so does this layer
             self._send(500, {"error": f"{type(exc).__name__}: {exc}"})
+
+    def _dispatch(self, store: CandleStore, url, q, parts, minutes) -> None:
+        """Route one parsed request against ``store`` and send the
+        response; raises instead of sending on errors (do_GET owns the
+        retry loop and the 400/500 mapping)."""
+        if parts[:2] != ["api", "charts"] or len(parts) not in (3, 4, 5):
+            self._send(404, {"error": f"no route for {url.path}"})
+            return
+        frame = q.get("frame", "MINUTE")
+        if parts[2] == "symbols" and len(parts) == 3:
+            self._send(
+                200, [r["symbol"] for r in store.symbols().collect()]
+            )
+        elif parts[2] == "recent" and len(parts) == 4:
+            self._send(
+                200,
+                self._candles(store.recent(parts[3], frame, n=minutes())),
+            )
+        elif parts[2] == "corr" and len(parts) == 5:
+            # rolling correlation between two stored series (w14
+            # through the store's pruned range read): /api/charts/
+            # corr/<a>/<b>?frame=&n=&from=&to= — same result cap and
+            # 400/strict-parse contract as the candle routes
+            n = int(q.get("n", "20"))
+            df = store.correlation(
+                parts[3], parts[4], frame,
+                n=n, start=q.get("from"), end=q.get("to"),
+                materialized=_parse_materialized(q),
+            )
+            rows = df.limit(MAX_RESULT_ROWS + 1).collect()
+            if len(rows) > MAX_RESULT_ROWS:
+                raise ValueError(
+                    f"result exceeds {MAX_RESULT_ROWS} rows; narrow "
+                    "the from/to range"
+                )
+            self._send(
+                200,
+                [
+                    {
+                        "pair": r["pair"],
+                        "bucketStart": _iso_instant(r["bucket_start"]),
+                        "closeA": r["close_a"],
+                        "closeB": r["close_b"],
+                        "corr": r[f"corr_{n}"],
+                    }
+                    for r in rows
+                ],
+            )
+        elif parts[2] == "corrmatrix" and len(parts) == 3:
+            # all-pairs rolling correlation over the stored symbols
+            # (w15): ?frame=&n=&symbols=a,b,c&from=&to= — symbols
+            # bounds the S² matrix; omit for all stored symbols
+            n = int(q.get("n", "20"))
+            syms = q["symbols"].split(",") if "symbols" in q else None
+            df = store.correlation_matrix(
+                symbols=syms, frame=frame, n=n,
+                start=q.get("from"), end=q.get("to"),
+                materialized=_parse_materialized(q),
+            )
+            rows = df.limit(MAX_RESULT_ROWS + 1).collect()
+            if len(rows) > MAX_RESULT_ROWS:
+                raise ValueError(
+                    f"result exceeds {MAX_RESULT_ROWS} rows; narrow "
+                    "the from/to range or the symbols list"
+                )
+            self._send(
+                200,
+                [
+                    {
+                        "symA": r["sym_a"],
+                        "symB": r["sym_b"],
+                        "bucketStart": _iso_instant(r["bucket_start"]),
+                        "closeA": r["close_a"],
+                        "closeB": r["close_b"],
+                        "corr": r[f"corr_{n}"],
+                    }
+                    for r in rows
+                ],
+            )
+        elif parts[2] == "point" and len(parts) == 4:
+            # single candle by calendar parts (reference Q6) through
+            # the store's LRU point tier — the chart poller's
+            # repeated re-read of the live candle is a dict hit, not
+            # a Spark job (strict int parse: garbage is the 400
+            # class; a missing candle is 404, the GET-nil analogue)
+            if "year" not in q or "month" not in q:
+                raise ValueError("point lookup requires year and month")
+            row = store.point_row(
+                parts[3],
+                frame,
+                year=int(q["year"]),
+                month=int(q["month"]),
+                day=int(q.get("day", "1")),
+                hour=int(q.get("hour", "0")),
+                minute=int(q.get("minute", "0")),
+            )
+            if row is None:
+                self._send(404, {"error": "no candle at that bucket"})
+            else:
+                self._send(200, candle_rows_to_json([row])[0])
+        elif len(parts) == 3:
+            symbol = parts[2]
+            # ?fill=true gap-fills the range (flat candles + is_gap,
+            # reference Q1 extension via c16); strict parse — a typo'd
+            # value is the 400 class, not a silent default
+            fill_raw = q.get("fill", "false").lower()
+            if fill_raw not in ("true", "false"):
+                raise ValueError(f"fill must be true or false, got {q['fill']!r}")
+            fill = fill_raw == "true"
+            if "from" in q and "to" in q:
+                df = store.get_candles(
+                    symbol, frame, start=q["from"], end=q["to"],
+                    fill_gaps=fill,
+                )
+            else:
+                df = store.recent(symbol, frame, n=minutes())
+                if fill:
+                    from stock_chart_kafka_streams_spark.operators.candles import (
+                        fill_candle_gaps,
+                    )
+
+                    df = fill_candle_gaps(df, frame).orderBy("bucket_start")
+            self._send(200, self._candles(df, ["is_gap"] if fill else None))
+        else:
+            self._send(404, {"error": f"no route for {url.path}"})
 
 
 def make_server(store: CandleStore, host: str = "127.0.0.1", port: int = 0):

@@ -84,28 +84,42 @@ def foreach_batch_index_ingest(
         # it, and the corpus append below must see the identical rows
         batch = batch.localCheckpoint(eager=True)
         extend_pq_index(batch, target)
-        if corpus_path is None:
-            return
-        # ALWAYS run the corpus append, even when the index appended
-        # nothing: a crash between the index append and this one makes
-        # the redelivered batch a full index no-op whose only remaining
-        # job is exactly this repair (r11 advice — gating on n_new would
-        # strand those ids index-only forever).
-        meta, _, _ = read_pq_index(spark, target)
-        id_col = meta["id_col"]
-        if not _table_exists(spark, corpus_path):
-            batch.write.mode("append").parquet(corpus_path)
-            return
-        lo, hi = _batch_id_bounds(batch, id_col)
-        existing = (
-            spark.read.parquet(corpus_path)
-            .select(id_col)
-            .where(F.col(id_col).between(lo, hi))
-        )
-        fresh = batch.join(existing, on=id_col, how="left_anti")
-        # localCheckpoint so the append never races the corpus scan above
-        fresh = fresh.localCheckpoint(eager=True)
-        if not fresh.isEmpty():
-            fresh.write.mode("append").parquet(corpus_path)
+        if corpus_path is not None:
+            # ALWAYS run the corpus append, even when the index appended
+            # nothing: a crash between the index append and this one makes
+            # the redelivered batch a full index no-op whose only remaining
+            # job is exactly this repair (r11 advice — gating on n_new would
+            # strand those ids index-only forever).
+            meta, _, _ = read_pq_index(spark, target)
+            id_col = meta["id_col"]
+            if not _table_exists(spark, corpus_path):
+                batch.write.mode("append").parquet(corpus_path)
+            else:
+                lo, hi = _batch_id_bounds(batch, id_col)
+                existing = (
+                    spark.read.parquet(corpus_path)
+                    .select(id_col)
+                    .where(F.col(id_col).between(lo, hi))
+                )
+                fresh = batch.join(existing, on=id_col, how="left_anti")
+                # localCheckpoint so the append never races the scan above
+                fresh = fresh.localCheckpoint(eager=True)
+                if not fresh.isEmpty():
+                    fresh.write.mode("append").parquet(corpus_path)
+        if index_root is not None:
+            # Pointer re-check (round 13, r12 verdict #2): if a blue/green
+            # refresh flipped CURRENT while this batch was extending the
+            # version it resolved at entry, re-extend the NEW version too.
+            # Together with refresh_pq_index's post-flip reconcile pass
+            # this closes the refresh-under-ingest window in every
+            # interleaving: either this batch's corpus append landed
+            # before the post-flip scan (the refresh delivers it), or it
+            # landed after — in which case the flip preceded the append,
+            # so this re-check observes the new pointer and delivers the
+            # batch itself. extend's anti-join keeps the double path
+            # idempotent.
+            now = current_index_path(index_root)
+            if now != target:
+                extend_pq_index(batch, now)
 
     return _write

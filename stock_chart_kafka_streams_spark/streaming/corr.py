@@ -19,12 +19,21 @@ Row-window vs time-window: the w14/w15 window is (n-1) PRECEDING ROWS of
 the pair's ALIGNED series, while the pad is measured in TIME — the two
 coincide on a contiguous minute grid (the pipeline's ``fill_gaps=True``
 materialization, or densely-traded symbols), and for sparse series the
-update ADAPTIVELY WIDENS the pad (doubling) until every affected pair
-either has its full (n-1) aligned rows before its first updated bucket
-inside the slice or the slice reaches the pair's history floor — exact
-in both regimes (pytest: the sparse-without-gap-fill test), with the
-widening loop costing aligned-count probe aggregates only, never extra
-rewrites. Gap-filled tables pass the first check.
+update ADAPTIVELY WIDENS the pad (doubling) on BOTH sides until every
+affected pair passes two sufficiency checks inside the slice:
+backward — (n-1) aligned rows strictly before the pair's first
+possibly-updated bucket, or the slice reaches the pair's history floor;
+forward (round 13, r12 advice) — (n-1) aligned rows strictly after the
+pair's last possibly-updated bucket, or the slice reaches the pair's
+aligned ceiling (the EARLIER of the two legs' last stored buckets — no
+aligned row can follow it). The forward check is what makes the bound
+correct on sparse tables under mid-history backfill: a changed close at
+aligned bucket t propagates into the next (n-1) ALIGNED pair rows,
+which on a sparse series can lie arbitrarily far beyond t in TIME.
+Exact in both regimes (pytest: the sparse-without-gap-fill tests,
+including the sparse mid-history amend), with the widening loop costing
+aligned-count probe aggregates only, never extra rewrites. Gap-filled
+tables pass both checks on the first iteration.
 
 Idempotency: the update derives from the STORED candle table, not from
 batch contents, so a redelivered batch recomputes byte-identical rows and
@@ -40,7 +49,7 @@ from pyspark.sql import functions as F
 
 from stock_chart_kafka_streams_spark.streaming.sink import (
     _bump_table_version,
-    _dynamic_partition_overwrite,
+    _publish_partitions,
     _table_exists,
 )
 
@@ -83,20 +92,67 @@ def upsert_corr(spark: SparkSession, rows: DataFrame, path: str) -> None:
     keep = existing.join(rows.select(*CORR_KEY), on=CORR_KEY, how="left_anti")
     merged = _with_corr_partition(
         keep.select(*data_cols).unionByName(rows.select(*data_cols))
-    ).localCheckpoint(eager=True)  # materialize before overwriting the read
-    with _dynamic_partition_overwrite(spark):
-        # rows sort by (sym_a, sym_b, bucket_start) within each date file
-        # so parquet min/max stats let a one-pair serving read skip row
-        # groups — the overlay's point-read economics (compact_candles'
-        # key-sort discipline)
-        (
-            merged.repartition(*CORR_PARTITION)
-            .sortWithinPartitions(*CORR_KEY)
-            .write.mode("overwrite")
-            .partitionBy(*CORR_PARTITION)
-            .parquet(path)
-        )
+    )
+    # swap-publish (reader isolation, r12 verdict #3) with rows sorted by
+    # (sym_a, sym_b, bucket_start) within each date file so parquet
+    # min/max stats let a one-pair serving read skip row groups — the
+    # overlay's point-read economics (compact_candles' key-sort
+    # discipline)
+    _publish_partitions(spark, merged, path, CORR_PARTITION, sort_cols=CORR_KEY)
     _bump_table_version(path)
+
+
+def _symbol_extreme_buckets(
+    spark: SparkSession,
+    path: str,
+    symbols: list[str],
+    earliest: bool = True,
+) -> dict:
+    """Global first (``earliest=True``) or last stored MINUTE bucket per
+    symbol — the corr tier's history floors / aligned ceilings. Bounded
+    probe (r12 verdict #4: the old floors lookup full-scanned history per
+    deficient symbol): partition directories are read from the matching
+    end of the table's sorted ``bucket_date`` listing, DOUBLING the reach
+    only while some requested symbol has no row yet. A prefix of sorted
+    dates that contains any row of a symbol necessarily contains its
+    global minimum (all earlier dates are in the prefix) — and the mirror
+    holds for suffixes and maxima — so the probe is exact, costs reads
+    proportional to the extreme's actual distance from the table edge,
+    and reads nothing when ``symbols`` is empty. Includes gap rows by
+    design: pair alignment is over stored rows regardless of ``is_gap``,
+    matching the batch recompute's input. Symbols with no stored rows at
+    all are absent from the result."""
+    from stock_chart_kafka_streams_spark.streaming.pipeline import (
+        minute_partition_dates,
+    )
+
+    symbols = list(symbols)
+    if not symbols:
+        return {}
+    dates = minute_partition_dates(spark, path)
+    if not dates:
+        return {}
+    out: dict = {}
+    missing = set(symbols)
+    k = 1
+    while missing:
+        sel = dates[:k] if earliest else dates[-k:]
+        agg = F.min("bucket_start") if earliest else F.max("bucket_start")
+        for r in (
+            spark.read.parquet(path)
+            .where(F.col("time_frame") == "MINUTE")
+            .where(F.col("bucket_date").isin(sel))
+            .where(F.col("symbol").isin(sorted(missing)))
+            .groupBy("symbol")
+            .agg(agg.alias("__b"))
+            .collect()
+        ):
+            out[r["symbol"]] = r["__b"]
+            missing.discard(r["symbol"])
+        if k >= len(dates):
+            break
+        k = min(len(dates), k * 2)
+    return out
 
 
 def corr_batch_update(
@@ -138,10 +194,10 @@ def corr_batch_update(
     if not win_rows:
         return
     out_lo = min(r["__wlo"] for r in win_rows)
-    out_hi = max(r["__whi"] for r in win_rows) + _dt.timedelta(minutes=n - 1)
+    anchor_hi = max(r["__whi"] for r in win_rows)
     affected = [r["symbol"] for r in win_rows]
 
-    def _slice(in_lo):
+    def _slice(in_lo, out_hi):
         # ALL tracked symbols with rows inside the rectangle participate:
         # a partner with no rows here has no aligned buckets here, hence
         # no corr rows to update — partners never need enumerating up
@@ -163,23 +219,38 @@ def corr_batch_update(
             out = out.where(F.col("symbol").isin(list(symbols)))
         return out
 
-    # Adaptive pad (round 12, exactness without the contiguity caveat):
-    # the w15 window is (n-1) PRECEDING ALIGNED ROWS, so a fixed
-    # (n-1)-minute pad under-covers sparse series (a symbol quiet for an
-    # hour has <19 aligned rows in 19 minutes) and the updated rows near
-    # out_lo would silently use shorter windows than the batch
-    # recompute. Verify sufficiency per affected-leg pair — at least
-    # n-1 aligned buckets strictly before the pair's FIRST updated
-    # bucket, or the slice already reaches the pair's history floor
-    # (max of the two legs' global first buckets — no aligned row can
-    # precede it) — and DOUBLE the pad until every pair passes.
-    # Gap-filled (contiguous) tables pass on the first check; each extra
-    # iteration is one slim aligned-count aggregate, never a rewrite.
+    # Adaptive pad (round 12 backward; round 13 forward, r12 advice —
+    # exactness without the contiguity caveat in EITHER direction): the
+    # w15 window is (n-1) PRECEDING ALIGNED ROWS, so a fixed
+    # (n-1)-minute pad under-covers sparse series both ways — backward,
+    # the updated rows near out_lo would silently use shorter windows
+    # than the batch recompute; forward, a mid-history amend at aligned
+    # bucket t changes the pair rows at the NEXT (n-1) aligned buckets,
+    # which in time can lie far past the anchor window. Verify per
+    # affected-leg pair inside the slice:
+    #   backward — (n-1) aligned buckets strictly before the pair's
+    #   first possibly-updated bucket (__fu = first aligned >= out_lo;
+    #   __fu also gates every merged OUTPUT row's window), or the slice
+    #   reaches the pair's history floor (max of the legs' global first
+    #   buckets — no aligned row precedes it);
+    #   forward — (n-1) aligned buckets strictly after the pair's last
+    #   possibly-updated bucket (__lu = last aligned <= anchor_hi;
+    #   updates only land at aligned buckets in [out_lo, anchor_hi]), or
+    #   the slice reaches the pair's aligned ceiling (MIN of the legs'
+    #   global last buckets — no aligned row follows it);
+    # and DOUBLE the deficient side's pad until every pair passes.
+    # Gap-filled (contiguous) tables pass both on the first check; each
+    # extra iteration is one slim aligned-count aggregate, never a
+    # rewrite. Floors/ceilings are themselves bounded probes: partition
+    # directories are read from the matching END of the table's date
+    # range, doubling — never a full-history scan (r12 verdict #4).
     floors: dict[str, _dt.datetime] = {}
-    pad_minutes = n - 1
+    ceils: dict[str, _dt.datetime] = {}
+    back_pad = fwd_pad = n - 1
     while True:
-        in_lo = out_lo - _dt.timedelta(minutes=pad_minutes)
-        sl = _slice(in_lo).select("symbol", "bucket_start")
+        in_lo = out_lo - _dt.timedelta(minutes=back_pad)
+        out_hi = anchor_hi + _dt.timedelta(minutes=fwd_pad)
+        sl = _slice(in_lo, out_hi).select("symbol", "bucket_start")
         a = sl.select(
             F.col("symbol").alias("sym_a"), "bucket_start"
         )
@@ -196,7 +267,13 @@ def corr_batch_update(
                 F.when(
                     F.col("bucket_start") >= F.lit(out_lo), F.col("bucket_start")
                 )
-            ).alias("__fu")
+            ).alias("__fu"),
+            F.max(
+                F.when(
+                    F.col("bucket_start") <= F.lit(anchor_hi),
+                    F.col("bucket_start"),
+                )
+            ).alias("__lu"),
         )
         stats = (
             aligned.join(fu, on=["sym_a", "sym_b"])
@@ -205,37 +282,67 @@ def corr_batch_update(
             .agg(
                 F.sum(
                     F.when(F.col("bucket_start") < F.col("__fu"), 1).otherwise(0)
-                ).alias("__pre")
+                ).alias("__pre"),
+                F.sum(
+                    F.when(F.col("bucket_start") > F.col("__lu"), 1).otherwise(0)
+                ).alias("__post"),
+                F.first("__fu").alias("__fu"),
+                F.first("__lu").alias("__lu"),
             )
-            .where(F.col("__pre") < F.lit(n - 1))
+            .where(
+                (F.col("__pre") < F.lit(n - 1))
+                | (
+                    (F.col("__fu") <= F.lit(anchor_hi))
+                    & (F.col("__post") < F.lit(n - 1))
+                )
+            )
             .collect()
         )
-        if not stats:
+        back_bad = [r for r in stats if r["__pre"] < n - 1]
+        fwd_bad = [
+            r
+            for r in stats
+            if r["__fu"] <= anchor_hi and r["__post"] < n - 1
+        ]
+        if not back_bad and not fwd_bad:
             break
-        need = {s for r in stats for s in (r["sym_a"], r["sym_b"])}
-        missing = [s for s in need if s not in floors]
-        if missing:
-            for r in (
-                spark.read.parquet(candle_path)
-                .where(F.col("time_frame") == "MINUTE")
-                .where(F.col("symbol").isin(missing))
-                .groupBy("symbol")
-                .agg(F.min("bucket_start").alias("__floor"))
-                .collect()
-            ):
-                floors[r["symbol"]] = r["__floor"]
-        if all(
-            max(floors[r["sym_a"]], floors[r["sym_b"]]) >= in_lo for r in stats
-        ):
+        need_floor = {s for r in back_bad for s in (r["sym_a"], r["sym_b"])}
+        floors.update(
+            _symbol_extreme_buckets(
+                spark,
+                candle_path,
+                [s for s in need_floor if s not in floors],
+                earliest=True,
+            )
+        )
+        need_ceil = {s for r in fwd_bad for s in (r["sym_a"], r["sym_b"])}
+        ceils.update(
+            _symbol_extreme_buckets(
+                spark,
+                candle_path,
+                [s for s in need_ceil if s not in ceils],
+                earliest=False,
+            )
+        )
+        widen_back = any(
+            max(floors[r["sym_a"]], floors[r["sym_b"]]) < in_lo for r in back_bad
+        )
+        widen_fwd = any(
+            min(ceils[r["sym_a"]], ceils[r["sym_b"]]) > out_hi for r in fwd_bad
+        )
+        if not widen_back and not widen_fwd:
             break  # deficient pairs already see their full aligned history
-        pad_minutes *= 2
+        if widen_back:
+            back_pad *= 2
+        if widen_fwd:
+            fwd_pad *= 2
 
     # only pairs with an AFFECTED leg can have changed rows: every stored
     # pair row was written by the batch that delivered its later leg, so
     # restricting to affected-leg pairs is lossless — and it keeps the
     # per-batch window work O(affected × S), not O(S²), at wide universes
     updates = rolling_correlation_matrix(
-        _slice(in_lo), n=n, frame="MINUTE", pairs_with=affected
+        _slice(in_lo, out_hi), n=n, frame="MINUTE", pairs_with=affected
     ).where(F.col("bucket_start") >= F.lit(out_lo))
     upsert_corr(spark, updates, corr_path)
 

@@ -601,3 +601,117 @@ def test_index_pointer_rejects_object_store_urls():
 
     with pytest.raises(ValueError, match="catalog"):
         current_index_version("s3a://bucket/index-root")
+
+
+def test_refresh_reconcile_covers_scan_to_flip_window(
+    spark, embs, tmp_path, monkeypatch
+):
+    """r12 verdict #2: an ingest that lands BETWEEN the reconcile's final
+    empty probe and the pointer flip must still become servable from the
+    new CURRENT — the post-flip delta pass delivers it. Injected via the
+    refresh's pre-flip test seam (the exact gap the r12 code left open:
+    its single pre-flip scan had already run)."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators import similarity as sim
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _md5_sample_pred,
+        current_index_version,
+        refresh_pq_index,
+    )
+    from stock_chart_kafka_streams_spark.streaming.ann_index import (
+        foreach_batch_index_ingest,
+    )
+
+    root = str(tmp_path / "gap_root")
+    corpus_tab = str(tmp_path / "gap_corpus")
+    half = embs.where(_md5_sample_pred("vec_id", 1, 2))
+    late = (
+        embs.join(half.select("vec_id"), on="vec_id", how="left_anti")
+        .limit(50)
+        .localCheckpoint()
+    )
+    refresh_pq_index(half, root, m=4, n_codes=8)
+    half.write.parquet(corpus_tab)
+
+    hook = foreach_batch_index_ingest(index_root=root, corpus_path=corpus_tab)
+    fired = []
+
+    def _inject():
+        # the racing ingest: resolves the OLD pointer (flip hasn't
+        # happened), extends v1 + appends the corpus table — exactly the
+        # rows the r12 reconcile would have stranded in v1
+        hook(late, 7)
+        fired.append(True)
+
+    monkeypatch.setattr(sim, "_REFRESH_PRE_FLIP_HOOK", _inject)
+    v2 = refresh_pq_index(half, root, reconcile_path=corpus_tab, m=4, n_codes=8)
+    assert fired and current_index_version(root) == 2
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{v2}/codes").select("vec_id").collect()
+    }
+    for r in late.select("vec_id").collect():
+        assert r["vec_id"] in got  # servable from the new CURRENT
+
+
+def test_ingest_pointer_recheck_redelivers_after_mid_batch_flip(
+    spark, embs, tmp_path, monkeypatch
+):
+    """r12 verdict #2, the other interleaving: a refresh flips CURRENT
+    while an ingest batch is mid-flight (the batch resolved the OLD
+    pointer at entry). The hook's post-append pointer re-check must
+    observe the flip and re-extend the NEW version with the same batch."""
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.operators import similarity as sim
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _md5_sample_pred,
+        _pointer_file,
+        current_index_path,
+        refresh_pq_index,
+    )
+    from stock_chart_kafka_streams_spark.streaming import ann_index as ai
+    from stock_chart_kafka_streams_spark.streaming.ann_index import (
+        foreach_batch_index_ingest,
+    )
+
+    root = str(tmp_path / "flip_root")
+    corpus_tab = str(tmp_path / "flip_corpus")
+    half = embs.where(_md5_sample_pred("vec_id", 1, 2))
+    late = (
+        embs.join(half.select("vec_id"), on="vec_id", how="left_anti")
+        .limit(40)
+        .localCheckpoint()
+    )
+    v1 = refresh_pq_index(half, root, m=4, n_codes=8)
+    v2 = refresh_pq_index(half, root, m=4, n_codes=8)
+    assert current_index_path(root) == v2
+    half.write.parquet(corpus_tab)
+
+    # wind the pointer back to v1, then flip it to v2 DURING the batch's
+    # first extend — deterministic stand-in for a racing refresh
+    with open(_pointer_file(root), "w") as fh:
+        fh.write("v1")
+    real_extend = sim.extend_pq_index
+    flipped = []
+
+    def _extend_and_flip(batch, target, **kw):
+        out = real_extend(batch, target, **kw)
+        if not flipped:
+            with open(_pointer_file(root), "w") as fh:
+                fh.write("v2")
+            flipped.append(True)
+        return out
+
+    monkeypatch.setattr(sim, "extend_pq_index", _extend_and_flip)
+    hook = foreach_batch_index_ingest(index_root=root, corpus_path=corpus_tab)
+    hook(late, 0)
+
+    late_ids = {r["vec_id"] for r in late.select("vec_id").collect()}
+    for vdir in (v1, v2):  # old version got the original extend ...
+        got = {
+            r["vec_id"]
+            for r in spark.read.parquet(f"{vdir}/codes").select("vec_id").collect()
+        }
+        assert late_ids <= got, vdir  # ... new version got the re-check

@@ -399,3 +399,143 @@ def test_corr_tier_random_sparse_out_of_order_patterns(spark, tmp_path):
 
         want_corr = rolling_correlation_matrix(stored, n=N)
         assert _corr_rows(spark.read.parquet(corr)) == _corr_rows(want_corr), trial
+
+
+def test_corr_sparse_mid_history_amend_propagates_forward(spark, tmp_path):
+    """r12 advice (high): the forward update bound must be measured in
+    ALIGNED ROWS, not time. On a sparse, non-gap-filled table, amending a
+    close at aligned bucket t changes the pair rows at the next (n-1)
+    ALIGNED buckets — which here sit two hours later, far beyond the old
+    time-measured out_hi. The tier must widen forward until those rows
+    are inside the recompute slice."""
+    path = str(tmp_path / "candles_amend")
+    corr = str(tmp_path / "corr_amend")
+    hook = cascade_upsert_with_corr(
+        path, corr, frames=["MINUTE"], fill_gaps=False, corr_n=N
+    )
+    t0 = dt.datetime(2024, 4, 12, 9, 0)
+
+    # aligned rows at minutes 0,1,2 then 120,121 (the sparse-series shape)
+    hook(_mk_batch(spark, t0, 3, {"A": 100.0, "B": 50.0}), 0)
+    hook(_mk_batch(
+        spark, t0 + dt.timedelta(minutes=120), 2, {"A": 101.0, "B": 51.0}
+    ), 1)
+    base = _corr_rows(spark.read.parquet(corr))
+
+    # amend minute 1 for B: row at minute 120 (window {1, 2, 120} with
+    # N=3) must change; the batch's anchor window is [0, 2]
+    hook(_mk_candle_batch(
+        spark, [("B", t0 + dt.timedelta(minutes=1), 58.0, 3)]
+    ), 2)
+
+    stored = spark.read.parquet(path)
+    want = rolling_correlation_matrix(
+        stored.where(F.col("time_frame") == "MINUTE"), n=N
+    )
+    got = _corr_rows(spark.read.parquet(corr))
+    assert got == _corr_rows(want)
+    assert got != base  # the amend really did move downstream pair rows
+    # specifically: the minute-120 row (two hours past the amend) changed
+    t120 = t0 + dt.timedelta(minutes=120)
+    assert [r for r in got if r[2] == t120] != [r for r in base if r[2] == t120]
+
+
+def test_corr_and_fill_respect_candle_expiry(spark, tmp_path):
+    """r12 verdict #7 (expire coupling): after expire_candles drops
+    partitions below T, later batches' anchor probes, gap fills and corr
+    updates must not resurrect buckets < T — dropped directories are out
+    of the partition listing, so nothing can reference them."""
+    from stock_chart_kafka_streams_spark.streaming.corr import expire_corr
+    from stock_chart_kafka_streams_spark.streaming.sink import expire_candles
+
+    path = str(tmp_path / "candles_exp")
+    corr = str(tmp_path / "corr_exp")
+    hook = cascade_upsert_with_corr(path, corr, frames=["MINUTE"], corr_n=N)
+    d1 = dt.datetime(2024, 4, 14, 23, 50)
+    d2 = dt.datetime(2024, 4, 15, 0, 0)
+    hook(_mk_batch(spark, d1, 5, {"A": 100.0, "B": 50.0}), 0)
+    hook(_mk_batch(spark, d2, 5, {"A": 101.0, "B": 49.0}), 1)
+
+    assert expire_candles(spark, path, "2024-04-15") == [
+        ("MINUTE", "2024-04-14")
+    ]
+    assert expire_corr(spark, corr, "2024-04-15") == ["2024-04-14"]
+
+    pre_expiry = {
+        r[2]: r for r in _corr_rows(spark.read.parquet(corr))
+    }
+
+    # a later batch on day 2: anchors, fills and corr rows stay >= T
+    hook(_mk_batch(
+        spark, d2 + dt.timedelta(minutes=10), 3, {"A": 102.0, "B": 48.0}
+    ), 2)
+    cutoff = dt.date(2024, 4, 15)
+    stored = spark.read.parquet(path)
+    assert stored.where(F.col("bucket_date") < F.lit(cutoff)).count() == 0
+    got_corr = spark.read.parquet(corr)
+    assert got_corr.where(F.col("bucket_date") < F.lit(cutoff)).count() == 0
+    assert not os.path.exists(f"{path}/time_frame=MINUTE/bucket_date=2024-04-14")
+    assert not os.path.exists(f"{corr}/bucket_date=2024-04-14")
+
+    # rows whose windows survived intact equal the batch recompute over
+    # the truncated table; the first (n-1) post-cutoff rows legitimately
+    # KEEP their pre-expiry trailing-window values (windows that reached
+    # the expired candles — by design the overlay stores full-history
+    # trailing windows, and the update must not half-rewrite them from a
+    # truncated slice)
+    edge = d2 + dt.timedelta(minutes=N - 1)
+    want = rolling_correlation_matrix(
+        stored.where(F.col("time_frame") == "MINUTE"), n=N
+    ).where(F.col("bucket_start") >= F.lit(edge))
+    got_rows = _corr_rows(got_corr)
+    assert [r for r in got_rows if r[2] >= edge] == _corr_rows(want)
+    for r in got_rows:
+        if r[2] < edge:
+            assert r == pre_expiry[r[2]]  # stable, not silently rewritten
+
+
+def test_ranged_auto_corr_keeps_recompute_semantics(spark, built):
+    """r12 advice: attaching the overlay must not silently change RANGED
+    auto-mode results — the overlay stores full-history trailing windows,
+    the recompute path starts windows at the range's first bucket. Auto +
+    start => recompute (same rows before and after attach); explicit
+    materialized=true opts into the overlay's trailing values; unranged
+    auto still serves the overlay."""
+    path, corr, hook, batches = built
+    for i, b in enumerate(batches):
+        hook(b, i)
+    store = CandleStore.from_path(spark, path)
+    start, end = "2024-04-02T00:00:00", "2024-04-02T23:59:00"
+
+    def _key(df):
+        return sorted(
+            (r["bucket_start"], round(r[f"corr_{N}"], 9))
+            for r in df.collect()
+            if r[f"corr_{N}"] is not None
+        )
+
+    before_attach = _key(store.correlation("A", "B", n=N, start=start, end=end))
+    store.attach_corr_table(corr, n=N)
+    auto_ranged = _key(store.correlation("A", "B", n=N, start=start, end=end))
+    assert auto_ranged == before_attach  # attach is invisible to ranged auto
+
+    explicit = _key(
+        store.correlation("A", "B", n=N, start=start, end=end, materialized=True)
+    )
+    # trailing windows reach behind the range start -> earliest ranged
+    # buckets carry values the range-local recompute cannot have
+    assert explicit != auto_ranged
+
+    # unranged auto = the overlay (trailing) = explicit materialized
+    un_auto = _key(store.correlation("A", "B", n=N))
+    un_explicit = _key(store.correlation("A", "B", n=N, materialized=True))
+    assert un_auto == un_explicit
+
+    # matrix route: same rule
+    m_auto = store.correlation_matrix(n=N, start=start, end=end)
+    m_off = store.correlation_matrix(
+        n=N, start=start, end=end, materialized=False
+    )
+    assert sorted(map(tuple, m_auto.collect())) == sorted(
+        map(tuple, m_off.collect())
+    )
