@@ -35,7 +35,7 @@ from stock_chart_kafka_streams_spark.operators.windows_ext import (
     top_volume_days,
     volume_grouping_sets,
 )
-from stock_chart_kafka_streams_spark.plans.query_api import CandleStore
+from stock_chart_kafka_streams_spark.plans.query_api import CandleStore, retry_stale
 from stock_chart_kafka_streams_spark.plans.sql_surface import register_views
 from stock_chart_kafka_streams_spark.session import get_spark, tune_session
 from stock_chart_kafka_streams_spark.sources.bucketed import (
@@ -51,6 +51,7 @@ from stock_chart_kafka_streams_spark.streaming.pipeline import enrich_trades_wit
 __all__ = [
     "FRAMES",
     "CandleStore",
+    "retry_stale",
     "asof_join",
     "bucket_end",
     "bucket_start",

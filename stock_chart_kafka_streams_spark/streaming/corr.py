@@ -51,6 +51,7 @@ from stock_chart_kafka_streams_spark.streaming.sink import (
     _bump_table_version,
     _publish_partitions,
     _table_exists,
+    read_partition_dirs,
 )
 
 CORR_KEY = ["sym_a", "sym_b", "bucket_start"]
@@ -88,11 +89,19 @@ def upsert_corr(spark: SparkSession, rows: DataFrame, path: str) -> None:
         return
     dates = sorted({r["bucket_date"] for r in touched})
     data_cols = [c for c in rows.columns if c not in CORR_PARTITION]
-    existing = spark.read.parquet(path).where(F.col("bucket_date").isin(dates))
-    keep = existing.join(rows.select(*CORR_KEY), on=CORR_KEY, how="left_anti")
-    merged = _with_corr_partition(
-        keep.select(*data_cols).unionByName(rows.select(*data_cols))
+    # dir-scoped read (round 13): listing AND scan are O(touched dates) —
+    # a bare read of the table root walks every partition directory at
+    # planning time, an O(table age) metadata cost per micro-batch
+    existing = read_partition_dirs(
+        spark, path, [f"bucket_date={d}" for d in dates]
     )
+    if existing is None:
+        merged = _with_corr_partition(rows.select(*data_cols))
+    else:
+        keep = existing.join(rows.select(*CORR_KEY), on=CORR_KEY, how="left_anti")
+        merged = _with_corr_partition(
+            keep.select(*data_cols).unionByName(rows.select(*data_cols))
+        )
     # swap-publish (reader isolation, r12 verdict #3) with rows sorted by
     # (sym_a, sym_b, bucket_start) within each date file so parquet
     # min/max stats let a one-pair serving read skip row groups — the
@@ -138,11 +147,13 @@ def _symbol_extreme_buckets(
     while missing:
         sel = dates[:k] if earliest else dates[-k:]
         agg = F.min("bucket_start") if earliest else F.max("bucket_start")
+        scoped = read_partition_dirs(
+            spark, path, [f"time_frame=MINUTE/bucket_date={d}" for d in sel]
+        )
+        if scoped is None:
+            break
         for r in (
-            spark.read.parquet(path)
-            .where(F.col("time_frame") == "MINUTE")
-            .where(F.col("bucket_date").isin(sel))
-            .where(F.col("symbol").isin(sorted(missing)))
+            scoped.where(F.col("symbol").isin(sorted(missing)))
             .groupBy("symbol")
             .agg(agg.alias("__b"))
             .collect()
@@ -197,23 +208,34 @@ def corr_batch_update(
     anchor_hi = max(r["__whi"] for r in win_rows)
     affected = [r["symbol"] for r in win_rows]
 
+    from stock_chart_kafka_streams_spark.streaming.pipeline import (
+        minute_partition_dates,
+    )
+
+    all_dates = minute_partition_dates(spark, candle_path)
+
     def _slice(in_lo, out_hi):
         # ALL tracked symbols with rows inside the rectangle participate:
         # a partner with no rows here has no aligned buckets here, hence
         # no corr rows to update — partners never need enumerating up
         # front. With a bounded universe, out-of-universe symbols never
-        # even enter the pair join.
-        out = (
-            spark.read.parquet(candle_path)
-            .where(F.col("time_frame") == "MINUTE")
-            .where(
-                (F.col("bucket_date") >= F.lit(in_lo.date()))
-                & (F.col("bucket_date") <= F.lit(out_hi.date()))
+        # even enter the pair join. Dir-scoped read: listing and scan
+        # are both O(slice dates), the probe's discipline.
+        sel = [d for d in all_dates if in_lo.date() <= d <= out_hi.date()]
+        out = read_partition_dirs(
+            spark,
+            candle_path,
+            [f"time_frame=MINUTE/bucket_date={d}" for d in sel],
+        )
+        if out is None:
+            raise AssertionError(
+                "corr_batch_update ran against a minute table with no "
+                "partitions in the update window — the candle upsert "
+                "must precede the corr update"
             )
-            .where(
-                (F.col("bucket_start") >= F.lit(in_lo))
-                & (F.col("bucket_start") <= F.lit(out_hi))
-            )
+        out = out.where(
+            (F.col("bucket_start") >= F.lit(in_lo))
+            & (F.col("bucket_start") <= F.lit(out_hi))
         )
         if symbols is not None:
             out = out.where(F.col("symbol").isin(list(symbols)))

@@ -251,6 +251,22 @@ def _real_rows(df: DataFrame):
     return F.lit(True)
 
 
+def _frame_end(start, frame: str):
+    """Driver-side end of the coarse bucket beginning at ``start`` —
+    mirrors functions.timeframes.bucket_end for the cascade's date-range
+    derivation (true calendar month, reference Q2)."""
+    import datetime as _dt
+
+    if frame == "HOUR":
+        return start + _dt.timedelta(hours=1)
+    if frame == "DAY":
+        return start + _dt.timedelta(days=1)
+    if frame == "MONTH":
+        y, m = (start.year + 1, 1) if start.month == 12 else (start.year, start.month + 1)
+        return start.replace(year=y, month=m, day=1)
+    raise ValueError(f"no coarse span for frame {frame!r}")
+
+
 def minute_partition_dates(spark, path: str) -> list:
     """Sorted ``bucket_date`` values present under ``time_frame=MINUTE``
     of the serving table — ONE driver-side directory listing (O(days)
@@ -353,14 +369,25 @@ def affected_symbol_windows(spark, batch: DataFrame, path: str) -> list:
     back = min(1, len(before))
     fwd = min(1, len(after))
     iters = 0
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        read_partition_dirs,
+    )
+
     while True:
         iters += 1
         sel = (before[-back:] if back else []) + inside + (after[:fwd] if fwd else [])
-        stored = spark.read.parquet(path)
+        # dir-scoped read: the file LISTING is O(selected dates) too, not
+        # just the scan — a bare read of the table root walks (and above
+        # ~32 dirs, job-schedules) every partition directory at planning
+        # time, an O(table age) metadata cost this probe exists to avoid
+        stored = read_partition_dirs(
+            spark, path, [f"time_frame=MINUTE/bucket_date={d}" for d in sel]
+        )
+        if stored is None:
+            got = {}
+            break
         real = (
-            stored.where(F.col("time_frame") == "MINUTE")
-            .where(_real_rows(stored))
-            .where(F.col("bucket_date").isin(sel))
+            stored.where(_real_rows(stored))
             .select("symbol", "bucket_start")
             .join(bounds, on="symbol")
         )
@@ -454,18 +481,26 @@ def _fill_gap_window(spark, batch: DataFrame, path: str) -> None:
             win_rows, "symbol string, __wlo timestamp, __whi timestamp"
         )
     )
-    # static date bounds -> DIRECTORY pruning on the window re-read; the
-    # per-symbol join filter then trims the rectangle to the exact spans
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        read_partition_dirs,
+    )
+
+    # window-bounded date range -> the re-read selects exactly those
+    # partition DIRECTORIES (listing and scan both O(window), the
+    # anchor probe's discipline); the per-symbol join filter then trims
+    # the rectangle to the exact spans
     lo_date = min(r["__wlo"] for r in win_rows).date()
     hi_date = max(r["__whi"] for r in win_rows).date()
-    stored = spark.read.parquet(path)
+    sel = [
+        d for d in minute_partition_dates(spark, path) if lo_date <= d <= hi_date
+    ]
+    stored = read_partition_dirs(
+        spark, path, [f"time_frame=MINUTE/bucket_date={d}" for d in sel]
+    )
+    if stored is None:
+        return
     real_win = (
-        stored.where(F.col("time_frame") == "MINUTE")
-        .where(_real_rows(stored))
-        .where(
-            (F.col("bucket_date") >= F.lit(lo_date))
-            & (F.col("bucket_date") <= F.lit(hi_date))
-        )
+        stored.where(_real_rows(stored))
         .join(win, on="symbol")
         .where(
             (F.col("bucket_start") >= F.col("__wlo"))
@@ -536,17 +571,42 @@ def cascade_upsert(
             _fill_gap_window(spark, batch, path)
         if not frames:
             return
-        # (re)read AFTER any gap MERGE — the earlier listing's files may
-        # have been rewritten by it
-        stored = spark.read.parquet(path)
-        minutes = stored.where(F.col("time_frame") == "MINUTE")
-        if fill_gaps:
-            # coarse frames roll up REAL minutes only (see docstring)
-            minutes = minutes.where(_real_rows(stored)).drop("is_gap")
+        from stock_chart_kafka_streams_spark.streaming.sink import (
+            read_partition_dirs,
+        )
+
+        # (re)listed AFTER any gap MERGE — the earlier listing's files
+        # may have been rewritten by it
+        all_dates = minute_partition_dates(spark, path)
         for frame in frames:
             affected = batch.select(
                 "symbol", bucket_start("bucket_start", frame).alias("bucket_start")
             ).distinct()
+            # the minutes feeding these coarse buckets live inside the
+            # buckets' own calendar spans: derive the date range from the
+            # batch's affected bucket starts (driver-side, O(affected))
+            # and read exactly those partition directories — the rollup's
+            # listing and scan are bucket-span-sized, not table-sized
+            spans = [
+                (r["bucket_start"], _frame_end(r["bucket_start"], frame))
+                for r in affected.select("bucket_start").distinct().collect()
+            ]
+            dates = sorted(
+                {
+                    d
+                    for lo, hi in spans
+                    for d in all_dates
+                    if lo.date() <= d <= hi.date()
+                }
+            )
+            minutes = read_partition_dirs(
+                spark, path, [f"time_frame=MINUTE/bucket_date={d}" for d in dates]
+            )
+            if minutes is None:
+                continue
+            if fill_gaps and "is_gap" in minutes.columns:
+                # coarse frames roll up REAL minutes only (see docstring)
+                minutes = minutes.where(_real_rows(minutes)).drop("is_gap")
             scoped = minutes.withColumn(
                 "coarse", bucket_start("bucket_start", frame)
             ).join(

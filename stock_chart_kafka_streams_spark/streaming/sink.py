@@ -206,6 +206,67 @@ def _publish_partitions(
                 fs.delete(st.getPath(), True)
 
 
+# Marks a table as fill-maintained (rows carry the persisted ``is_gap``
+# column). One empty file, written the first time any writer stores
+# is_gap and checked with one file stat — so harmonization decisions
+# (stamp is_gap=False onto an is_gap-less batch) no longer depend on
+# which file Spark happened to sample the table schema from, and they
+# work even when the touched partitions are brand-new directories.
+GAP_SENTINEL = "_gap_marker"
+
+
+def _is_gap_table(spark: SparkSession, path: str) -> bool:
+    try:
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        jsc = spark._jsc  # type: ignore[attr-defined]
+        p = jvm.org.apache.hadoop.fs.Path(path, GAP_SENTINEL)
+        return bool(p.getFileSystem(jsc.hadoopConfiguration()).exists(p))
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect: fall back
+        return False
+
+
+def _mark_gap_table(spark: SparkSession, path: str) -> None:
+    try:
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        jsc = spark._jsc  # type: ignore[attr-defined]
+        p = jvm.org.apache.hadoop.fs.Path(path, GAP_SENTINEL)
+        fs = p.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            fs.create(p, True).close()
+    except Exception:  # noqa: BLE001 — best-effort, like the version file
+        pass
+
+
+def read_partition_dirs(spark: SparkSession, path: str, rel_dirs: list[str]):
+    """DataFrame over EXACTLY the given partition directories of the
+    table at ``path`` (``basePath``-anchored, so partition columns still
+    derive from the directory names) — or None when none of them exist.
+
+    The point is the LISTING, not the scan: a bare
+    ``spark.read.parquet(table)`` walks every partition directory at
+    planning time (above ~32 dirs Spark even launches a distributed
+    listing job with one task per directory), so each maintenance read
+    in a streaming foreachBatch hook pays O(table partitions) in
+    metadata even when the scan itself is pruned to two directories —
+    measured: a fill-enabled batch against 600 days of history spent
+    ~3 s/batch in 600-task listing jobs. Passing the selected
+    directories explicitly makes the listing O(selected) and per-batch
+    maintenance flat in table age (round 13; the bounded-probe
+    discipline applied to the file index). Nonexistent directories are
+    filtered out driver-side (one existence probe each). At warehouse
+    scale the same role is played by a table format's metadata layer;
+    this is its dependency-free analogue."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    jsc = spark._jsc  # type: ignore[attr-defined]
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(path)
+    fs = root.getFileSystem(jsc.hadoopConfiguration())
+    dirs = [f"{path}/{rel}" for rel in rel_dirs if fs.exists(Path(root, rel))]
+    if not dirs:
+        return None
+    return spark.read.option("basePath", path).parquet(*dirs)
+
+
 def _table_exists(spark: SparkSession, path: str) -> bool:
     """Storage-agnostic existence check for the serving table.
 
@@ -249,6 +310,8 @@ def write_candles(candles: DataFrame, path: str, mode: str = "overwrite") -> Non
         .partitionBy(*PARTITION_COLS)
         .parquet(path)
     )
+    if "is_gap" in candles.columns:
+        _mark_gap_table(candles.sparkSession, path)
     _bump_table_version(path)
 
 
@@ -270,56 +333,67 @@ def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
         write_candles(batch.drop("bucket_date"), path, mode="overwrite")
         return
 
-    existing = spark.read.parquet(path)
-    if "is_gap" in batch.columns and "is_gap" not in existing.columns:
-        import warnings as _warnings
-
-        # Correct for tables never touched by a gap filler (all rows
-        # real). A table the PRE-is_gap filler maintained marked its gap
-        # rows in-band as volume == 0 — stamping those False here would
-        # permanently reclassify them as real (r12 advice); that table
-        # needs the explicit migrate_gap_marker(from_volume_zero=True)
-        # BEFORE fill-enabled writes. Undetectable in-band, hence a
-        # warning, not a guess.
-        _warnings.warn(
-            f"upsert_candles: stamping is_gap=False onto pre-existing rows "
-            f"of {path!r} (it has no is_gap column). If this table was "
-            "maintained by a pre-round-12 gap filler (gap rows marked "
-            "volume==0), run migrate_gap_marker(spark, path, "
-            "from_volume_zero=True) first.",
-            UserWarning,
-            stacklevel=2,
-        )
-        existing = existing.withColumn("is_gap", F.lit(False))
-    elif "is_gap" in existing.columns and "is_gap" not in batch.columns:
-        batch = batch.withColumn("is_gap", F.lit(False))
-    cols = list(CANDLE_COLUMNS) + (["is_gap"] if "is_gap" in batch.columns else [])
-    # Restrict the read to partitions the batch touches. Two layers:
-    # (1) static In-filters on each partition column (the collect is
-    # tiny — distinct frames x dates of ONE micro-batch) give the scan
-    # planner a statically-prunable predicate of bounded size (two
-    # In-lists, not the O(touched) OR-chain this replaced, which at a
-    # 200-date backfill was a 400-term Catalyst expression);
-    # (2) a BROADCAST semi-join on the exact (time_frame, bucket_date)
-    # pairs trims the In-lists' rectangle superset to the exact touched
-    # set. The semi-join alone is NOT enough at scale: DPP declines to
-    # insert a runtime partition filter for a build side with no
-    # selective predicate (measured on this exact shape — the scan read
-    # every partition), so the static layer is what bounds the read.
+    # Restrict the READ — including its file LISTING — to exactly the
+    # (time_frame, bucket_date) directories the batch touches
+    # (read_partition_dirs; the touched-key collect is tiny — distinct
+    # frames x dates of ONE micro-batch). The previous shape read the
+    # whole table and pruned with static In-filters: the SCAN was
+    # bounded but the planning-time directory walk stayed O(table
+    # partitions) per micro-batch, which dominated per-batch wall once
+    # the table aged past a few hundred days.
     part_keys = batch.select(*PARTITION_COLS).distinct()
     touched = part_keys.collect()
     if not touched:
         return
-    frames = sorted({r["time_frame"] for r in touched})
-    dates = sorted({r["bucket_date"] for r in touched})
-    pruned = existing.where(
-        F.col("time_frame").isin(frames) & F.col("bucket_date").isin(dates)
+    existing = read_partition_dirs(
+        spark,
+        path,
+        [
+            f"time_frame={r['time_frame']}/bucket_date={r['bucket_date']}"
+            for r in touched
+        ],
     )
-    keep = pruned.join(
-        F.broadcast(part_keys), on=PARTITION_COLS, how="left_semi"
-    ).join(batch.select(*CANDLE_KEY), on=CANDLE_KEY, how="left_anti")
-    merged = keep.select(*cols).unionByName(batch.drop("bucket_date"))
-    merged = _with_partition_cols(merged)
+    if existing is not None:
+        if "is_gap" in batch.columns and "is_gap" not in existing.columns:
+            import warnings as _warnings
+
+            # Correct for tables never touched by a gap filler (all rows
+            # real). A table the PRE-is_gap filler maintained marked its
+            # gap rows in-band as volume == 0 — stamping those False here
+            # would permanently reclassify them as real (r12 advice);
+            # that table needs the explicit
+            # migrate_gap_marker(from_volume_zero=True) BEFORE
+            # fill-enabled writes. Undetectable in-band, hence a warning,
+            # not a guess.
+            _warnings.warn(
+                f"upsert_candles: stamping is_gap=False onto pre-existing "
+                f"rows of {path!r} (they have no is_gap column). If this "
+                "table was maintained by a pre-round-12 gap filler (gap "
+                "rows marked volume==0), run migrate_gap_marker(spark, "
+                "path, from_volume_zero=True) first.",
+                UserWarning,
+                stacklevel=2,
+            )
+            existing = existing.withColumn("is_gap", F.lit(False))
+        elif "is_gap" in existing.columns and "is_gap" not in batch.columns:
+            batch = batch.withColumn("is_gap", F.lit(False))
+    if "is_gap" not in batch.columns and _is_gap_table(spark, path):
+        # fill-maintained table, batch targeting brand-new (or legacy)
+        # partitions: a coarse rollup or backfill is real by construction
+        # — stamp the marker so every partition carries the same columns
+        batch = batch.withColumn("is_gap", F.lit(False))
+    cols = list(CANDLE_COLUMNS) + (["is_gap"] if "is_gap" in batch.columns else [])
+    if "is_gap" in batch.columns:
+        _mark_gap_table(spark, path)
+    if existing is None:
+        # every touched partition is brand-new: nothing to merge with
+        merged = _with_partition_cols(batch.drop("bucket_date"))
+    else:
+        keep = existing.join(
+            batch.select(*CANDLE_KEY), on=CANDLE_KEY, how="left_anti"
+        )
+        merged = keep.select(*cols).unionByName(batch.drop("bucket_date"))
+        merged = _with_partition_cols(merged)
     # swap-publish: the merge is staged to a hidden dir (so the write
     # never overwrites the files it reads — no materialization needed)
     # and renamed into place per touched partition (reader isolation)
@@ -358,6 +432,7 @@ def migrate_gap_marker(
     _publish_partitions(
         spark, _with_partition_cols(migrated), path, PARTITION_COLS
     )
+    _mark_gap_table(spark, path)
     _bump_table_version(path)
 
 
