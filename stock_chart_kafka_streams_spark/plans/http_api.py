@@ -154,20 +154,15 @@ class _Handler(BaseHTTPRequestHandler):
             attempts = 5
             for attempt in range(attempts):
                 try:
-                    # fresh() per attempt AND per request: path-backed
-                    # stores re-list so merges since server start are
-                    # visible (the point_row discipline); it sits inside
-                    # the try because re-listing infers the schema from
-                    # footers, which can itself race a swap. The point
-                    # route skips the relist: point_row already re-reads
-                    # the path per miss and its LRU is version-tagged, so
-                    # an eager relist would only add a Spark listing to
-                    # what is otherwise a dict hit.
-                    store = (
-                        self.store
-                        if parts[2:3] == ["point"]
-                        else self.store.fresh()
-                    )
+                    # Path-backed range/point/corr reads re-list their
+                    # selected directories per call (_frame_scoped), so
+                    # the first attempt serves from the store as-is; only
+                    # a retry pays the full fresh() re-list (needed for
+                    # the snapshot-backed routes like /symbols whose
+                    # construction-time listing can go stale). fresh()
+                    # sits inside the try because re-listing infers the
+                    # schema from footers, which can itself race a swap.
+                    store = self.store if attempt == 0 else self.store.fresh()
                     self._dispatch(store, url, q, parts, minutes)
                     return
                 except Exception as exc:  # noqa: BLE001 — filtered below

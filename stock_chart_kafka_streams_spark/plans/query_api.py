@@ -140,6 +140,73 @@ class CandleStore:
         out._corr_n = self._corr_n
         return out
 
+    def _frame_scoped(self, frame: str, d_lo=None, d_hi=None) -> DataFrame:
+        """Path-backed stores: a DataFrame over exactly the
+        ``time_frame=<frame>`` partition directories within
+        ``[d_lo, d_hi]`` — so the read's file LISTING is O(selected
+        dates), not O(table partitions), and every call plans against a
+        FRESH listing (round 13; the maintenance loop's
+        ``read_partition_dirs`` discipline applied to the serve side —
+        at a 600-day table a bare root read walks/job-schedules every
+        directory per request before pruning anything). In-memory
+        stores, and path-backed frames with no matching directories,
+        fall back to the snapshot frame (``where(lit(False))`` for the
+        empty case: schema-stable, folds to an empty relation, opens no
+        files)."""
+        if (
+            self._path is None
+            or self._spark is None
+            or "bucket_date" not in self._df.columns  # not the serving layout
+        ):
+            return self._df
+        import datetime as _d
+
+        jvm = self._spark._jvm  # type: ignore[attr-defined]
+        jsc = self._spark._jsc  # type: ignore[attr-defined]
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(self._path, f"time_frame={frame}")
+        fs = root.getFileSystem(jsc.hadoopConfiguration())
+        sel = []
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if not name.startswith("bucket_date="):
+                    continue
+                try:
+                    d = _d.date.fromisoformat(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if (d_lo is None or d >= d_lo) and (d_hi is None or d <= d_hi):
+                    sel.append(d)
+        from stock_chart_kafka_streams_spark.streaming.sink import (
+            read_partition_dirs,
+        )
+
+        scoped = read_partition_dirs(
+            self._spark,
+            self._path,
+            [f"time_frame={frame}/bucket_date={d}" for d in sorted(sel)],
+        )
+        if scoped is None:
+            return self._df.where(F.lit(False))
+        return scoped
+
+    @staticmethod
+    def _lookback_date(now: _dt.datetime, frame: str, n: int):
+        """Conservative (never-later) driver-side date for ``now`` minus
+        n frame intervals — the directory lower bound for recent(now=).
+        Months use 31 days so the calendar-exact SQL bound is always
+        inside the selected range (a superset of directories is correct;
+        a subset would drop rows)."""
+        minutes = {"MINUTE": 1, "HOUR": 60, "DAY": 1440, "MONTH": 31 * 1440}
+        if frame in minutes:
+            step = minutes[frame]
+        elif frame.endswith("MIN"):
+            step = int(frame[:-3])
+        else:  # pragma: no cover — check_frame already rejected it
+            raise ValueError(f"unknown frame {frame!r}")
+        return (now - _dt.timedelta(minutes=step * n)).date()
+
     # -- Q1/Q2: range query, sorted ascending ------------------------------
     def get_candles(
         self,
@@ -164,17 +231,23 @@ class CandleStore:
         result schema gains ``is_gap`` and drops serving-layout columns
         like ``bucket_date``."""
         check_frame(frame)
-        out = self._df.where(
+        base = self._frame_scoped(
+            frame,
+            _ts(start).date() if start is not None else None,
+            _ts(end).date() if end is not None else None,
+        )
+        out = base.where(
             (F.col("symbol") == symbol) & (F.col("time_frame") == frame)
         )
         # Disk serving tables are partitioned by (time_frame, bucket_date)
         # (streaming/sink.py); to_date is monotone in bucket_start, so the
-        # range maps to an equivalent bucket_date range. Adding it turns
-        # the bucket_start bounds into DIRECTORY-level partition pruning
-        # (listing skips other days entirely) instead of relying only on
-        # parquet footer min/max stats — the difference between listing 3
+        # range maps to an equivalent bucket_date range. _frame_scoped
+        # already restricted the LISTING to those directories; the
+        # bucket_date predicates below keep the equivalent static
+        # partition filters on the scan (and do the pruning for
+        # in-memory/snapshot frames) — the difference between listing 3
         # directories and listing the whole table at 100 TB.
-        has_bd = "bucket_date" in self._df.columns
+        has_bd = "bucket_date" in base.columns
         if start is not None:
             out = out.where(F.col("bucket_start") >= F.lit(_ts(start)))
             if has_bd:
@@ -215,7 +288,14 @@ class CandleStore:
         check_frame(frame)
         if n <= 0:
             raise ValueError(f"n must be positive, got {n}")
-        base = self._df.where(
+        scoped = (
+            self._frame_scoped(
+                frame, self._lookback_date(_ts(now), frame, n), _ts(now).date()
+            )
+            if now is not None
+            else self._frame_scoped(frame)
+        )
+        base = scoped.where(
             (F.col("symbol") == symbol) & (F.col("time_frame") == frame)
         )
         if now is not None:
@@ -223,7 +303,7 @@ class CandleStore:
             base = base.where(
                 (F.col("bucket_start") > lo) & (F.col("bucket_start") <= F.lit(_ts(now)))
             )
-            if "bucket_date" in self._df.columns:
+            if "bucket_date" in scoped.columns:
                 # constant-foldable bounds -> directory pruning on disk
                 # serving tables, same as get_candles
                 base = base.where(
@@ -257,17 +337,17 @@ class CandleStore:
         key = F.make_timestamp(
             F.lit(year), F.lit(month), F.lit(day), F.lit(hour), F.lit(minute), F.lit(0)
         )
-        out = self._df.where(
+        bd = _dt.date(year, month, day)
+        base = self._frame_scoped(frame, bd, bd)
+        out = base.where(
             (F.col("symbol") == symbol)
             & (F.col("time_frame") == frame)
             & (F.col("bucket_start") == key)
         )
-        if "bucket_date" in self._df.columns:
+        if "bucket_date" in base.columns:
             # point lookup on a disk table touches exactly one
             # (time_frame, bucket_date) directory — see get_candles
-            out = out.where(
-                F.col("bucket_date") == F.lit(_dt.date(year, month, day))
-            )
+            out = out.where(F.col("bucket_date") == F.lit(bd))
         return out
 
     def point_row(
@@ -306,11 +386,10 @@ class CandleStore:
             if hit is not None and hit[0] == ver:
                 self._point_cache.move_to_end(key)
                 return hit[1]
-        if self._path is not None and self._spark is not None:
-            base = CandleStore(self._spark.read.parquet(self._path))
-        else:
-            base = self
-        rows = base.point(symbol, frame, year, month, day, hour, minute).collect()
+        # point() is freshness-safe on path-backed stores by itself now:
+        # _frame_scoped re-lists (exactly one directory) per call, so the
+        # constructor snapshot's stale file index is never consulted
+        rows = self.point(symbol, frame, year, month, day, hour, minute).collect()
         row = rows[0] if rows else None
         if self._point_cache is not None:
             self._point_cache[key] = (ver, row)
@@ -345,6 +424,8 @@ class CandleStore:
         frame: str,
         materialized: bool | None,
         ranged: bool = False,
+        start=None,
+        end=None,
     ) -> DataFrame | None:
         """The attached overlay when this request can (or must) use it.
         The two paths differ semantically: the overlay stores
@@ -376,7 +457,48 @@ class CandleStore:
                 )
             return None
         assert self._spark is not None
-        return self._spark.read.parquet(self._corr_path)
+        return self._corr_scoped(start, end)
+
+    def _corr_scoped(self, start, end) -> DataFrame:
+        """Overlay read restricted to the requested ``bucket_date``
+        directories (one name listing + O(selected) file listing, the
+        ``_frame_scoped`` discipline for the pair table, which is
+        partitioned by bucket_date alone)."""
+        import datetime as _d
+
+        assert self._spark is not None and self._corr_path is not None
+        d_lo = _ts(start).date() if start is not None else None
+        d_hi = _ts(end).date() if end is not None else None
+        jvm = self._spark._jvm  # type: ignore[attr-defined]
+        jsc = self._spark._jsc  # type: ignore[attr-defined]
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(self._corr_path)
+        fs = root.getFileSystem(jsc.hadoopConfiguration())
+        sel = []
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if not name.startswith("bucket_date="):
+                    continue
+                try:
+                    d = _d.date.fromisoformat(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if (d_lo is None or d >= d_lo) and (d_hi is None or d <= d_hi):
+                    sel.append(d)
+        from stock_chart_kafka_streams_spark.streaming.sink import (
+            read_partition_dirs,
+        )
+
+        scoped = read_partition_dirs(
+            self._spark,
+            self._corr_path,
+            [f"bucket_date={d}" for d in sorted(sel)],
+        )
+        if scoped is None:
+            # range matches no stored dates: schema-stable empty read
+            return self._spark.read.parquet(self._corr_path).where(F.lit(False))
+        return scoped
 
     @staticmethod
     def _corr_range(df: DataFrame, start, end) -> DataFrame:
@@ -414,7 +536,8 @@ class CandleStore:
         )
 
         overlay = self._corr_materialized(
-            n, frame, materialized, ranged=start is not None
+            n, frame, materialized, ranged=start is not None,
+            start=start, end=end,
         )
         if overlay is not None:
             a, b = sorted((symbol_a, symbol_b))
@@ -462,7 +585,8 @@ class CandleStore:
 
         check_frame(frame)
         overlay = self._corr_materialized(
-            n, frame, materialized, ranged=start is not None
+            n, frame, materialized, ranged=start is not None,
+            start=start, end=end,
         )
         if overlay is not None:
             rows = self._corr_range(overlay, start, end)
@@ -475,8 +599,13 @@ class CandleStore:
                 "sym_a", "sym_b", "bucket_start", "close_a", "close_b",
                 f"corr_{n}",
             )
-        out = self._df.where(F.col("time_frame") == frame)
-        has_bd = "bucket_date" in self._df.columns
+        base = self._frame_scoped(
+            frame,
+            _ts(start).date() if start is not None else None,
+            _ts(end).date() if end is not None else None,
+        )
+        out = base.where(F.col("time_frame") == frame)
+        has_bd = "bucket_date" in base.columns
         if start is not None:
             out = out.where(F.col("bucket_start") >= F.lit(_ts(start)))
             if has_bd:
