@@ -186,6 +186,7 @@ class CandleStore:
             self._spark,
             self._path,
             [f"time_frame={frame}/bucket_date={d}" for d in sorted(sel)],
+            assume_exists=True,  # sel was just listed
         )
         if scoped is None:
             return self._df.where(F.lit(False))
@@ -494,6 +495,7 @@ class CandleStore:
             self._spark,
             self._corr_path,
             [f"bucket_date={d}" for d in sorted(sel)],
+            assume_exists=True,  # sel was just listed
         )
         if scoped is None:
             # range matches no stored dates: schema-stable empty read

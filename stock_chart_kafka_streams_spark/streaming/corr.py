@@ -148,7 +148,10 @@ def _symbol_extreme_buckets(
         sel = dates[:k] if earliest else dates[-k:]
         agg = F.min("bucket_start") if earliest else F.max("bucket_start")
         scoped = read_partition_dirs(
-            spark, path, [f"time_frame=MINUTE/bucket_date={d}" for d in sel]
+            spark,
+            path,
+            [f"time_frame=MINUTE/bucket_date={d}" for d in sel],
+            assume_exists=True,  # sel is a slice of the listing
         )
         if scoped is None:
             break
@@ -226,6 +229,7 @@ def corr_batch_update(
             spark,
             candle_path,
             [f"time_frame=MINUTE/bucket_date={d}" for d in sel],
+            assume_exists=True,  # sel is clipped from the listing
         )
         if out is None:
             raise AssertionError(

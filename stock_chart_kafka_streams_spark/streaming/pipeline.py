@@ -381,7 +381,10 @@ def affected_symbol_windows(spark, batch: DataFrame, path: str) -> list:
         # ~32 dirs, job-schedules) every partition directory at planning
         # time, an O(table age) metadata cost this probe exists to avoid
         stored = read_partition_dirs(
-            spark, path, [f"time_frame=MINUTE/bucket_date={d}" for d in sel]
+            spark,
+            path,
+            [f"time_frame=MINUTE/bucket_date={d}" for d in sel],
+            assume_exists=True,  # sel came from the listing above
         )
         if stored is None:
             got = {}
@@ -495,7 +498,10 @@ def _fill_gap_window(spark, batch: DataFrame, path: str) -> None:
         d for d in minute_partition_dates(spark, path) if lo_date <= d <= hi_date
     ]
     stored = read_partition_dirs(
-        spark, path, [f"time_frame=MINUTE/bucket_date={d}" for d in sel]
+        spark,
+        path,
+        [f"time_frame=MINUTE/bucket_date={d}" for d in sel],
+        assume_exists=True,  # sel is clipped from the table listing
     )
     if stored is None:
         return
@@ -600,7 +606,10 @@ def cascade_upsert(
                 }
             )
             minutes = read_partition_dirs(
-                spark, path, [f"time_frame=MINUTE/bucket_date={d}" for d in dates]
+                spark,
+                path,
+                [f"time_frame=MINUTE/bucket_date={d}" for d in dates],
+                assume_exists=True,  # dates are clipped from the listing
             )
             if minutes is None:
                 continue

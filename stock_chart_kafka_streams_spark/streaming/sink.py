@@ -237,7 +237,12 @@ def _mark_gap_table(spark: SparkSession, path: str) -> None:
         pass
 
 
-def read_partition_dirs(spark: SparkSession, path: str, rel_dirs: list[str]):
+def read_partition_dirs(
+    spark: SparkSession,
+    path: str,
+    rel_dirs: list[str],
+    assume_exists: bool = False,
+):
     """DataFrame over EXACTLY the given partition directories of the
     table at ``path`` (``basePath``-anchored, so partition columns still
     derive from the directory names) — or None when none of them exist.
@@ -255,13 +260,21 @@ def read_partition_dirs(spark: SparkSession, path: str, rel_dirs: list[str]):
     discipline applied to the file index). Nonexistent directories are
     filtered out driver-side (one existence probe each). At warehouse
     scale the same role is played by a table format's metadata layer;
-    this is its dependency-free analogue."""
-    jvm = spark._jvm  # type: ignore[attr-defined]
-    jsc = spark._jsc  # type: ignore[attr-defined]
-    Path = jvm.org.apache.hadoop.fs.Path
-    root = Path(path)
-    fs = root.getFileSystem(jsc.hadoopConfiguration())
-    dirs = [f"{path}/{rel}" for rel in rel_dirs if fs.exists(Path(root, rel))]
+    this is its dependency-free analogue.
+
+    ``assume_exists=True`` skips the per-directory existence probe —
+    for callers that derived ``rel_dirs`` from a directory listing they
+    just took (the probe would double every metadata call for nothing;
+    on an object store that's a round-trip per directory)."""
+    if assume_exists:
+        dirs = [f"{path}/{rel}" for rel in rel_dirs]
+    else:
+        jvm = spark._jvm  # type: ignore[attr-defined]
+        jsc = spark._jsc  # type: ignore[attr-defined]
+        Path = jvm.org.apache.hadoop.fs.Path
+        root = Path(path)
+        fs = root.getFileSystem(jsc.hadoopConfiguration())
+        dirs = [f"{path}/{rel}" for rel in rel_dirs if fs.exists(Path(root, rel))]
     if not dirs:
         return None
     return spark.read.option("basePath", path).parquet(*dirs)
