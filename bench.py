@@ -1008,10 +1008,17 @@ def _tier2_queries(
                 "bucket_end timestamp, open double, high double, low double, "
                 "close double, volume long",
             ).localCheckpoint(eager=True)
-            spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            hook(tick, 1)
-            gap_walls[str(days)] = round(time.perf_counter() - t0, 3)
+            # best-of-2 (the suite's idiom): this block runs late in
+            # tier-2, where GC/suite-state noise can dwarf the ~2-3 s
+            # signal — a redelivered batch is idempotent, so the second
+            # run measures the same maintenance work
+            runs = []
+            for bid in (1, 2):
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                hook(tick, bid)
+                runs.append(round(time.perf_counter() - t0, 3))
+            gap_walls[str(days)] = min(runs)
             gap_dirs[str(days)] = int(LAST_ANCHOR_PROBE.get("dates_scanned", -1))
         timings["t2_gapfill_batch_600d_hist"] = gap_walls["600"]
         extra["gapfill_batch_walls_by_days"] = gap_walls
