@@ -968,6 +968,8 @@ def _tier2_queries(
         p_syms = [f"S{i:03d}" for i in range(20)]
         gap_walls: dict[str, float] = {}
         gap_dirs: dict[str, int] = {}
+        recent_walls: dict[str, float] = {}
+        recent_dirs: dict[str, int] = {}
         for days in (2, 60, 600):
             tdir = os.path.join(probe_root, f"d{days}")
             end_day = _pdt.datetime(2023, 12, 31, 12, 0)
@@ -1020,13 +1022,115 @@ def _tier2_queries(
                 runs.append(round(time.perf_counter() - t0, 3))
             gap_walls[str(days)] = min(runs)
             gap_dirs[str(days)] = int(LAST_ANCHOR_PROBE.get("dates_scanned", -1))
+
+            # data-anchored recent-N serving read against the same table
+            # (round 14, r13 verdict #1 "done" criterion): the default
+            # HTTP recency path must be flat in history depth — the
+            # backward-widening probe reads O(n-buckets) directories
+            # from the newest end, never the frame's history
+            from stock_chart_kafka_streams_spark.plans import (
+                query_api as _qa,
+            )
+
+            r_store = _qa.CandleStore.from_path(spark, tdir)
+            r_runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                rows = r_store.recent(p_syms[0], "MINUTE", n=60).collect()
+                r_runs.append(round(time.perf_counter() - t0, 3))
+            assert rows, "recent() returned no rows in the bench table"
+            recent_walls[str(days)] = min(r_runs)
+            recent_dirs[str(days)] = int(
+                _qa.LAST_RECENT_PROBE.get("dates_scanned", -1)
+            )
         timings["t2_gapfill_batch_600d_hist"] = gap_walls["600"]
+        timings["t2_recent_default_600d_hist"] = recent_walls["600"]
         extra["gapfill_batch_walls_by_days"] = gap_walls
         extra["gapfill_probe_dates_scanned"] = gap_dirs
+        extra["recent_walls_by_days"] = recent_walls
+        extra["recent_probe_dates_scanned"] = recent_dirs
     except Exception as exc:  # noqa: BLE001 — keep the record parseable
         extra["gapfill_probe_block_error"] = f"{type(exc).__name__}: {exc}"[:300]
     finally:
         shutil.rmtree(probe_root, ignore_errors=True)
+
+    # full serving-maintenance hook vs history depth (round 14, r13
+    # verdict #4): cascade_upsert_with_corr — minute MERGE + bounded gap
+    # fill + corr-tier update in ONE foreachBatch hook — against 2 / 60 /
+    # 600 days of stored history. This is the number that proves the
+    # whole per-trigger maintenance story flat in table age, not just
+    # its pieces (the gap-fill pair above covers the fill alone).
+    cc_root = tempfile.mkdtemp(prefix="bench-cascorr-")
+    try:
+        import datetime as _cdt
+
+        from stock_chart_kafka_streams_spark.streaming.corr import (
+            cascade_upsert_with_corr,
+        )
+        from stock_chart_kafka_streams_spark.streaming.pipeline import (
+            LAST_ANCHOR_PROBE,
+        )
+        from stock_chart_kafka_streams_spark.streaming.sink import (
+            write_candles as _wc2,
+        )
+
+        cc_syms = ["AAA", "BBB", "CCC"]
+        cc_walls: dict[str, float] = {}
+        cc_dirs: dict[str, int] = {}
+        for days in (2, 60, 600):
+            tdir = os.path.join(cc_root, f"t{days}")
+            cdir = os.path.join(cc_root, f"c{days}")
+            end_day = _cdt.datetime(2023, 12, 31, 12, 0)
+            hist = spark.createDataFrame(
+                [
+                    (
+                        s, "MINUTE",
+                        end_day - _cdt.timedelta(days=d, minutes=-m),
+                        end_day - _cdt.timedelta(days=d, minutes=-(m + 1)),
+                        100.0, 101.0, 99.0, 100.0 + 0.1 * m, 5, False,
+                    )
+                    for s in cc_syms
+                    for d in range(days)
+                    for m in range(30)
+                ],
+                "symbol string, time_frame string, bucket_start timestamp, "
+                "bucket_end timestamp, open double, high double, low double, "
+                "close double, volume long, is_gap boolean",
+            )
+            _wc2(hist, tdir)
+            hook = cascade_upsert_with_corr(
+                tdir, cdir, frames=["MINUTE"], fill_gaps=True, corr_n=20
+            )
+            tick = spark.createDataFrame(
+                [
+                    (
+                        s, "MINUTE",
+                        end_day + _cdt.timedelta(minutes=30 + m),
+                        end_day + _cdt.timedelta(minutes=31 + m),
+                        100.0, 101.0, 99.0, 100.0 + 0.2 * m, 5,
+                    )
+                    for s in cc_syms
+                    for m in (0, 1, 2, 6, 9)  # intra-batch gaps
+                ],
+                "symbol string, time_frame string, bucket_start timestamp, "
+                "bucket_end timestamp, open double, high double, low double, "
+                "close double, volume long",
+            ).localCheckpoint(eager=True)
+            runs = []
+            for bid in (1, 2):  # best-of-2: redelivery is idempotent
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                hook(tick, bid)
+                runs.append(round(time.perf_counter() - t0, 3))
+            cc_walls[str(days)] = min(runs)
+            cc_dirs[str(days)] = int(LAST_ANCHOR_PROBE.get("dates_scanned", -1))
+        timings["t2_cascade_corr_batch_600d_hist"] = cc_walls["600"]
+        extra["cascade_corr_batch_walls_by_days"] = cc_walls
+        extra["cascade_corr_probe_dates_scanned"] = cc_dirs
+    except Exception as exc:  # noqa: BLE001 — keep the record parseable
+        extra["cascade_corr_block_error"] = f"{type(exc).__name__}: {exc}"[:300]
+    finally:
+        shutil.rmtree(cc_root, ignore_errors=True)
 
     # p13 streaming curation ingest (round 13, r12 verdict #5): the
     # quality-gate -> decontam -> dedup -> append loop driven with 100k-doc
@@ -1236,8 +1340,23 @@ def _tier2_queries(
     return timings, extra
 
 
+def _load_sentinel() -> float:
+    """Wall seconds for a fixed single-thread pure-Python busy loop — a
+    machine-load self-document for the record (r13 verdict #3: the r13
+    headline was inflated ~1.3x by background load on untouched code and
+    needed a PERF caveat paragraph to adjudicate; now every record
+    carries its own conditions). Quiet machine ≈ the round-to-round
+    floor; a ratio >> 1 vs prior records flags a loaded run."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     wall_t0 = time.perf_counter()
+    sentinel_before = _load_sentinel()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
@@ -1489,6 +1608,7 @@ def main() -> None:
         gate.__exit__()
         gate_failed = gate.report()  # stderr; bench still emits its record
 
+        sentinel_after = _load_sentinel()
         out = {
             "metric": "candle_c1_c7_total",
             "value": total,
@@ -1497,6 +1617,7 @@ def main() -> None:
             "sf": sf,
             "codegen_fallbacks": len(gate.hits),
             "bench_wall_s": round(time.perf_counter() - wall_t0, 1),
+            "load_sentinel_s": [sentinel_before, sentinel_after],
         }
         if tier2_info:
             out["tier2"] = tier2_info
@@ -1527,6 +1648,7 @@ def main() -> None:
             "sf": sf,
             "codegen_fallbacks": len(gate.hits),
             "bench_wall_s": round(time.perf_counter() - wall_t0, 1),
+            "load_sentinel_s": [sentinel_before, sentinel_after],
         }
         print(json.dumps(compact))
         if gate_failed:

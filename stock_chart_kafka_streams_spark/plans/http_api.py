@@ -2,14 +2,16 @@
 
 Mirrors the reference's REST surface (``controller/StockChartController.kt``):
 
-    GET /api/charts/{symbol}?from=ISO&to=ISO&minutes=N[&frame=F]
+    GET /api/charts/{symbol}?from=ISO&to=ISO&minutes=N[&frame=F][&now=ISO]
         range query when both ``from`` and ``to`` are given
-        (``StockChartController.kt:19-33``), else recent-N
+        (``StockChartController.kt:19-33``), else recent-N (``now=``
+        opts into the reference's wall-clock-anchored recency,
+        ``CandleStickService.kt:142-147``)
     GET /api/charts/symbols
         available symbols (``:35-39`` — the reference HARDCODES five;
         this layer derives them from the serving table, the documented
         improvement the reference's own comment asks for)
-    GET /api/charts/recent/{symbol}?minutes=N[&frame=F]
+    GET /api/charts/recent/{symbol}?minutes=N[&frame=F][&now=ISO]
         recent-N (``:41-47``)
 
 Responses are JSON lists of the reference's ``CandleStick`` record shape
@@ -193,9 +195,14 @@ class _Handler(BaseHTTPRequestHandler):
                 200, [r["symbol"] for r in store.symbols().collect()]
             )
         elif parts[2] == "recent" and len(parts) == 4:
+            # ?now=ISO opts into the reference's wall-clock-anchored
+            # semantics (CandleStickService.kt:142-147) via the pruned
+            # now= path; default stays data-anchored (bounded probe)
             self._send(
                 200,
-                self._candles(store.recent(parts[3], frame, n=minutes())),
+                self._candles(
+                    store.recent(parts[3], frame, n=minutes(), now=q.get("now"))
+                ),
             )
         elif parts[2] == "corr" and len(parts) == 5:
             # rolling correlation between two stored series (w14
@@ -294,7 +301,7 @@ class _Handler(BaseHTTPRequestHandler):
                     fill_gaps=fill,
                 )
             else:
-                df = store.recent(symbol, frame, n=minutes())
+                df = store.recent(symbol, frame, n=minutes(), now=q.get("now"))
                 if fill:
                     from stock_chart_kafka_streams_spark.operators.candles import (
                         fill_candle_gaps,

@@ -52,6 +52,7 @@ from stock_chart_kafka_streams_spark.streaming.sink import (
     _publish_partitions,
     _table_exists,
     read_partition_dirs,
+    recover_publish_crash,
 )
 
 CORR_KEY = ["sym_a", "sym_b", "bucket_start"]
@@ -87,6 +88,9 @@ def upsert_corr(spark: SparkSession, rows: DataFrame, path: str) -> None:
         )
         _bump_table_version(path)
         return
+    # restore any partition a crashed publish orphaned BEFORE the merge
+    # read below (sink.recover_publish_crash's ordering contract)
+    recover_publish_crash(spark, path)
     dates = sorted({r["bucket_date"] for r in touched})
     data_cols = [c for c in rows.columns if c not in CORR_PARTITION]
     # dir-scoped read (round 13): listing AND scan are O(touched dates) —

@@ -70,7 +70,18 @@ def _read_version_sentinel(path: str) -> str | None:
         return None
 
 
-def _write_version_sentinel(path: str) -> None:
+# Sentinel tokens ending in this suffix mark a publish whose partition
+# renames are IN FLIGHT (round 14): a reader that lists partition
+# directories while a swap is mid-rename can silently miss the directory
+# being swapped (no exception — the rows are just absent), so the
+# serving layer re-lists until it observes the same non-inflight token
+# on both sides of its listing (``CandleStore._stable_listing``). The
+# rename window is two metadata ops, so the spin is almost always zero
+# iterations.
+INFLIGHT_SUFFIX = "-inflight"
+
+
+def _write_version_sentinel(path: str, inflight: bool = False) -> None:
     if "://" in path:
         return
     import time as _time
@@ -81,6 +92,7 @@ def _write_version_sentinel(path: str) -> None:
             f"{os.getpid()}-"
             f"{_TABLE_VERSIONS.get(_version_key(path), 0)}-"
             f"{_time.time_ns()}"
+            f"{INFLIGHT_SUFFIX if inflight else ''}"
         )
         tmp = os.path.join(path, f".{VERSION_SENTINEL}.tmp")
         with open(tmp, "w") as fh:
@@ -90,6 +102,11 @@ def _write_version_sentinel(path: str) -> None:
         # best-effort: a read-only or racing filesystem must not fail the
         # WRITE that just succeeded; the in-process counter still bumped.
         pass
+
+
+def version_is_inflight(token) -> bool:
+    """True when a ``table_version()`` token marks an in-flight swap."""
+    return isinstance(token[1], str) and token[1].endswith(INFLIGHT_SUFFIX)
 
 
 def table_version(path: str):
@@ -116,9 +133,95 @@ def _bump_table_version(path: str) -> None:
 # #3); at a 1 s trigger interval that is ~60 generations of TOUCHED
 # partitions retained — bytes that were due for deletion anyway, aged
 # out instead of yanked mid-read.
-TRASH_GRACE_SECONDS = 60.0
+#
+# The window is also a QUERY-DURATION bound (r13 advice): a scan that
+# planned its file listing and then runs longer than the grace while
+# publishes keep landing can have its planned files purged mid-read —
+# the serving layer's stale-listing retry re-plans, but a recompute
+# that routinely runs minutes (e.g. corrmatrix over months) should
+# raise the grace instead of rediscovering it per request. Configure
+# via SPARK_GRAFT_TRASH_GRACE_SECONDS or assign the module attribute;
+# reads are taken at purge time, so a change applies to the next
+# publish.
+TRASH_GRACE_SECONDS = float(os.environ.get("SPARK_GRAFT_TRASH_GRACE_SECONDS", 60.0))
 
 TRASH_DIR = ".trash"
+
+# Per-generation completion marker (r13 advice — crash-safe publish):
+# written inside a trash generation only after EVERY touched partition's
+# staged directory has been renamed into place. A generation without it
+# marks a publish that died mid-swap; recovery (run at the start of the
+# next publish on the table) renames trashed partitions whose live
+# directory is missing back into place, so a crash between the
+# rename-aside and the rename-in can never lose the sole remaining copy
+# of a partition. Only COMMITTED generations are ever purged.
+COMMIT_MARKER = "_committed"
+
+
+def _fs_rename(fs, src, dst) -> bool:
+    """Single seam for HDFS-API renames (tests inject failures here)."""
+    return bool(fs.rename(src, dst))
+
+
+def _recover_orphaned_trash(fs, Path, root) -> None:
+    """Restore partitions orphaned by a publish that crashed mid-swap.
+
+    For every UNCOMMITTED trash generation (no ``_committed`` marker):
+    each entry whose live partition directory is MISSING was renamed
+    aside but never replaced — rename it back (the only copy of that
+    partition's history). Entries whose live directory exists were
+    successfully swapped; they are plain old copies, so the generation
+    is then marked committed and ages out under the normal grace purge.
+    Idempotent, and a no-op on tables with no trash or only committed
+    generations. Partition directory names never contain ``__`` (frame
+    ids and ISO dates), so the flattened ``a=x__b=y`` encoding inverts
+    exactly."""
+    trash_root = Path(root, TRASH_DIR)
+    if not fs.exists(trash_root):
+        return
+    for gen in fs.listStatus(trash_root):
+        if not gen.isDirectory():
+            continue
+        if fs.exists(Path(gen.getPath(), COMMIT_MARKER)):
+            continue
+        for entry in fs.listStatus(gen.getPath()):
+            name = entry.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            live = Path(root, name.replace("__", "/"))
+            if not fs.exists(live):
+                fs.mkdirs(live.getParent())
+                if not _fs_rename(fs, entry.getPath(), live):
+                    raise IOError(
+                        f"could not restore orphaned partition {name} "
+                        f"from trash generation {gen.getPath()}"
+                    )
+        fs.create(Path(gen.getPath(), COMMIT_MARKER), True).close()
+
+
+def recover_publish_crash(spark: SparkSession, path: str) -> None:
+    """Restore partitions orphaned by a crashed publish — MUST run
+    before a merge's table READ, never after (a merge that read the
+    table while a partition was orphaned would republish it without the
+    orphaned rows, and the subsequent commit would age the sole
+    remaining copy out of trash — exactly the loss the marker exists to
+    prevent). Every merge writer in this module calls it first;
+    read-only consumers see the partition as absent until the next
+    write, which is the crash-consistent view. No-op (one existence
+    probe, plus one trash listing when a trash dir exists) on healthy
+    tables."""
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    jsc = spark._jsc  # type: ignore[attr-defined]
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(path)
+    fs = root.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(root):
+        _recover_orphaned_trash(fs, Path, root)
+        # a crash mid-swap also leaves the inflight sentinel behind —
+        # clear it so readers' consistent-listing gate stops spinning
+        tok = _read_version_sentinel(path)
+        if tok is not None and tok.endswith(INFLIGHT_SUFFIX):
+            _write_version_sentinel(path)
 
 
 def _publish_partitions(
@@ -156,6 +259,11 @@ def _publish_partitions(
 
     token = _uuid.uuid4().hex[:12]
     stage = f"{path.rstrip('/')}/.staging-{token}"
+    jvm = spark._jvm  # type: ignore[attr-defined]
+    jsc = spark._jsc  # type: ignore[attr-defined]
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(path)
+    fs = root.getFileSystem(jsc.hadoopConfiguration())
     out = df.repartition(*partition_cols)
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
@@ -164,11 +272,6 @@ def _publish_partitions(
         .partitionBy(*partition_cols)
         .parquet(stage)
     )
-    jvm = spark._jvm  # type: ignore[attr-defined]
-    jsc = spark._jsc  # type: ignore[attr-defined]
-    Path = jvm.org.apache.hadoop.fs.Path
-    root = Path(path)
-    fs = root.getFileSystem(jsc.hadoopConfiguration())
 
     # staged leaf partition dirs with their table-relative paths
     leaves: list[tuple] = [(Path(stage), "")]
@@ -182,28 +285,63 @@ def _publish_partitions(
         leaves = nxt
 
     gen = Path(root, f"{TRASH_DIR}/{token}")
+    wrote_gen = False
+    # mark the swap in flight (readers' consistent-listing gate): every
+    # caller bumps the table version right after this returns, which
+    # rewrites the sentinel without the inflight suffix
+    _write_version_sentinel(path, inflight=True)
     for staged_dir, rel in leaves:
         live = Path(root, rel)
+        trashed = None
         if fs.exists(live):
             dest = Path(gen, rel.replace("/", "__"))
             fs.mkdirs(dest.getParent())
-            if not fs.rename(live, dest):
+            if not _fs_rename(fs, live, dest):
                 raise IOError(f"could not trash live partition {rel} at {path}")
+            trashed = dest
+            wrote_gen = True
         else:
             fs.mkdirs(live.getParent())
-        if not fs.rename(staged_dir, live):
+        if not _fs_rename(fs, staged_dir, live):
+            # roll the swapped-aside copy back (r13 advice: without this,
+            # a failed second rename left the partition absent from the
+            # live table until the next publish's recovery)
+            if trashed is not None and not _fs_rename(fs, trashed, live):
+                raise IOError(
+                    f"could not publish partition {rel} at {path} AND the "
+                    f"rollback rename failed — restore manually from "
+                    f"{TRASH_DIR}/{token}"
+                )
             raise IOError(f"could not publish partition {rel} at {path}")
+    if wrote_gen:
+        # commit point: every touched partition is swapped — only now may
+        # this generation ever be purged (crash before this line leaves
+        # an uncommitted generation for _recover_orphaned_trash)
+        fs.create(Path(gen, COMMIT_MARKER), True).close()
     fs.delete(Path(stage), True)  # _SUCCESS + emptied partition skeleton
 
-    # purge trash generations older than the grace window
+    # purge COMMITTED trash generations older than the grace window
+    # (uncommitted ones belong to a crashed publish: recovery restores
+    # them, never the purge), plus orphaned staging dirs past the grace
+    now_ms = jvm.java.lang.System.currentTimeMillis()
+    cutoff = now_ms - TRASH_GRACE_SECONDS * 1000
     trash_root = Path(root, TRASH_DIR)
     if fs.exists(trash_root):
-        now_ms = jvm.java.lang.System.currentTimeMillis()
         for st in fs.listStatus(trash_root):
             if st.getPath().getName() == token:
                 continue
-            if st.getModificationTime() < now_ms - TRASH_GRACE_SECONDS * 1000:
+            if st.getModificationTime() < cutoff and fs.exists(
+                Path(st.getPath(), COMMIT_MARKER)
+            ):
                 fs.delete(st.getPath(), True)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if (
+            name.startswith(".staging-")
+            and name != f".staging-{token}"
+            and st.getModificationTime() < cutoff
+        ):
+            fs.delete(st.getPath(), True)
 
 
 # Marks a table as fill-maintained (rows carry the persisted ``is_gap``
@@ -242,6 +380,7 @@ def read_partition_dirs(
     path: str,
     rel_dirs: list[str],
     assume_exists: bool = False,
+    schema=None,
 ):
     """DataFrame over EXACTLY the given partition directories of the
     table at ``path`` (``basePath``-anchored, so partition columns still
@@ -265,7 +404,16 @@ def read_partition_dirs(
     ``assume_exists=True`` skips the per-directory existence probe —
     for callers that derived ``rel_dirs`` from a directory listing they
     just took (the probe would double every metadata call for nothing;
-    on an object store that's a round-trip per directory)."""
+    on an object store that's a round-trip per directory).
+
+    ``schema`` (round 14): an explicit StructType (INCLUDING the
+    partition columns) skips planning-time schema inference entirely —
+    without it every read opens parquet footers before the scan, which
+    is both an extra IO round per request and the widest slice of the
+    reader-vs-swap race window (a concurrent publish renaming a listed
+    file mid-inference fails the read before the retryable scan even
+    starts). Serving-path callers pass the store's cached table
+    schema."""
     if assume_exists:
         dirs = [f"{path}/{rel}" for rel in rel_dirs]
     else:
@@ -277,7 +425,10 @@ def read_partition_dirs(
         dirs = [f"{path}/{rel}" for rel in rel_dirs if fs.exists(Path(root, rel))]
     if not dirs:
         return None
-    return spark.read.option("basePath", path).parquet(*dirs)
+    reader = spark.read.option("basePath", path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*dirs)
 
 
 def _table_exists(spark: SparkSession, path: str) -> bool:
@@ -345,6 +496,10 @@ def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
     if not _table_exists(spark, path):
         write_candles(batch.drop("bucket_date"), path, mode="overwrite")
         return
+    # a prior publish may have died mid-swap: restore orphaned partitions
+    # BEFORE the merge read below (reading past an orphan would republish
+    # its partition without the orphaned rows)
+    recover_publish_crash(spark, path)
 
     # Restrict the READ — including its file LISTING — to exactly the
     # (time_frame, bucket_date) directories the batch touches
@@ -436,6 +591,7 @@ def migrate_gap_marker(
     migration and not a default inside ``upsert_candles``. Idempotent:
     re-running rewrites byte-identical rows. Only MINUTE rows can be
     gaps (the filler never synthesizes coarse rows)."""
+    recover_publish_crash(spark, path)
     existing = spark.read.parquet(path)
     if from_volume_zero:
         marker = (F.col("time_frame") == "MINUTE") & (F.col("volume") == 0)
@@ -471,6 +627,7 @@ def compact_candles(
     restrict the rewrite (e.g. yesterday's partitions from a daily
     housekeeping job — dynamic partition overwrite leaves the rest of the
     table untouched); None compacts the whole table."""
+    recover_publish_crash(spark, path)
     existing = spark.read.parquet(path)
     keep_cols = list(CANDLE_COLUMNS) + (
         ["is_gap"] if "is_gap" in existing.columns else []

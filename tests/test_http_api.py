@@ -474,3 +474,35 @@ def test_corrmatrix_endpoint_round_trip(store, base_url):
     assert status == 400  # at least 2 series
     status, _ = _get_err(f"{base_url}/api/charts/corrmatrix?frame=HOUR&n=0")
     assert status == 400
+
+
+def test_recent_now_param_round_trip(store, base_url):
+    """r13 verdict #1 (second half): the HTTP recent routes accept
+    ?now=ISO — the reference's wall-clock-anchored recency
+    (CandleStickService.kt:142-147) — and the JSON equals the store's
+    pruned now= query; a garbage now is the 400 class."""
+    sym = store.symbols().collect()[0]["symbol"]
+    anchor = store.recent(sym, "MINUTE", n=1).collect()[0]["bucket_start"]
+    now = anchor.isoformat()
+    status, got = _get(
+        f"{base_url}/api/charts/recent/{sym}?minutes=30&now={now}"
+    )
+    assert status == 200
+    assert got == _rows(store.recent(sym, "MINUTE", n=30, now=now))
+    assert len(got) > 0
+    # same param on the combined route's recent branch
+    status, got2 = _get(f"{base_url}/api/charts/{sym}?minutes=30&now={now}")
+    assert status == 200
+    assert got2 == got
+
+    # an anchor far in the past bounds the result to buckets <= now
+    early = f"{now[:4]}-01-01T00:00:30"
+    status, got3 = _get(
+        f"{base_url}/api/charts/recent/{sym}?minutes=30&now={early}"
+    )
+    assert status == 200
+    assert all(c["startTime"] <= f"{early}Z" for c in got3)
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{base_url}/api/charts/recent/{sym}?now=garbage")
+    assert e.value.code == 400

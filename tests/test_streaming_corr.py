@@ -539,3 +539,40 @@ def test_ranged_auto_corr_keeps_recompute_semantics(spark, built):
     assert sorted(map(tuple, m_auto.collect())) == sorted(
         map(tuple, m_off.collect())
     )
+
+def test_out_of_range_overlay_request_is_schema_stable_and_cheap(
+    spark, built, tmp_path
+):
+    """r13 advice: a ranged materialized request matching no stored
+    overlay dates must return a schema-stable empty frame WITHOUT a
+    full-root listing — and must not throw when the overlay was attached
+    but never written."""
+    path, corr, hook, batches = built
+    for i, b in enumerate(batches):
+        hook(b, i)
+    store = CandleStore.from_path(spark, path)
+    store.attach_corr_table(corr, n=N)
+    far = ("2030-01-01T00:00:00", "2030-01-02T00:00:00")
+    df = store.correlation(
+        "A", "B", n=N, materialized=True, start=far[0], end=far[1]
+    )
+    assert df.count() == 0
+    assert df.columns == [
+        "pair", "bucket_start", "close_a", "close_b", f"corr_{N}"
+    ]
+
+    # attached-but-never-written overlay: same contract, no exception
+    store2 = CandleStore.from_path(spark, path)
+    store2.attach_corr_table(str(tmp_path / "corr_never_written"), n=N)
+    df2 = store2.correlation(
+        "A", "B", n=N, materialized=True, start=far[0], end=far[1]
+    )
+    assert df2.count() == 0
+    assert df2.columns == df.columns
+    m2 = store2.correlation_matrix(
+        n=N, materialized=True, start=far[0], end=far[1]
+    )
+    assert m2.count() == 0
+    assert m2.columns == [
+        "sym_a", "sym_b", "bucket_start", "close_a", "close_b", f"corr_{N}"
+    ]
