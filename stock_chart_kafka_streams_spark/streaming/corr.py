@@ -181,6 +181,7 @@ def corr_batch_update(
     n: int = 20,
     frame: str = "MINUTE",
     symbols: list[str] | None = None,
+    win_rows=None,
 ) -> None:
     """Recompute and MERGE the correlation rows this batch can have
     changed (module docstring for the bound). Runs AFTER the batch's
@@ -191,7 +192,13 @@ def corr_batch_update(
     to the maintained table): only pairs WITHIN the list are kept
     current — at 10k stored symbols the full matrix is ~50M pairs per
     bucket of storage, a policy decision the caller owns, not a default
-    this tier should make."""
+    this tier should make.
+
+    ``win_rows``: a precomputed ``affected_symbol_windows`` result for
+    this batch (r13 verdict #2 — ``cascade_upsert_with_corr`` ran the
+    identical anchor probe twice per micro-batch; the cascade body now
+    passes its own probe through). Filtered to the tracked universe
+    here, exactly as the batch itself would be."""
     from stock_chart_kafka_streams_spark.operators.windows_ext import (
         rolling_correlation_matrix,
     )
@@ -205,10 +212,17 @@ def corr_batch_update(
             "frames are cheap on-demand reads over it"
         )
     if symbols is not None:
-        batch = batch.where(F.col("symbol").isin(list(symbols)))
-        if batch.isEmpty():
-            return
-    win_rows = affected_symbol_windows(spark, batch, candle_path)
+        if win_rows is not None:
+            keep = set(symbols)
+            win_rows = [r for r in win_rows if r["symbol"] in keep]
+            if not win_rows:
+                return
+        else:
+            batch = batch.where(F.col("symbol").isin(list(symbols)))
+            if batch.isEmpty():
+                return
+    if win_rows is None:
+        win_rows = affected_symbol_windows(spark, batch, candle_path)
     if not win_rows:
         return
     out_lo = min(r["__wlo"] for r in win_rows)
@@ -390,18 +404,28 @@ def cascade_upsert_with_corr(
     update — one hook wiring the whole serving surface per micro-batch.
     ``fill_gaps`` defaults True here: the corr tier's row-window ==
     time-window equivalence rides on the contiguous minute grid (module
-    docstring)."""
-    from stock_chart_kafka_streams_spark.streaming.pipeline import cascade_upsert
+    docstring). One anchor probe per batch (r13 verdict #2): the cascade
+    body's probe result feeds the corr update — previously both ran the
+    identical probe (two Spark job-pairs plus two partition-date
+    listings per trigger for the same answer)."""
+    from stock_chart_kafka_streams_spark.functions.timeframes import (
+        FRAME_ORDER,
+    )
+    from stock_chart_kafka_streams_spark.streaming.pipeline import (
+        _cascade_batch,
+    )
 
-    base = cascade_upsert(path, frames, fill_gaps=fill_gaps)
+    coarse = [
+        f for f in FRAME_ORDER if f != "MINUTE" and f in (frames or FRAME_ORDER)
+    ]
 
     def _write(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        base(batch, batch_id)
+        win = _cascade_batch(batch, path, coarse, fill_gaps)
         corr_batch_update(
             batch.sparkSession, batch, path, corr_path,
-            n=corr_n, symbols=corr_symbols,
+            n=corr_n, symbols=corr_symbols, win_rows=win,
         )
 
     return _write

@@ -446,7 +446,7 @@ def affected_symbol_windows(spark, batch: DataFrame, path: str) -> list:
     return out
 
 
-def _fill_gap_window(spark, batch: DataFrame, path: str) -> None:
+def _fill_gap_window(spark, batch: DataFrame, path: str, win_rows=None) -> None:
     """Materialize the gap minutes this batch can have CHANGED — and only
     those (r11 verdict #1, the round's one ``weak``). Per affected
     symbol the recompute window is
@@ -476,7 +476,13 @@ def _fill_gap_window(spark, batch: DataFrame, path: str) -> None:
         fill_candle_gaps,
     )
 
-    win_rows = affected_symbol_windows(spark, batch, path)
+    # ``win_rows``: the caller may pass a precomputed anchor probe result
+    # (round 14, r13 verdict #2 — cascade_upsert_with_corr ran the
+    # identical probe twice per micro-batch, once here and once in
+    # corr_batch_update; both derive from the stored REAL rows, which the
+    # gap MERGE never changes, so one probe serves both)
+    if win_rows is None:
+        win_rows = affected_symbol_windows(spark, batch, path)
     if not win_rows:
         return
     win = F.broadcast(
@@ -564,68 +570,85 @@ def cascade_upsert(
     def _write(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        spark = batch.sparkSession
-        batch = batch.select(*CANDLE_COLUMNS).localCheckpoint(eager=True)
-        real_batch = batch
-        if fill_gaps:
-            # stamp the marker on every REAL write so the table carries
-            # the is_gap column from its very first file (no mixed-schema
-            # partitions for the real-row filters to trip on)
-            real_batch = batch.withColumn("is_gap", F.lit(False))
-        upsert_candles(spark, real_batch, path)
-        if fill_gaps:
-            _fill_gap_window(spark, batch, path)
-        if not frames:
-            return
-        from stock_chart_kafka_streams_spark.streaming.sink import (
-            read_partition_dirs,
-        )
-
-        # (re)listed AFTER any gap MERGE — the earlier listing's files
-        # may have been rewritten by it
-        all_dates = minute_partition_dates(spark, path)
-        for frame in frames:
-            affected = batch.select(
-                "symbol", bucket_start("bucket_start", frame).alias("bucket_start")
-            ).distinct()
-            # the minutes feeding these coarse buckets live inside the
-            # buckets' own calendar spans: derive the date range from the
-            # batch's affected bucket starts (driver-side, O(affected))
-            # and read exactly those partition directories — the rollup's
-            # listing and scan are bucket-span-sized, not table-sized
-            spans = [
-                (r["bucket_start"], _frame_end(r["bucket_start"], frame))
-                for r in affected.select("bucket_start").distinct().collect()
-            ]
-            dates = sorted(
-                {
-                    d
-                    for lo, hi in spans
-                    for d in all_dates
-                    if lo.date() <= d <= hi.date()
-                }
-            )
-            minutes = read_partition_dirs(
-                spark,
-                path,
-                [f"time_frame=MINUTE/bucket_date={d}" for d in dates],
-                assume_exists=True,  # dates are clipped from the listing
-            )
-            if minutes is None:
-                continue
-            if fill_gaps and "is_gap" in minutes.columns:
-                # coarse frames roll up REAL minutes only (see docstring)
-                minutes = minutes.where(_real_rows(minutes)).drop("is_gap")
-            scoped = minutes.withColumn(
-                "coarse", bucket_start("bucket_start", frame)
-            ).join(
-                affected.withColumnRenamed("bucket_start", "coarse"),
-                on=["symbol", "coarse"],
-                how="left_semi",
-            )
-            upsert_candles(spark, rollup_candles(scoped, frame), path)
+        _cascade_batch(batch, path, frames, fill_gaps)
 
     return _write
+
+
+def _cascade_batch(
+    batch: DataFrame, path: str, frames: list[str], fill_gaps: bool
+):
+    """One cascade-sink micro-batch (the body of ``cascade_upsert``'s
+    hook), returning the anchor-probe result (``win_rows``, or None when
+    fill is disabled) so composing hooks — ``cascade_upsert_with_corr`` —
+    can reuse it instead of re-probing (r13 verdict #2). ``frames`` must
+    already be resolved to coarse frames in cascade order."""
+    spark = batch.sparkSession
+    batch = batch.select(*CANDLE_COLUMNS).localCheckpoint(eager=True)
+    real_batch = batch
+    if fill_gaps:
+        # stamp the marker on every REAL write so the table carries
+        # the is_gap column from its very first file (no mixed-schema
+        # partitions for the real-row filters to trip on)
+        real_batch = batch.withColumn("is_gap", F.lit(False))
+    upsert_candles(spark, real_batch, path)
+    win_rows = None
+    if fill_gaps:
+        # one probe per batch: the fill consumes it here, the corr tier
+        # (when composed) reuses it — both derive from stored REAL rows,
+        # which the gap MERGE never changes
+        win_rows = affected_symbol_windows(spark, batch, path)
+        _fill_gap_window(spark, batch, path, win_rows=win_rows)
+    if not frames:
+        return win_rows
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        read_partition_dirs,
+    )
+
+    # (re)listed AFTER any gap MERGE — the earlier listing's files
+    # may have been rewritten by it
+    all_dates = minute_partition_dates(spark, path)
+    for frame in frames:
+        affected = batch.select(
+            "symbol", bucket_start("bucket_start", frame).alias("bucket_start")
+        ).distinct()
+        # the minutes feeding these coarse buckets live inside the
+        # buckets' own calendar spans: derive the date range from the
+        # batch's affected bucket starts (driver-side, O(affected))
+        # and read exactly those partition directories — the rollup's
+        # listing and scan are bucket-span-sized, not table-sized
+        spans = [
+            (r["bucket_start"], _frame_end(r["bucket_start"], frame))
+            for r in affected.select("bucket_start").distinct().collect()
+        ]
+        dates = sorted(
+            {
+                d
+                for lo, hi in spans
+                for d in all_dates
+                if lo.date() <= d <= hi.date()
+            }
+        )
+        minutes = read_partition_dirs(
+            spark,
+            path,
+            [f"time_frame=MINUTE/bucket_date={d}" for d in dates],
+            assume_exists=True,  # dates are clipped from the listing
+        )
+        if minutes is None:
+            continue
+        if fill_gaps and "is_gap" in minutes.columns:
+            # coarse frames roll up REAL minutes only (see docstring)
+            minutes = minutes.where(_real_rows(minutes)).drop("is_gap")
+        scoped = minutes.withColumn(
+            "coarse", bucket_start("bucket_start", frame)
+        ).join(
+            affected.withColumnRenamed("bucket_start", "coarse"),
+            on=["symbol", "coarse"],
+            how="left_semi",
+        )
+        upsert_candles(spark, rollup_candles(scoped, frame), path)
+    return win_rows
 
 
 def start_candle_pipeline(

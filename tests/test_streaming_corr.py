@@ -576,3 +576,24 @@ def test_out_of_range_overlay_request_is_schema_stable_and_cheap(
     assert m2.columns == [
         "sym_a", "sym_b", "bucket_start", "close_a", "close_b", f"corr_{N}"
     ]
+
+def test_one_anchor_probe_per_batch(spark, built, monkeypatch):
+    """r13 verdict #2: cascade_upsert_with_corr ran the identical anchor
+    probe twice per micro-batch (once in the gap fill, once in the corr
+    update). The cascade body's probe result now feeds both — exactly
+    ONE affected_symbol_windows call per trigger."""
+    from stock_chart_kafka_streams_spark.streaming import pipeline as pl
+
+    path, corr, hook, batches = built
+    hook(batches[0], 0)  # bootstrap so the probe has stored history
+
+    calls = {"n": 0}
+    orig = pl.affected_symbol_windows
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pl, "affected_symbol_windows", counting)
+    hook(batches[1], 1)
+    assert calls["n"] == 1
