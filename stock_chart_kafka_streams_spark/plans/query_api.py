@@ -891,10 +891,28 @@ class CandleStore:
                 F.col(cb).alias("close_b"),
                 f"corr_{n}",
             ).orderBy("bucket_start")
-        base = self.get_candles(symbol_a, frame, start, end).unionByName(
-            self.get_candles(symbol_b, frame, start, end),
-            allowMissingColumns=False,
+        # ONE scoped read for both legs (r13 verdict #6): the previous
+        # get_candles-per-symbol union listed the frame's selected
+        # directories twice and scanned them twice for the same
+        # (frame, range) rectangle — symbol membership is a row filter,
+        # not a reason to re-list
+        base = self._frame_scoped(
+            frame,
+            _ts(start).date() if start is not None else None,
+            _ts(end).date() if end is not None else None,
+        ).where(
+            F.col("symbol").isin([symbol_a, symbol_b])
+            & (F.col("time_frame") == frame)
         )
+        has_bd = "bucket_date" in base.columns
+        if start is not None:
+            base = base.where(F.col("bucket_start") >= F.lit(_ts(start)))
+            if has_bd:
+                base = base.where(F.col("bucket_date") >= F.lit(_ts(start).date()))
+        if end is not None:
+            base = base.where(F.col("bucket_start") <= F.lit(_ts(end)))
+            if has_bd:
+                base = base.where(F.col("bucket_date") <= F.lit(_ts(end).date()))
         return rolling_correlation(base, symbol_a, symbol_b, n=n, frame=frame)
 
     def correlation_matrix(
