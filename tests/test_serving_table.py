@@ -645,3 +645,47 @@ def test_stable_listing_waits_out_inflight_swap(spark, tmp_path):
     reader.join(timeout=120)
     assert not reader.is_alive()
     assert len(got) == 3  # never a silently-empty mid-swap response
+
+
+def test_schema_cache_appends_is_gap_on_mixed_legacy_tables(spark, tmp_path):
+    """round 14: the version-cached table schema is derived from ONE
+    sampled partition; when the gap sentinel marks the table
+    fill-maintained but the sampled partition predates the is_gap
+    column, the field must be appended (nullable) so scoped reads over
+    mixed partitions stay schema-stable — the behavior a footer-merged
+    read of mixed partitions would give, now deterministic."""
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        _mark_gap_table,
+        upsert_candles,
+    )
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "mixed_gap")
+    t0 = dt.datetime(2024, 6, 3, 9, 0)
+    # legacy partition: written without is_gap
+    upsert_candles(spark, _mk_candle_batch(spark, [("X", t0, 1.0, 1)]), table)
+    assert "is_gap" not in spark.read.parquet(table).columns
+    _mark_gap_table(spark, table)
+
+    store = CandleStore.from_path(spark, table)
+    df = store.get_candles("X", "MINUTE")
+    assert "is_gap" in df.columns
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["is_gap"] is None  # legacy rows: null
+
+    # a fill-era MERGE into a NEW partition stamps is_gap; the mixed
+    # table still reads coherently through the same pinned schema
+    upsert_candles(
+        spark,
+        _mk_candle_batch(
+            spark, [("X", t0 + dt.timedelta(days=1), 2.0, 1)]
+        ).withColumn("is_gap", F.lit(False)),
+        table,
+    )
+    got = {
+        (r["close"], r["is_gap"])
+        for r in store.fresh().get_candles("X", "MINUTE").collect()
+    }
+    assert got == {(1.0, None), (2.0, False)}
