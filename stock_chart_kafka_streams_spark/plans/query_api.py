@@ -116,6 +116,8 @@ class CandleStore:
         # partition directory on first need, so per-request scoped reads
         # skip planning-time footer inference (see _table_schema)
         self._schema_cache: tuple | None = None
+        # (version-tagged) cached per-frame date listings (_frame_dates)
+        self._dates_cache: dict = {}
         if point_cache_size < 0:
             raise ValueError(f"point_cache_size must be >= 0, got {point_cache_size}")
         self._point_cache_size = point_cache_size
@@ -183,6 +185,7 @@ class CandleStore:
         out._point_cache_size = self._point_cache_size
         out._point_cache = self._point_cache
         out._schema_cache = self._schema_cache
+        out._dates_cache = self._dates_cache
         out._corr_path = self._corr_path
         out._corr_n = self._corr_n
         out._corr_schema_cache = self._corr_schema_cache
@@ -233,7 +236,7 @@ class CandleStore:
 
         # swap-consistent: sampling mid-rename could miss every leaf and
         # silently misclassify the table as non-serving-layout
-        leaf = self._stable_listing(self._path, _find_leaf)
+        leaf, _ = self._stable_listing(self._path, _find_leaf)
         if leaf is None:
             # not the (time_frame, bucket_date) serving layout: fall back
             # to the snapshot's inferred schema
@@ -337,18 +340,35 @@ class CandleStore:
             out = list_fn()
             v2 = table_version(path)
             if v1 == v2 and not version_is_inflight(v1):
-                return out
+                return out, v1
             _t.sleep(0.005)
-        return out
+        return out, None
 
     def _frame_dates(self, frame: str) -> list:
         """Sorted ``bucket_date`` values with a live partition directory
         under ``time_frame=<frame>`` — ONE name listing of that frame's
         directory (never the table root), shared by the range scoping
-        and the recent-N probe. Swap-consistent via ``_stable_listing``."""
+        and the recent-N probe. Swap-consistent via ``_stable_listing``,
+        and CACHED under the table's freshness token (round 14): a chart
+        poller re-hitting ``recent`` pays one ~µs sentinel read instead
+        of re-listing the frame's whole date-name set (O(table age)
+        names per request — the residual the 2-vs-600-day HTTP pair
+        showed). Any writer using ``streaming.sink`` bumps the token, in
+        this process or another; tables with no readable on-disk
+        sentinel (e.g. object-store paths) are never cached — every
+        call re-lists, the pre-cache behavior."""
         import datetime as _d
 
+        from stock_chart_kafka_streams_spark.streaming.sink import (
+            table_version,
+            version_is_inflight,
+        )
+
         assert self._spark is not None and self._path is not None
+        ver = table_version(self._path)
+        hit = self._dates_cache.get(frame)
+        if hit is not None and hit[0] == ver and not version_is_inflight(ver):
+            return hit[1]
         jvm = self._spark._jvm  # type: ignore[attr-defined]
         jsc = self._spark._jsc  # type: ignore[attr-defined]
         Path = jvm.org.apache.hadoop.fs.Path
@@ -368,7 +388,13 @@ class CandleStore:
                         continue
             return sorted(out)
 
-        return self._stable_listing(self._path, _list)
+        dates, seen_ver = self._stable_listing(self._path, _list)
+        if seen_ver is not None and seen_ver[1] is not None:
+            # cache only listings taken under a verified-quiescent token
+            # AND a readable on-disk sentinel (seen_ver[1]) — without the
+            # sentinel a writer in another process could never invalidate
+            self._dates_cache[frame] = (seen_ver, dates)
+        return dates
 
     def _read_frame_dates(self, frame: str, sel: list):
         """Dir-scoped read over the given listed dates (None when
@@ -812,7 +838,7 @@ class CandleStore:
                         sel.append(d)
             return sel
 
-        sel = self._stable_listing(self._corr_path, _list)
+        sel, _ = self._stable_listing(self._corr_path, _list)
         from stock_chart_kafka_streams_spark.streaming.sink import (
             read_partition_dirs,
         )
