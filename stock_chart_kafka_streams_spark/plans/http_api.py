@@ -153,7 +153,7 @@ class _Handler(BaseHTTPRequestHandler):
             # re-runs against a store over a FRESH listing. Every response
             # is sent only after its collect succeeds, so a retried
             # attempt never double-sends.
-            attempts = 5
+            attempts = 8  # retry_stale's bound under back-to-back merges
             for attempt in range(attempts):
                 try:
                     # Path-backed range/point/corr reads re-list their

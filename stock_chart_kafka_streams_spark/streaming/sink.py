@@ -109,6 +109,58 @@ def version_is_inflight(token) -> bool:
     return isinstance(token[1], str) and token[1].endswith(INFLIGHT_SUFFIX)
 
 
+# Symbol sidecar (round 14): one hidden file listing every symbol the
+# table has EVER stored — so the data-anchored recent-N probe can answer
+# an absent symbol in O(1) instead of widening to exhaustion and then
+# top-N-scanning the whole frame (a full-frame scan per poll for a
+# misspelled symbol is a serving-path DoS at 600 days of history). The
+# set is an OVER-approximation by design (expiry never removes entries),
+# which is the safe direction: a listed-but-expired symbol only costs
+# the probe's normal widening; a missing entry for a stored symbol would
+# silently serve empty, so writers either maintain the sidecar exactly
+# (full rewrites) or extend it only when it already exists (merges on a
+# legacy table leave it absent — readers then keep the exhaustive probe).
+SYMBOLS_SIDECAR = "_symbols"
+
+
+def read_symbols_sidecar(path: str):
+    """The table's ever-stored symbol set, or None when no sidecar
+    exists (legacy table or object-store path)."""
+    if "://" in path:
+        return None
+    try:
+        with open(os.path.join(path, SYMBOLS_SIDECAR)) as fh:
+            return {ln.strip() for ln in fh if ln.strip()}
+    except OSError:
+        return None
+
+
+def _write_symbols_sidecar(path: str, symbols) -> None:
+    if "://" in path:
+        return
+    try:
+        tmp = os.path.join(path, f".{SYMBOLS_SIDECAR}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(symbols)) + "\n")
+        os.replace(tmp, os.path.join(path, SYMBOLS_SIDECAR))
+    except OSError:
+        # best-effort, like the version sentinel: readers fall back to
+        # the exhaustive probe when the sidecar is unreadable/absent
+        pass
+
+
+def _extend_symbols_sidecar(path: str, new_symbols) -> None:
+    """Union ``new_symbols`` into an EXISTING sidecar; no-op when the
+    table has none (a merge cannot know a legacy table's full history,
+    and an under-approximate sidecar would silently serve empty)."""
+    cur = read_symbols_sidecar(path)
+    if cur is None:
+        return
+    add = set(new_symbols) - cur
+    if add:
+        _write_symbols_sidecar(path, cur | add)
+
+
 def table_version(path: str):
     """Opaque freshness token for the serving table at ``path``: the
     in-process write counter paired with the on-disk sentinel content.
@@ -476,6 +528,11 @@ def write_candles(candles: DataFrame, path: str, mode: str = "overwrite") -> Non
     )
     if "is_gap" in candles.columns:
         _mark_gap_table(candles.sparkSession, path)
+    syms = {r["symbol"] for r in candles.select("symbol").distinct().collect()}
+    if mode == "overwrite":
+        _write_symbols_sidecar(path, syms)  # full rewrite: exact
+    else:
+        _extend_symbols_sidecar(path, syms)
     _bump_table_version(path)
 
 
@@ -509,17 +566,21 @@ def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
     # bounded but the planning-time directory walk stayed O(table
     # partitions) per micro-batch, which dominated per-batch wall once
     # the table aged past a few hundred days.
-    part_keys = batch.select(*PARTITION_COLS).distinct()
-    touched = part_keys.collect()
+    # symbol rides the touched-key collect for free (distinct stays tiny
+    # — one micro-batch's symbols x frames x dates) and feeds the symbol
+    # sidecar below
+    touched = batch.select("symbol", *PARTITION_COLS).distinct().collect()
     if not touched:
         return
     existing = read_partition_dirs(
         spark,
         path,
-        [
-            f"time_frame={r['time_frame']}/bucket_date={r['bucket_date']}"
-            for r in touched
-        ],
+        sorted(
+            {
+                f"time_frame={r['time_frame']}/bucket_date={r['bucket_date']}"
+                for r in touched
+            }
+        ),
     )
     if existing is not None:
         if "is_gap" in batch.columns and "is_gap" not in existing.columns:
@@ -566,6 +627,7 @@ def upsert_candles(spark: SparkSession, batch: DataFrame, path: str) -> None:
     # never overwrites the files it reads — no materialization needed)
     # and renamed into place per touched partition (reader isolation)
     _publish_partitions(spark, merged, path, PARTITION_COLS)
+    _extend_symbols_sidecar(path, {r["symbol"] for r in touched})
     _bump_table_version(path)
 
 

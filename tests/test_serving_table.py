@@ -689,3 +689,56 @@ def test_schema_cache_appends_is_gap_on_mixed_legacy_tables(spark, tmp_path):
         for r in store.fresh().get_candles("X", "MINUTE").collect()
     }
     assert got == {(1.0, None), (2.0, False)}
+
+
+def test_symbols_sidecar_bounds_absent_symbol_recent(spark, tmp_path):
+    """round 14: recent() for a symbol the table never stored must not
+    widen to exhaustion and top-N-scan the whole frame — the writer-
+    maintained _symbols sidecar answers membership in O(1). The set
+    over-approximates (expiry never removes entries) and merges only
+    EXTEND an existing sidecar, so symbols from the table's full write
+    are never lost and a legacy table (no sidecar) keeps the exhaustive
+    — correct — probe."""
+    import datetime as dt
+    import os
+
+    from stock_chart_kafka_streams_spark.plans import query_api as qa
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        read_symbols_sidecar,
+        upsert_candles,
+        write_candles,
+    )
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "sidecar")
+    t0 = dt.datetime(2024, 6, 1, 9, 0)
+    rows = [("X", t0 + dt.timedelta(days=d), 1.0 + d, 1) for d in range(5)]
+    write_candles(_mk_candle_batch(spark, rows), table)
+    assert read_symbols_sidecar(table) == {"X"}
+
+    # merges extend it
+    upsert_candles(
+        spark, _mk_candle_batch(spark, [("Y", t0, 9.0, 1)]), table
+    )
+    assert read_symbols_sidecar(table) == {"X", "Y"}
+
+    store = CandleStore.from_path(spark, table)
+    # absent symbol: zero directories probed, empty result
+    assert store.recent("NOPE", "MINUTE", n=60).count() == 0
+    assert qa.LAST_RECENT_PROBE["dates_scanned"] == 0
+    assert qa.LAST_RECENT_PROBE["iterations"] == 0
+    # stored symbols still serve — including the full-write era one
+    assert store.recent("X", "MINUTE", n=3).count() == 3
+    assert store.recent("Y", "MINUTE", n=60).count() == 1
+
+    # legacy table (sidecar removed): exhaustive probe, still correct
+    os.remove(os.path.join(table, "_symbols"))
+    legacy = CandleStore.from_path(spark, table)
+    assert legacy.recent("NOPE", "MINUTE", n=60).count() == 0
+    assert qa.LAST_RECENT_PROBE["dates_scanned"] == 5  # widened to all
+    # and a merge on a legacy table must NOT create an under-approximate
+    # sidecar (X/Y would silently serve empty)
+    upsert_candles(
+        spark, _mk_candle_batch(spark, [("Z", t0, 2.0, 1)]), table
+    )
+    assert read_symbols_sidecar(table) is None
