@@ -124,6 +124,18 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet: tests drive many requests
         pass
 
+    def _recent_capped(self, store, symbol, frame, n, now) -> list[dict]:
+        """recent-N through the store's cached-rows tier, with the same
+        result cap as every other candle route."""
+        rows = store.recent_rows(
+            symbol, frame, n=n, now=now, max_rows=MAX_RESULT_ROWS + 1
+        )
+        if len(rows) > MAX_RESULT_ROWS:
+            raise ValueError(
+                f"result exceeds {MAX_RESULT_ROWS} candles; narrow minutes"
+            )
+        return candle_rows_to_json(rows)
+
     def _candles(self, df, extra_cols: list[str] | None = None) -> list[dict]:
         cols = _CANDLE_COLS + (extra_cols or [])
         rows = df.select(*cols).limit(MAX_RESULT_ROWS + 1).collect()
@@ -197,11 +209,13 @@ class _Handler(BaseHTTPRequestHandler):
         elif parts[2] == "recent" and len(parts) == 4:
             # ?now=ISO opts into the reference's wall-clock-anchored
             # semantics (CandleStickService.kt:142-147) via the pruned
-            # now= path; default stays data-anchored (bounded probe)
+            # now= path; default stays data-anchored (bounded probe).
+            # recent_rows: the store's version-tagged LRU tier — a
+            # repeat poll between MERGEs is a dict hit, not a Spark job
             self._send(
                 200,
-                self._candles(
-                    store.recent(parts[3], frame, n=minutes(), now=q.get("now"))
+                self._recent_capped(
+                    store, parts[3], frame, minutes(), q.get("now")
                 ),
             )
         elif parts[2] == "corr" and len(parts) == 5:
@@ -300,14 +314,21 @@ class _Handler(BaseHTTPRequestHandler):
                     symbol, frame, start=q["from"], end=q["to"],
                     fill_gaps=fill,
                 )
-            else:
+            elif fill:
                 df = store.recent(symbol, frame, n=minutes(), now=q.get("now"))
-                if fill:
-                    from stock_chart_kafka_streams_spark.operators.candles import (
-                        fill_candle_gaps,
-                    )
+                from stock_chart_kafka_streams_spark.operators.candles import (
+                    fill_candle_gaps,
+                )
 
-                    df = fill_candle_gaps(df, frame).orderBy("bucket_start")
+                df = fill_candle_gaps(df, frame).orderBy("bucket_start")
+            else:
+                self._send(
+                    200,
+                    self._recent_capped(
+                        store, symbol, frame, minutes(), q.get("now")
+                    ),
+                )
+                return
             self._send(200, self._candles(df, ["is_gap"] if fill else None))
         else:
             self._send(404, {"error": f"no route for {url.path}"})

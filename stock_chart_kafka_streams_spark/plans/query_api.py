@@ -640,6 +640,60 @@ class CandleStore:
             .orderBy("bucket_start")
         )
 
+    def recent_rows(
+        self,
+        symbol: str,
+        frame: str = "MINUTE",
+        n: int = 60,
+        now: TsLike | None = None,
+        max_rows: int | None = None,
+    ) -> list:
+        """Collected recent-N rows through the same version-tagged LRU
+        as ``point_row`` (round 14) — the reference's PRIMARY chart-poll
+        endpoint (``StockChartController.kt:41-47``) re-served at
+        dict-hit speed on a repeat poll: a chart client polling
+        ``/recent/{symbol}`` between MERGEs pays one ~µs sentinel read
+        instead of a Spark job, and any writer (this process or another)
+        invalidates via the version token. Enable with
+        ``point_cache_size > 0``; size 0 = every call runs the bounded
+        probe + scan. Rows carry exactly the eight serving columns (the
+        HTTP CandleStick shape). ``max_rows`` bounds what the driver
+        materializes (one row past it, so callers can detect overflow
+        — the HTTP layer's result-cap contract)."""
+        check_frame(frame)
+        from stock_chart_kafka_streams_spark.streaming.sink import (
+            table_version,
+        )
+
+        cols = [
+            "symbol", "bucket_start", "bucket_end", "open", "high", "low",
+            "close", "volume",
+        ]
+        key = (
+            "recent", symbol, frame, int(n),
+            None if now is None else str(_ts(now)), max_rows,
+        )
+        ver = table_version(self._path) if self._path is not None else 0
+        if self._point_cache is not None:
+            hit = self._point_cache.get(key)
+            if hit is not None and hit[0] == ver:
+                self._point_cache.move_to_end(key)
+                return hit[1]
+
+        def _run():
+            df = self.recent(symbol, frame, n=n, now=now).select(*cols)
+            if max_rows is not None:
+                df = df.limit(max_rows)
+            return df.collect()
+
+        rows = retry_stale(_run)
+        if self._point_cache is not None:
+            self._point_cache[key] = (ver, rows)
+            self._point_cache.move_to_end(key)
+            while len(self._point_cache) > self._point_cache_size:
+                self._point_cache.popitem(last=False)
+        return rows
+
     # -- Q6: point lookup by calendar parts --------------------------------
     def point(
         self,

@@ -506,3 +506,44 @@ def test_recent_now_param_round_trip(store, base_url):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{base_url}/api/charts/recent/{sym}?now=garbage")
     assert e.value.code == 400
+
+
+def test_recent_rows_lru_and_merge_invalidation(spark, tmp_path):
+    """round 14: recent_rows serves the chart poller's repeat recent-N
+    from the version-tagged LRU (dict hit, no Spark job) and refetches
+    after any MERGE — the point_row discipline applied to the primary
+    endpoint."""
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.streaming.sink import upsert_candles
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "recent_lru")
+    t0 = dt.datetime(2024, 6, 3, 9, 0)
+    upsert_candles(
+        spark,
+        _mk_candle_batch(
+            spark, [("X", t0 + dt.timedelta(minutes=i), 1.0 + i, 1)
+                    for i in range(3)]
+        ),
+        table,
+    )
+    store = CandleStore.from_path(spark, table, point_cache_size=8)
+    first = store.recent_rows("X", n=2)
+    assert [r["close"] for r in first] == [2.0, 3.0]
+    # repeat poll: the SAME cached list object comes back (no recompute)
+    assert store.recent_rows("X", n=2) is first
+
+    # a MERGE bumps the version token -> refetch with the new candle
+    upsert_candles(
+        spark,
+        _mk_candle_batch(spark, [("X", t0 + dt.timedelta(minutes=3), 9.0, 1)]),
+        table,
+    )
+    after = store.recent_rows("X", n=2)
+    assert after is not first
+    assert [r["close"] for r in after] == [3.0, 9.0]
+
+    # uncached store (size 0): plain collect path, same values
+    plain = CandleStore.from_path(spark, table)
+    assert [r["close"] for r in plain.recent_rows("X", n=2)] == [3.0, 9.0]
