@@ -156,8 +156,21 @@ class _Handler(BaseHTTPRequestHandler):
         q = {k: v[-1] for k, v in parse_qs(url.query).items()}
         parts = [p for p in url.path.split("/") if p]
         # minutes is parsed lazily, only on the branches that bind it —
-        # Spring ignores an unbound param, so /symbols?minutes=abc is fine
-        minutes = lambda: int(q.get("minutes", "60"))
+        # Spring ignores an unbound param, so /symbols?minutes=abc is fine.
+        # The upper bound is checked HERE, before any probe or scan runs
+        # (round 15, r14 verdict #1a): a request above the result cap is a
+        # guaranteed 400 anyway — rejecting it after the scan let
+        # ?minutes=10000000 recreate the exact O(table-age) full-frame
+        # cost the bounded probe exists to prevent, one URL parameter
+        # from any client.
+        def minutes() -> int:
+            v = int(q.get("minutes", "60"))
+            if v > MAX_RESULT_ROWS:
+                raise ValueError(
+                    f"minutes={v} exceeds the {MAX_RESULT_ROWS}-candle "
+                    "result cap; narrow minutes"
+                )
+            return v
         try:
             # Stale-listing retry (r12 verdict #3): a MERGE swap-publishes
             # files while this request's scan may have planned against the

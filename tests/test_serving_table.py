@@ -576,14 +576,16 @@ def test_recent_data_anchored_probe_is_bounded(spark, tmp_path):
     assert got == want
     assert qa.LAST_RECENT_PROBE["dates_scanned"] == 4
 
-    # a symbol only in the oldest directory: widen to exhaustion, exact
+    # a symbol only in the oldest directory: the sidecar's extent hint
+    # (round 15) pins the probe to that ONE directory — before the hint
+    # this widened to exhaustion (all 8) per poll
     got = [(r["bucket_start"], r["close"]) for r in
            store.recent("OLD", "MINUTE", n=5).collect()]
     want = sorted(
         ((ts, c) for s, ts, c, _ in rows if s == "OLD"), reverse=True
     )[:5][::-1]
     assert got == want
-    assert qa.LAST_RECENT_PROBE["dates_scanned"] == 8
+    assert qa.LAST_RECENT_PROBE["dates_scanned"] == 1
 
     # n exceeding the symbol's whole history: everything comes back
     assert store.recent("OLD", "MINUTE", n=500).count() == 10
@@ -732,7 +734,11 @@ def test_symbols_sidecar_bounds_absent_symbol_recent(spark, tmp_path):
     assert store.recent("Y", "MINUTE", n=60).count() == 1
 
     # legacy table (sidecar removed): exhaustive probe, still correct
-    os.remove(os.path.join(table, "_symbols"))
+    import shutil as _shutil
+
+    from stock_chart_kafka_streams_spark.streaming.sink import SYMBOLS_DIR
+
+    _shutil.rmtree(os.path.join(table, SYMBOLS_DIR))
     legacy = CandleStore.from_path(spark, table)
     assert legacy.recent("NOPE", "MINUTE", n=60).count() == 0
     assert qa.LAST_RECENT_PROBE["dates_scanned"] == 5  # widened to all
@@ -742,3 +748,338 @@ def test_symbols_sidecar_bounds_absent_symbol_recent(spark, tmp_path):
         spark, _mk_candle_batch(spark, [("Z", t0, 2.0, 1)]), table
     )
     assert read_symbols_sidecar(table) is None
+
+
+def test_sparse_symbol_probe_stops_at_extent(spark, tmp_path):
+    """round 15 (r14 verdict #1b): a STORED symbol with fewer than n
+    buckets — every newly-listed symbol for its first n minutes — must
+    not widen to exhaustion per poll on a deep table. The sidecar's
+    per-(symbol, frame) extent markers pin the probe to the symbol's
+    true directory extent."""
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.plans import query_api as qa
+    from stock_chart_kafka_streams_spark.streaming.sink import upsert_candles
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "sparse")
+    day0 = dt.datetime(2024, 1, 1, 12, 0)
+    # 40 days of dense history for X ...
+    rows = [("X", day0 + dt.timedelta(days=d, minutes=m), 1.0 + d, 1)
+            for d in range(40) for m in range(5)]
+    upsert_candles(spark, _mk_candle_batch(spark, rows), table)
+    # ... then YOUNG lists with 3 buckets on the newest day only
+    young = [("YOUNG", day0 + dt.timedelta(days=39, minutes=m), 9.0 + m, 1)
+             for m in range(3)]
+    upsert_candles(spark, _mk_candle_batch(spark, young), table)
+
+    store = CandleStore.from_path(spark, table)
+    got = store.recent("YOUNG", "MINUTE", n=60).collect()
+    assert [r["close"] for r in got] == [9.0, 10.0, 11.0]
+    # extent = 1 directory; before the hint this scanned all 40
+    assert qa.LAST_RECENT_PROBE["dates_scanned"] == 1
+    assert qa.LAST_RECENT_PROBE["dates_total"] == 40
+
+    # the bound holds under continued merges (fresh version token each
+    # time — the LRU can't help, the PROBE must stay bounded)
+    upsert_candles(
+        spark,
+        _mk_candle_batch(
+            spark, [("X", day0 + dt.timedelta(days=39, minutes=9), 2.0, 1)]
+        ),
+        table,
+    )
+    rows2 = store.recent_rows("YOUNG", "MINUTE", n=60)
+    assert [r["close"] for r in rows2] == [9.0, 10.0, 11.0]
+    assert qa.LAST_RECENT_PROBE["dates_scanned"] == 1
+
+    # a RETIRED symbol (rows only in the oldest directories) is bounded
+    # from the other side: newest-extent markers cut the empty young
+    # suffix instead of scanning it
+    old = [("RET", day0 + dt.timedelta(days=d), 5.0 + d, 1) for d in range(2)]
+    upsert_candles(spark, _mk_candle_batch(spark, old), table)
+    got = store.recent("RET", "MINUTE", n=60).collect()
+    assert [r["close"] for r in got] == [5.0, 6.0]
+    assert qa.LAST_RECENT_PROBE["dates_scanned"] == 2
+
+
+def test_frame_extent_fast_path_and_legacy_migration(spark, tmp_path):
+    """round 15: (a) an extent-tracked symbol with no markers for the
+    requested frame has zero rows of that frame — answered in O(1); (b)
+    a legacy single-file sidecar is migrated to the marker directory on
+    the first merge, its symbols keeping membership but with hints
+    DISABLED (their pre-migration rows have no extent history — an
+    invented extent could under-claim, the one unsafe direction)."""
+    import datetime as dt
+    import os
+
+    from stock_chart_kafka_streams_spark.operators.candles import rollup_candles
+    from stock_chart_kafka_streams_spark.plans import query_api as qa
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        SYMBOLS_DIR,
+        SYMBOLS_SIDECAR,
+        read_symbols_sidecar,
+        upsert_candles,
+    )
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "frames")
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    both = _mk_candle_batch(
+        spark,
+        [("X", t0 + dt.timedelta(days=d, minutes=m), 1.0, 1)
+         for d in range(3) for m in range(5)],
+    )
+    upsert_candles(spark, both, table)
+    upsert_candles(spark, rollup_candles(both, "HOUR"), table)
+    # Y has MINUTE rows only
+    upsert_candles(
+        spark, _mk_candle_batch(spark, [("Y", t0, 2.0, 1)]), table
+    )
+
+    store = CandleStore.from_path(spark, table)
+    assert store.recent("X", "HOUR", n=5).count() == 3
+    # Y asked for HOUR: no (Y, HOUR) marker -> zero rows, zero dirs read
+    assert store.recent("Y", "HOUR", n=5).count() == 0
+    assert qa.LAST_RECENT_PROBE["dates_scanned"] == 0
+    assert qa.LAST_RECENT_PROBE["iterations"] == 0
+
+    # ---- legacy single-file migration ----
+    legacy = str(tmp_path / "legacy")
+    upsert_candles(
+        spark,
+        _mk_candle_batch(
+            spark,
+            [("A", t0 + dt.timedelta(days=d), 1.0 + d, 1) for d in range(4)],
+        ),
+        legacy,
+    )
+    # rebuild the round-14 single-file form by hand
+    import shutil as _shutil
+
+    _shutil.rmtree(os.path.join(legacy, SYMBOLS_DIR))
+    with open(os.path.join(legacy, SYMBOLS_SIDECAR), "w") as fh:
+        fh.write("A\n")
+    # first merge migrates file -> directory
+    upsert_candles(
+        spark, _mk_candle_batch(spark, [("B", t0, 3.0, 1)]), legacy
+    )
+    assert not os.path.exists(os.path.join(legacy, SYMBOLS_SIDECAR))
+    assert os.path.isdir(os.path.join(legacy, SYMBOLS_DIR))
+    assert read_symbols_sidecar(legacy) == {"A", "B"}
+
+    lstore = CandleStore.from_path(spark, legacy)
+    # A (migrated, unknown extent): hints disabled -> may widen to all 4
+    # directories, but rows stay exact
+    assert [r["close"] for r in lstore.recent("A", "MINUTE", n=10).collect()] \
+        == [1.0, 2.0, 3.0, 4.0]
+    assert qa.LAST_RECENT_PROBE["dates_scanned"] == 4
+    # B (post-migration): full extent hints
+    assert lstore.recent("B", "MINUTE", n=10).count() == 1
+    assert qa.LAST_RECENT_PROBE["dates_scanned"] == 1
+    # membership fast path still O(1)
+    assert lstore.recent("NOPE", "MINUTE", n=10).count() == 0
+    assert qa.LAST_RECENT_PROBE["dates_scanned"] == 0
+
+
+def test_recent_n_upper_bound(spark, tmp_path):
+    """round 15 (r14 verdict #1a): programmatic recent-N above the
+    configurable MAX_RECENT_N raises up front — a recent-N that deep is
+    the full-history scan the bounded probe exists to prevent."""
+    import datetime as dt
+
+    import pytest
+
+    from stock_chart_kafka_streams_spark.plans import query_api as qa
+    from stock_chart_kafka_streams_spark.streaming.sink import upsert_candles
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "cap")
+    upsert_candles(
+        spark,
+        _mk_candle_batch(spark, [("X", dt.datetime(2024, 1, 1, 9, 0), 1.0, 1)]),
+        table,
+    )
+    store = CandleStore.from_path(spark, table)
+    with pytest.raises(ValueError, match="MAX_RECENT_N"):
+        store.recent("X", "MINUTE", n=qa.MAX_RECENT_N + 1)
+    with pytest.raises(ValueError, match="MAX_RECENT_N"):
+        store.recent_rows("X", "MINUTE", n=qa.MAX_RECENT_N + 1)
+    # configurable: a raised bound admits the same n
+    old = qa.MAX_RECENT_N
+    try:
+        qa.MAX_RECENT_N = old * 10
+        assert store.recent("X", "MINUTE", n=old + 1).count() == 1
+    finally:
+        qa.MAX_RECENT_N = old
+
+
+def test_stale_inflight_sentinel_ages_out_on_read(spark, tmp_path):
+    """round 15 (r14 verdict #2): a writer that crashed between marking
+    the swap in flight and completing it leaves the inflight sentinel
+    behind; a READ-ONLY serving process must not spin its full
+    consistent-listing budget per listing (and must still populate its
+    dates cache) — an inflight token older than INFLIGHT_MAX_AGE_SECONDS
+    is structurally a crash, not a swap."""
+    import datetime as dt
+    import os
+    import time
+
+    from stock_chart_kafka_streams_spark.streaming import sink as sink_mod
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        upsert_candles,
+        version_is_inflight,
+    )
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "aged")
+    upsert_candles(
+        spark,
+        _mk_candle_batch(spark, [("X", dt.datetime(2024, 2, 1, 9, 0), 1.0, 1)]),
+        table,
+    )
+    # plant an ALREADY-OLD inflight token (backdate its time_ns stamp)
+    old_ns = time.time_ns() - int(3600 * 1e9)
+    with open(os.path.join(table, sink_mod.VERSION_SENTINEL), "w") as fh:
+        fh.write(f"{os.getpid()}-1-{old_ns}{sink_mod.INFLIGHT_SUFFIX}")
+
+    tok = sink_mod.table_version(table)
+    assert tok[1].endswith(sink_mod.INFLIGHT_SUFFIX)
+    assert not version_is_inflight(tok)  # aged out
+    # a FRESH inflight token still gates
+    sink_mod._write_version_sentinel(table, inflight=True)
+    assert version_is_inflight(sink_mod.table_version(table))
+    with open(os.path.join(table, sink_mod.VERSION_SENTINEL), "w") as fh:
+        fh.write(f"{os.getpid()}-1-{old_ns}{sink_mod.INFLIGHT_SUFFIX}")
+
+    store = CandleStore.from_path(spark, table)
+    t0 = time.perf_counter()
+    assert store.recent("X", "MINUTE", n=5).count() == 1
+    wall = time.perf_counter() - t0
+    assert wall < 0.9, f"read spun the stable-listing budget ({wall:.2f}s)"
+    # and the dates cache populated under the aged token (repeat reads
+    # skip the re-list entirely)
+    assert store._dates_cache.get("MINUTE") is not None
+
+
+def test_failed_publish_restores_noninflight_sentinel(spark, tmp_path, monkeypatch):
+    """round 15 (r14 advice): a publish whose swap rename FAILS (even
+    after a successful rollback) must rewrite the non-inflight sentinel
+    on its way out — otherwise read-only processes spin the listing gate
+    until some later writer runs recovery."""
+    import datetime as dt
+
+    import pytest
+
+    from stock_chart_kafka_streams_spark.streaming import sink as sink_mod
+    from stock_chart_kafka_streams_spark.streaming.sink import upsert_candles
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "failswap")
+    t0 = dt.datetime(2024, 2, 2, 9, 0)
+    upsert_candles(spark, _mk_candle_batch(spark, [("X", t0, 1.0, 1)]), table)
+
+    real_rename = sink_mod._fs_rename
+    calls = {"n": 0}
+
+    def failing(fs, src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the rename-IN of the touched partition
+            return False
+        return real_rename(fs, src, dst)
+
+    monkeypatch.setattr(sink_mod, "_fs_rename", failing)
+    with pytest.raises(IOError, match="could not publish"):
+        upsert_candles(
+            spark, _mk_candle_batch(spark, [("X", t0, 2.0, 1)]), table
+        )
+    monkeypatch.setattr(sink_mod, "_fs_rename", real_rename)
+    tok = sink_mod.table_version(table)
+    assert tok[1] is not None and not tok[1].endswith(sink_mod.INFLIGHT_SUFFIX)
+    # the rollback kept the pre-merge rows readable
+    store = CandleStore.from_path(spark, table)
+    assert [r["close"] for r in store.recent("X", "MINUTE", n=5).collect()] == [1.0]
+
+
+def test_recent_rows_dense_poll_is_one_job(spark, tmp_path):
+    """round 15 (r14 verdict #6): a cache-miss recent poll on a dense
+    table is ONE Spark job — the top-n fetch is its own sufficiency
+    proof; the old shape paid a count() job AND the serve job over the
+    same two directories."""
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.streaming.sink import upsert_candles
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "onejob")
+    day0 = dt.datetime(2024, 5, 1, 12, 0)
+    rows = [("X", day0 + dt.timedelta(days=d, minutes=m), 1.0 + m, 1)
+            for d in range(6) for m in range(60)]
+    upsert_candles(spark, _mk_candle_batch(spark, rows), table)
+
+    store = CandleStore.from_path(spark, table)
+    warm = store.recent_rows("X", n=60)  # pays schema/dates/sidecar setup
+    sc = spark.sparkContext
+    sc.setJobGroup("recent-one-job", "dense recent poll")
+    try:
+        again = store.recent_rows("X", n=60)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("recent-one-job")
+    assert len(jobs) == 1, f"dense recent poll ran {len(jobs)} jobs"
+    # value-identical to the DataFrame path
+    want = [tuple(r) for r in
+            store.recent("X", n=60).select(
+                "symbol", "bucket_start", "bucket_end", "open", "high",
+                "low", "close", "volume").collect()]
+    assert [tuple(r) for r in again] == want == [tuple(r) for r in warm]
+
+
+def test_no_sentinel_disables_row_caches(spark, tmp_path):
+    """round 15 (r14 advice): recent_rows/point_row must not cache when
+    the table has no readable on-disk version sentinel — a writer in
+    another process could never invalidate the entry and the hottest
+    endpoint would serve stale candles indefinitely. (_frame_dates
+    already follows this rule.)"""
+    import datetime as dt
+    import os
+
+    from stock_chart_kafka_streams_spark.streaming import sink as sink_mod
+    from stock_chart_kafka_streams_spark.streaming.sink import upsert_candles
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "nosentinel")
+    t0 = dt.datetime(2024, 4, 1, 9, 0)
+    upsert_candles(spark, _mk_candle_batch(spark, [("X", t0, 1.0, 1)]), table)
+    os.remove(os.path.join(table, sink_mod.VERSION_SENTINEL))
+
+    store = CandleStore.from_path(spark, table, point_cache_size=8)
+    first = store.recent_rows("X", n=2)
+    assert store.recent_rows("X", n=2) is not first  # no LRU hit
+    assert store.point_row("X", "MINUTE", 2024, 4, 1, 9, 0) is not None
+    assert len(store._point_cache) == 0  # nothing was inserted
+
+    # restoring the sentinel restores caching
+    sink_mod._write_version_sentinel(table)
+    cached = store.recent_rows("X", n=2)
+    assert store.recent_rows("X", n=2) is cached
+
+
+def test_object_store_paths_degrade_uncached(tmp_path):
+    """round 15 (r14 verdict #5): every posix durability mechanism
+    no-ops on '://' object-store paths and readers take the
+    exhaustive-but-correct branch — see the degraded-mode matrix in
+    streaming/sink.py's module docstring."""
+    from stock_chart_kafka_streams_spark.streaming import sink as sink_mod
+
+    remote = "s3a://bucket/candles"
+    assert sink_mod._read_version_sentinel(remote) is None
+    assert sink_mod.table_version(remote)[1] is None
+    assert not sink_mod.version_is_inflight(sink_mod.table_version(remote))
+    assert sink_mod._sidecar_scan(remote) is None
+    assert sink_mod.read_symbols_sidecar(remote) is None
+    # writers' sidecar/sentinel maintenance is a silent no-op (never an
+    # error) on remote paths
+    sink_mod._write_version_sentinel(remote)
+    sink_mod._write_symbols_sidecar(remote, {})
+    sink_mod._extend_symbols_sidecar(remote, {})
