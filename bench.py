@@ -191,18 +191,20 @@ def _isolated_main(name: str, trades_path: str, docs_path: str, embs_path: str) 
     # runs-until-stable (round 15, r14 verdict #3's follow-up): the
     # fixed best-of-3 let a 2× in-array spread (s4's [56.2, 31.2, 30.4])
     # decide the committed best by luck of which runs were slow — now
-    # the subprocess keeps measuring (min 2, cap 5) until its two
-    # FASTEST runs agree within 10%, so the recorded best is a
-    # reproduced steady-state number, not a one-off.
+    # the subprocess keeps measuring until its two FASTEST runs agree
+    # within 10%, so the recorded best is a reproduced steady-state
+    # number, not a one-off. Minimum 3 runs (two early runs can agree on
+    # a transiently-slow state — observed: s4 stopping at [53.5, 48.9]
+    # in a window where run 3 would have landed ~30), cap 6.
     runs: list[float] = []
     while True:
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         _noop(_heavy_entry_df(name, trades, docs, embs))
         runs.append(round(time.perf_counter() - t0, 3))
-        if len(runs) >= 5:
+        if len(runs) >= 6:
             break
-        if len(runs) >= 2:
+        if len(runs) >= 3:
             best2 = sorted(runs)[:2]
             if best2[1] <= best2[0] * 1.10:
                 break

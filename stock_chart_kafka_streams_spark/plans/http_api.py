@@ -216,9 +216,9 @@ class _Handler(BaseHTTPRequestHandler):
             return
         frame = q.get("frame", "MINUTE")
         if parts[2] == "symbols" and len(parts) == 3:
-            self._send(
-                200, [r["symbol"] for r in store.symbols().collect()]
-            )
+            # version-tagged LRU tier (round 15): a repeat poll between
+            # writes is a dict hit, not a whole-table distinct
+            self._send(200, store.symbol_names())
         elif parts[2] == "recent" and len(parts) == 4:
             # ?now=ISO opts into the reference's wall-clock-anchored
             # semantics (CandleStickService.kt:142-147) via the pruned

@@ -1248,3 +1248,38 @@ class CandleStore:
         """Distinct symbols (reference hardcodes 5,
         ``StockChartController.kt:35-39``; the engine derives them)."""
         return self.df.select("symbol").distinct().orderBy("symbol")
+
+    def symbol_names(self) -> list:
+        """Collected symbol catalog through the version-tagged LRU
+        (round 15): ``/api/charts/symbols`` is a poll-class endpoint,
+        and ``symbols()`` is a whole-table distinct by semantics — a
+        repeat poll between writes should be a dict hit plus one ~µs
+        sentinel read, not a full-table scan. Exact (expiry-aware): a
+        cache miss runs the same scan the c9_symbols oracle checks; the
+        sidecar's over-approximating membership set is deliberately NOT
+        used here (a fully-expired symbol must drop out of the catalog,
+        the Redis KEYS semantics). Same no-sentinel caching rule as
+        recent_rows/point_row."""
+        from stock_chart_kafka_streams_spark.streaming.sink import (
+            table_version,
+        )
+
+        key = ("symbols",)
+        ver = table_version(self._path) if self._path is not None else 0
+        cacheable = self._point_cache is not None and (
+            self._path is None or ver[1] is not None
+        )
+        if cacheable:
+            hit = self._point_cache.get(key)
+            if hit is not None and hit[0] == ver:
+                self._point_cache.move_to_end(key)
+                return hit[1]
+        names = [r["symbol"] for r in retry_stale(
+            lambda: self.fresh().symbols().collect()
+        )]
+        if cacheable:
+            self._point_cache[key] = (ver, names)
+            self._point_cache.move_to_end(key)
+            while len(self._point_cache) > self._point_cache_size:
+                self._point_cache.popitem(last=False)
+        return names

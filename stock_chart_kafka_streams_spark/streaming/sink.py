@@ -250,6 +250,18 @@ def _sidecar_scan(path: str):
     except OSError:
         names = None
     if names is not None:
+        # a legacy file coexisting with the directory (mid-migration
+        # window) contributes its symbols as unknown-extent membership —
+        # union semantics, so a reader racing the migration can only
+        # over-approximate, never silently lose a stored symbol
+        try:
+            with open(os.path.join(path, SYMBOLS_SIDECAR)) as fh:
+                for ln in fh:
+                    if ln.strip():
+                        members.add(ln.strip())
+                        bare.add(ln.strip())
+        except OSError:
+            pass
         for name in names:
             parts = name.split("=")
             sym = _unquote_symbol(parts[0])
@@ -371,19 +383,27 @@ def _write_symbols_sidecar(path: str, extents: dict) -> None:
     import shutil as _shutil
 
     try:
-        with contextlib.suppress(OSError):
-            os.unlink(os.path.join(path, SYMBOLS_SIDECAR))
-        _shutil.rmtree(os.path.join(path, SYMBOLS_DIR), ignore_errors=True)
-        side_dir = os.path.join(path, SYMBOLS_DIR)
-        os.makedirs(side_dir, exist_ok=True)
+        # build fully populated OFF to the side, then rename into place:
+        # a reader must never observe a PARTIAL sidecar (it would
+        # under-approximate membership — the one unsafe direction); the
+        # only mid-rewrite states are old-dir / no-dir (exhaustive
+        # fallback) / new-dir
+        tmp = os.path.join(path, f".{SYMBOLS_DIR}.tmp-{os.getpid()}")
+        _shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
         for (sym, frame), (lo, hi) in extents.items():
             q = _quote_symbol(sym)
-            _create_marker(side_dir, f"{q}=o={frame}={lo.isoformat()}")
-            _create_marker(side_dir, f"{q}=n={frame}={hi.isoformat()}")
+            _create_marker(tmp, f"{q}=o={frame}={lo.isoformat()}")
+            _create_marker(tmp, f"{q}=n={frame}={hi.isoformat()}")
+        with contextlib.suppress(OSError):
+            os.unlink(os.path.join(path, SYMBOLS_SIDECAR))
+        side_dir = os.path.join(path, SYMBOLS_DIR)
+        _shutil.rmtree(side_dir, ignore_errors=True)
+        os.rename(tmp, side_dir)
     except OSError:
         # best-effort, like the version sentinel: readers fall back to
         # the exhaustive probe when the sidecar is unreadable/absent
-        pass
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _extend_symbols_sidecar(path: str, extents: dict) -> None:
@@ -404,16 +424,49 @@ def _extend_symbols_sidecar(path: str, extents: dict) -> None:
                 old = {ln.strip() for ln in fh if ln.strip()}
         except OSError:
             return  # no sidecar at all: stay absent (see module comment)
-        try:
-            os.makedirs(side_dir, exist_ok=True)
-            for sym in old:
-                _create_marker(side_dir, _quote_symbol(sym))
-            import contextlib
+        # migrate file -> marker directory ATOMICALLY (build fully
+        # populated off to the side, rename into place): a reader must
+        # never observe a partially populated directory — it would
+        # under-approximate membership. Until the legacy file is
+        # unlinked (strictly after the rename) readers UNION it in, so
+        # every mid-migration state over-approximates. Two concurrent
+        # migrators: both read the complete file; the losing rename
+        # falls through to per-marker creation into the winner's dir.
+        import contextlib
+        import shutil as _shutil
 
+        try:
+            tmp = f"{side_dir}.tmp-{os.getpid()}"
+            _shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            for sym in old:
+                _create_marker(tmp, _quote_symbol(sym))
+            try:
+                os.rename(tmp, side_dir)
+            except OSError:
+                # another migrator won the rename: merge our names in
+                for sym in old:
+                    _create_marker(side_dir, _quote_symbol(sym))
+                _shutil.rmtree(tmp, ignore_errors=True)
             with contextlib.suppress(OSError):
                 os.unlink(legacy)
         except OSError:
             return
+    elif os.path.exists(legacy):
+        # heal a migration that crashed between its rename and its
+        # unlink: fold the file's symbols in as bare markers (idempotent
+        # — the migrator already created them), then drop the file
+        import contextlib
+
+        try:
+            with open(legacy) as fh:
+                for ln in fh:
+                    if ln.strip():
+                        _create_marker(side_dir, _quote_symbol(ln.strip()))
+            with contextlib.suppress(OSError):
+                os.unlink(legacy)
+        except OSError:
+            pass
     _apply_extent_markers(path, extents)
 
 

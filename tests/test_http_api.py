@@ -570,3 +570,36 @@ def test_recent_rows_lru_and_merge_invalidation(spark, tmp_path):
     # uncached store (size 0): plain collect path, same values
     plain = CandleStore.from_path(spark, table)
     assert [r["close"] for r in plain.recent_rows("X", n=2)] == [3.0, 9.0]
+
+
+def test_symbol_names_lru_and_invalidation(spark, tmp_path):
+    """round 15: the /symbols poll endpoint rides the version-tagged
+    LRU — a repeat poll between writes is a dict hit; any writer bump
+    refetches; the result stays EXACT (a cache miss runs the same scan
+    the c9_symbols oracle checks — the sidecar's over-approximating
+    membership is deliberately not used)."""
+    import datetime as dt
+
+    from stock_chart_kafka_streams_spark.plans.query_api import CandleStore
+    from stock_chart_kafka_streams_spark.streaming.sink import upsert_candles
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "symcat")
+    t0 = dt.datetime(2024, 7, 1, 9, 0)
+    upsert_candles(
+        spark,
+        _mk_candle_batch(spark, [("B", t0, 1.0, 1), ("A", t0, 2.0, 1)]),
+        table,
+    )
+    store = CandleStore.from_path(spark, table, point_cache_size=8)
+    first = store.symbol_names()
+    assert first == ["A", "B"]
+    assert store.symbol_names() is first  # dict hit
+    upsert_candles(
+        spark, _mk_candle_batch(spark, [("C", t0, 3.0, 1)]), table
+    )
+    assert store.symbol_names() == ["A", "B", "C"]  # invalidated
+    # cache disabled -> exact scan every call, still correct
+    plain = CandleStore.from_path(spark, table)
+    assert plain.symbol_names() == ["A", "B", "C"]
+    assert plain.symbol_names() is not plain.symbol_names()

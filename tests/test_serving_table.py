@@ -1083,3 +1083,162 @@ def test_object_store_paths_degrade_uncached(tmp_path):
     sink_mod._write_version_sentinel(remote)
     sink_mod._write_symbols_sidecar(remote, {})
     sink_mod._extend_symbols_sidecar(remote, {})
+
+
+def test_sidecar_states_never_underclaim_membership(tmp_path):
+    """round 15 (no Spark needed): every observable sidecar state —
+    legacy file only, mid-migration file+directory coexistence, crashed
+    migration (directory renamed, file not yet unlinked), post-migration
+    — yields membership that over-approximates; a reader can never lose
+    a stored symbol to a migration race. Also pins the marker-name
+    parse (quoted symbols cannot forge marker shapes)."""
+    import os
+
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        SYMBOLS_DIR,
+        SYMBOLS_SIDECAR,
+        _extend_symbols_sidecar,
+        _quote_symbol,
+        _sidecar_scan,
+    )
+
+    import datetime as dt
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    legacy = os.path.join(table, SYMBOLS_SIDECAR)
+    side = os.path.join(table, SYMBOLS_DIR)
+
+    # legacy file only
+    with open(legacy, "w") as fh:
+        fh.write("A\nB\n")
+    members, extents, bare = _sidecar_scan(table)
+    assert members == {"A", "B"} and bare == {"A", "B"} and extents == {}
+
+    # mid-migration: directory appears while the file still exists ->
+    # the union covers both
+    os.makedirs(side)
+    with open(os.path.join(side, _quote_symbol("C")), "w"):
+        pass
+    members, _, bare = _sidecar_scan(table)
+    assert members == {"A", "B", "C"}
+    assert {"A", "B"} <= bare
+
+    # a merge heals the crashed-migration state: file folded in as bare
+    # markers, then dropped; the batch's own extent markers land too
+    d = dt.date(2024, 6, 1)
+    _extend_symbols_sidecar(table, {("D", "MINUTE"): (d, d)})
+    assert not os.path.exists(legacy)
+    members, extents, bare = _sidecar_scan(table)
+    assert members == {"A", "B", "C", "D"}
+    assert {"A", "B"} <= bare and "D" not in bare
+    assert extents[("D", "MINUTE")] == (d, d)
+
+    # weird symbols round-trip through quoting; separators can't forge
+    # marker shapes
+    weird = "X=o/..=__n"
+    _extend_symbols_sidecar(table, {(weird, "MINUTE"): (d, d)})
+    members, extents, bare = _sidecar_scan(table)
+    assert weird in members and weird not in bare
+    assert extents[(weird, "MINUTE")] == (d, d)
+
+
+def test_sidecar_concurrent_extent_markers_compose(tmp_path):
+    """round 15: extent markers are create-only files, so interleaved
+    writers compose by union — min over oldest markers / max over newest
+    markers equals the true batch-min/max regardless of write order (the
+    round-14 single-file sidecar lost symbols under this interleaving)."""
+    import datetime as dt
+    import os
+
+    from stock_chart_kafka_streams_spark.streaming.sink import (
+        SYMBOLS_DIR,
+        _apply_extent_markers,
+        _sidecar_scan,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(os.path.join(table, SYMBOLS_DIR))
+    d1, d2, d3 = (dt.date(2024, 6, i) for i in (1, 5, 9))
+    # two "writers" with different views land in any order
+    _apply_extent_markers(table, {("S", "MINUTE"): (d2, d2)})
+    _apply_extent_markers(table, {("S", "MINUTE"): (d1, d3), ("T", "MINUTE"): (d2, d2)})
+    _apply_extent_markers(table, {("S", "MINUTE"): (d2, d2)})  # stale redo
+    members, extents, bare = _sidecar_scan(table)
+    assert members == {"S", "T"} and not bare
+    assert extents[("S", "MINUTE")] == (d1, d3)  # min/max over all writers
+    assert extents[("T", "MINUTE")] == (d2, d2)
+    # superseded markers were pruned to ~2 per (symbol, frame, kind)
+    names = os.listdir(os.path.join(table, SYMBOLS_DIR))
+    assert len([n for n in names if n.startswith("S=o=")]) == 1
+    assert len([n for n in names if n.startswith("S=n=")]) == 1
+
+
+def test_sidecar_reader_never_loses_fresh_symbols_under_churn(spark, tmp_path):
+    """round 15 canary: while merges keep LISTING NEW SYMBOLS, a
+    concurrent reader polling recent-N for every already-published
+    symbol must never get a silently-empty answer — the sidecar's
+    absent-symbol fast path must not race membership (markers are
+    created BEFORE the publish; a reader that sees the rows must see
+    the marker). Probes stay extent-bounded throughout."""
+    import datetime as dt
+    import threading
+
+    from stock_chart_kafka_streams_spark.plans import query_api as qa
+    from stock_chart_kafka_streams_spark.streaming.sink import upsert_candles
+    from tests.test_streaming import _mk_candle_batch
+
+    table = str(tmp_path / "churn")
+    day0 = dt.datetime(2024, 8, 1, 9, 0)
+    # seed: 10 days of history for a base symbol
+    upsert_candles(
+        spark,
+        _mk_candle_batch(
+            spark,
+            [("BASE", day0 + dt.timedelta(days=d, minutes=m), 1.0, 1)
+             for d in range(10) for m in range(3)],
+        ),
+        table,
+    )
+    store = CandleStore.from_path(spark, table)
+    published: list = ["BASE"]
+    errors: list = []
+    stop = threading.Event()
+
+    def _poll_loop():
+        while not stop.is_set():
+            for sym in list(published):
+                try:
+                    rows = store.recent_rows(sym, "MINUTE", n=5)
+                    assert rows, f"silently-empty recent for stored {sym}"
+                    assert (
+                        qa.LAST_RECENT_PROBE.get("dates_scanned", 99) <= 4
+                    ), f"probe unbounded for {sym}: {qa.LAST_RECENT_PROBE}"
+                except Exception as exc:  # noqa: BLE001 — assertion target
+                    errors.append(exc)
+                    stop.set()
+                    return
+
+    reader = threading.Thread(target=_poll_loop)
+    reader.start()
+    try:
+        for i in range(8):  # each merge lists a brand-new sparse symbol
+            sym = f"NEW{i}"
+            upsert_candles(
+                spark,
+                _mk_candle_batch(
+                    spark,
+                    [(sym, day0 + dt.timedelta(days=9, minutes=10 + i), 2.0 + i, 1)],
+                ),
+                table,
+            )
+            published.append(sym)
+    finally:
+        stop.set()
+        reader.join()
+    assert not errors, errors[0]
+    # post-churn: every symbol still served, bounded
+    for i in range(8):
+        rows = store.recent_rows(f"NEW{i}", "MINUTE", n=5)
+        assert [r["close"] for r in rows] == [2.0 + i]
+        assert qa.LAST_RECENT_PROBE["dates_scanned"] == 1
