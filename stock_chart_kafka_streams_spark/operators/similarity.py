@@ -341,10 +341,10 @@ def ivf_build_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
-    assign_mode: str = "fold",
+    assign_mode: str = "vector",
 ) -> list[list[float]]:
-    """Deterministic, CROSS-ENGINE-EXACT mini k-means (in the default
-    ``assign_mode="fold"``).
+    """Deterministic, CROSS-ENGINE-EXACT mini k-means (in the "vector"
+    default and the legacy "fold" mode, which are bit-identical).
 
     - Seeding: the ``n_centroids`` corpus vectors that sort first under
       ``(md5(cast(id as string)), id)`` — a deterministic pseudo-random
@@ -372,10 +372,21 @@ def ivf_build_centroids(
     quantized-BIGINT averaging is unchanged, but numpy's summation
     order can flip a near-tied argmax, so this mode is NOT
     bit-exact-oracle-safe — it exists for the paper-scale path
-    (``semantic_dedup(assign_mode="matmul")`` passes it through);
-    oracle comparisons keep the default fold."""
-    if assign_mode not in ("fold", "matmul"):
-        raise ValueError(f"assign_mode must be 'fold' or 'matmul', got {assign_mode!r}")
+    (``semantic_dedup(assign_mode="matmul")`` passes it through).
+
+    ``assign_mode="vector"`` (round 15, the default): ``_assign_vector``
+    — the same Arrow-batched scan shape as matmul but with the
+    dimension-loop accumulation whose float order is IDENTICAL to the
+    fold's, so the Lloyd assignments (and therefore the quantized-BIGINT
+    sums and the returned centroids) are bit-identical to the fold at
+    matmul speed. The fold's crossJoin + per-id rank window — which
+    materializes train_rows x k wide rows and re-sorts them per round —
+    is gone from the default path; "fold" remains as the pure-JVM
+    reference implementation."""
+    if assign_mode not in ("fold", "matmul", "vector"):
+        raise ValueError(
+            f"assign_mode must be 'fold', 'matmul' or 'vector', got {assign_mode!r}"
+        )
     c = corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
     # hash-ordered top-N seeding: orderBy+limit plans as a distributed
     # TakeOrdered (per-partition top-N then driver merge), unlike a global
@@ -390,7 +401,11 @@ def ivf_build_centroids(
 
     c = c.withColumn("nv", _norm(F.col("v"), dim))
     for _ in range(iterations):
-        if assign_mode == "matmul":
+        if assign_mode == "vector":
+            assigned = _assign_vector(
+                c.select(F.col(id_col), "v"), centroids, id_col, dim
+            )
+        elif assign_mode == "matmul":
             assigned = _assign_matmul(
                 c.select(F.col(id_col), "v"), centroids, id_col, dim
             )
@@ -714,21 +729,60 @@ def _srp_codes(
     v: DataFrame, id_col: str, n_bits: int, n_tables: int, dim: int
 ) -> DataFrame:
     """(id, t, code) — one map-side pass computing every table's SRP code
-    per vector (shared by d5's near-dup pass and s4's kNN self-join)."""
-    return v.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("t"),
-                        _srp_code_fold(F.col("v"), t, n_bits, dim).alias("code"),
-                    )
-                    for t in range(n_tables)
-                ]
+    per vector (shared by d5's near-dup pass and s4's kNN self-join).
+
+    Round 15: the per-bit HOF fold (interpreted closure per element —
+    measured ~12 s alone at 200k vectors x 4 tables x 16 bits, the
+    single largest slice of s4's wall) is replaced by an Arrow-batched
+    numpy kernel accumulating over DIMENSIONS left to right
+    (``proj += v_i * sign_i`` — the ``_assign_vector`` exactness
+    argument), so every projection is the identical IEEE double the fold
+    and the DuckDB twin's ``list_sum`` compute and the emitted codes are
+    bit-identical (``proj > 0`` is an exact comparison; NaN projections
+    count as > 0, mirroring Spark's NaN-greatest comparison — the fold's
+    ``F.when(proj > 0, ...)``). Output rows are emitted pre-exploded
+    (n_tables slim rows per vector) so no JVM explode follows."""
+    import numpy as np
+
+    T, B, d = int(n_tables), int(n_bits), int(dim)
+    # (T*B, dim) hyperplane matrix, row t*B+j = table t, bit j
+    H = np.asarray(
+        [srp_signs(t, j, d) for t in range(T) for j in range(B)],
+        dtype=np.float64,
+    )
+    weights = (1 << np.arange(B, dtype=np.int64))  # (B,)
+    id_type = v.schema[id_col].dataType.simpleString()
+    out_schema = f"id {id_type}, t int, code int"
+
+    def _codes(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np.vstack(
+                [_np.asarray(x, dtype=_np.float64)[:d] for x in pdf["v"]]
             )
-        ).alias("tc"),
-    ).select("id", F.col("tc.t"), F.col("tc.code"))
+            n = len(pdf)
+            proj = _np.zeros((n, T * B), dtype=_np.float64)
+            for i in range(d):
+                proj += V[:, i][:, None] * H[None, :, i]
+            bits = (proj > 0) | _np.isnan(proj)  # Spark: NaN > 0 is TRUE
+            codes = (
+                (bits.reshape(n, T, B) * weights[None, None, :])
+                .sum(axis=2)
+                .astype("int32")
+            )  # exact integer sums
+            yield _pd.DataFrame(
+                {
+                    "id": _np.repeat(pdf[id_col].values, T),
+                    "t": _np.tile(_np.arange(T, dtype=_np.int32), n),
+                    "code": codes.reshape(n * T),
+                }
+            )
+
+    return v.select(F.col(id_col), "v").mapInPandas(_codes, schema=out_schema)
 
 
 def _apply_bucket_cap(
@@ -1111,7 +1165,7 @@ def semantic_dedup(
     cluster_cap: int | None = 4096,
     sample_num: int = 1,
     sample_den: int = 1,
-    assign_mode: str = "fold",
+    assign_mode: str = "vector",
     verify_prune: bool = True,
     stats: dict | None = None,
     warn_over_cap: bool = True,
@@ -1163,11 +1217,16 @@ def semantic_dedup(
     ``ivf_topk_sql``'s determinism argument; zero vectors excluded by
     the no-NaN precondition documented there).
 
-    ``assign_mode`` (round 9, r8 verdict #2): ``"fold"`` (default) is the
-    oracle-exact per-centroid HOF-fold argmax above — perfect to a few
+    ``assign_mode`` (round 9, r8 verdict #2; round 15 added "vector" and
+    made it the default): ``"vector"`` is ``_assign_vector`` — the
+    Arrow-batched numpy kernel whose dimension-loop accumulation keeps
+    the fold's exact IEEE float order, so it is BIT-IDENTICAL to the
+    fold (oracle-safe) with plan size O(1) in ``n_centroids``; the
+    training rounds ride the same kernel. ``"fold"`` is the legacy
+    pure-JVM oracle-exact per-centroid HOF-fold argmax — perfect to a few
     hundred centroids, but LINEAR in ``n_centroids`` as literal plan
     columns, so the SemDeDup paper's ~50k-cluster configuration is out of
-    reach (plan size alone). ``"matmul"`` is the paper-scale path: an
+    reach (plan size alone). ``"matmul"`` is the BLAS path: an
     Arrow-batched ``mapInPandas`` computing ONE ``(batch×dim)@(dim×k)``
     numpy matmul per batch — still a pure map-side scan (no shuffle), but
     k lives in a broadcast ndarray instead of the plan, so plan size and
@@ -1219,8 +1278,10 @@ def semantic_dedup(
     where training is possible."""
     if sample_num < 1 or sample_den < 1 or sample_num > sample_den:
         raise ValueError("sample fraction must satisfy 1 <= sample_num <= sample_den")
-    if assign_mode not in ("fold", "matmul"):
-        raise ValueError(f"assign_mode must be 'fold' or 'matmul', got {assign_mode!r}")
+    if assign_mode not in ("fold", "matmul", "vector"):
+        raise ValueError(
+            f"assign_mode must be 'fold', 'matmul' or 'vector', got {assign_mode!r}"
+        )
     import time as _time
 
     _t0 = _time.perf_counter()
@@ -1247,7 +1308,9 @@ def semantic_dedup(
         stats["train_s"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
     base = vectors.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    if assign_mode == "matmul":
+    if assign_mode == "vector":
+        assigned = _assign_vector(base, centroids, id_col, dim)
+    elif assign_mode == "matmul":
         assigned = _assign_matmul(base, centroids, id_col, dim)
     else:
         assigned = _assign_fold(base, centroids, dim, id_col)
@@ -1479,6 +1542,85 @@ def _assign_matmul(
     return base.mapInPandas(_assign, schema=out_schema)
 
 
+def _assign_vector(
+    base: DataFrame, centroids: list[list[float]], id_col: str, dim: int
+) -> DataFrame:
+    """Bit-exact-fold centroid assignment at Arrow speed (round 15).
+
+    Same Arrow-batched ``mapInPandas`` scan shape as ``_assign_matmul``,
+    but the accumulation loops over DIMENSIONS, not rows:
+
+        dot[:, j] = ((0 + v0*c_j0) + v1*c_j1) + ... + v{d-1}*c_j{d-1}
+
+    i.e. one vectorized multiply-add per dimension, accumulated left to
+    right — the identical IEEE-double chain ``_assign_fold``'s HOF fold,
+    ``_dot_unrolled``, and the DuckDB twin's ``list_sum`` evaluate
+    (elementwise numpy ``*``/``+`` are single correctly-rounded IEEE ops;
+    only matmul/BLAS reductions reorder). Centroid norms are the same
+    driver-side left-to-right sum + ``sqrt`` as ``_assign_fold``; ``nv``
+    is the dim-prefix norm accumulated the same way. Ties and NaN match
+    too: ``argmax`` returns the FIRST maximum (lowest cid — the fold's
+    ``array_position(arr, array_max(arr))`` rule) and propagates the
+    first NaN, which is where Spark's NaN-greatest ordering lands as
+    well. So unlike matmul this mode IS oracle-safe: outputs are
+    bit-identical to the fold, at O(1) plan size in ``n_centroids`` —
+    the janino/Catalyst ceiling that forced the interpreted fold is gone
+    (re-verified by the full driver-sim after the default flip).
+
+    The closure is numpy/pandas-only (no package import on workers)."""
+    import math
+
+    import numpy as np
+
+    C = np.asarray([list(c)[: int(dim)] for c in centroids], dtype=np.float64)
+    ncv = []
+    for cv in C:
+        acc = 0.0
+        for x in cv:
+            acc += float(x) * float(x)
+        ncv.append(math.sqrt(acc))
+    ncv_arr = np.asarray(ncv, dtype=np.float64)
+    id_type = base.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, v array<double>, nv double, "
+        "cid int, cent_cos double"
+    )
+    d = int(dim)
+
+    def _assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np.vstack(
+                [_np.asarray(x, dtype=_np.float64)[:d] for x in pdf["v"]]
+            )
+            n = len(pdf)
+            nv2 = _np.zeros(n, dtype=_np.float64)
+            dot = _np.zeros((n, C.shape[0]), dtype=_np.float64)
+            for i in range(d):
+                vi = V[:, i]
+                nv2 += vi * vi  # left-to-right: acc = acc + x*x
+                dot += vi[:, None] * C[None, :, i]
+            nv = _np.sqrt(nv2)
+            S = dot / (nv[:, None] * ncv_arr[None, :])
+            cid = S.argmax(axis=1)
+            cent = S[_np.arange(n), cid]
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "v": pdf["v"].values,
+                    "nv": nv,
+                    "cid": cid.astype("int32"),
+                    "cent_cos": cent,
+                }
+            )
+
+    return base.mapInPandas(_assign, schema=out_schema)
+
+
 def semantic_dedup_sql(
     threshold: float = 0.99,
     n_centroids: int = 8,
@@ -1622,6 +1764,57 @@ def _normalized(df: DataFrame, id_col: str, vec_col: str, dim: int) -> DataFrame
     )
 
 
+def _pq_train_assign_vector(
+    corpus_norm: DataFrame,
+    books: list[list[list[float]]],
+    m: int,
+    sub_dim: int,
+) -> DataFrame:
+    """One Lloyd round's assignment for ``_pq_train``'s "vector" mode:
+    (sub, cid, sv) rows from an Arrow-batched numpy kernel with the
+    fold's exact IEEE order (dimension-loop squared-L2, first-minimum
+    ties, NaN-as-greatest — see ``_pq_encode_vector``). Emits only the
+    slim rows the quantized-BIGINT aggregation consumes."""
+    import numpy as np
+
+    C = np.asarray(books, dtype=np.float64)  # (m, k, sub_dim)
+    sub = int(sub_dim)
+    mm = int(m)
+
+    def _assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np.vstack([_np.asarray(x, dtype=_np.float64) for x in pdf["vn"]])
+            n = len(pdf)
+            frames = []
+            for j in range(mm):
+                S = V[:, j * sub : (j + 1) * sub]
+                Cj = C[j]
+                D = _np.zeros((n, Cj.shape[0]), dtype=_np.float64)
+                for i in range(sub):
+                    diff = S[:, i][:, None] - Cj[None, :, i]
+                    D += diff * diff
+                D[_np.isnan(D)] = _np.inf
+                frames.append(
+                    _pd.DataFrame(
+                        {
+                            "sub": _np.full(n, j, dtype=_np.int32),
+                            "cid": D.argmin(axis=1).astype("int32"),
+                            "sv": list(S),
+                        }
+                    )
+                )
+            yield _pd.concat(frames, ignore_index=True)
+
+    return corpus_norm.select("vn").mapInPandas(
+        _assign, schema="sub int, cid int, sv array<double>"
+    )
+
+
 def _pq_train(
     corpus_norm: DataFrame,
     m: int,
@@ -1629,6 +1822,7 @@ def _pq_train(
     n_codes: int,
     iterations: int,
     id_col: str,
+    encode_mode: str = "vector",
 ) -> list[list[list[float]]]:
     """Per-subspace deterministic k-means over the NORMALIZED corpus —
     ``ivf_build_centroids``' exact-replay discipline (md5-ordered seeding,
@@ -1646,7 +1840,19 @@ def _pq_train(
     arithmetic is unchanged expression-for-expression, so the codebooks
     are bit-identical to the loop form and the SQL twin's independent
     per-subspace replay. Only (m x n_codes x sub_dim) BIGINT sums reach
-    the driver per round."""
+    the driver per round.
+
+    ``encode_mode="vector"`` (round 15, the default): each Lloyd round's
+    assignment runs as an Arrow-batched numpy kernel over the normalized
+    sample — the ``_pq_encode_vector`` dimension-loop L2 with the fold's
+    exact IEEE order and first-minimum tie rule, emitting slim
+    (sub, cid, sv) rows straight into the same quantized-BIGINT
+    aggregation — instead of the broadcast join + per-(sub, id) rank
+    window over sample x n_codes rows. Codebooks are bit-identical
+    (assignments identical, BIGINT sums order-independent). "matmul"
+    rides the same kernel: PQ TRAINING was always fold-exact (the
+    join+window), so the kernel changes nothing about matmul-mode books
+    either — only "fold" keeps the pure-JVM join + window shape."""
     seed_rows = (
         corpus_norm.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(n_codes)
@@ -1671,44 +1877,52 @@ def _pq_train(
         off = j * sub_dim
         books.append([list(r["vn"])[off : off + sub_dim] for r in seed_rows])
 
-    # sub-vector rows for every subspace in one pass: (id, sub, sv)
-    svall = corpus_norm.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("sub"),
-                        F.array(
-                            *[F.get("vn", j * sub_dim + i) for i in range(sub_dim)]
-                        ).alias("sv"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("z"),
-    ).select(F.col(id_col), F.col("z.sub").alias("sub"), F.col("z.sv").alias("sv"))
+    # sub-vector rows for every subspace in one pass: (id, sub, sv) —
+    # only the join+window modes need the JVM explode; the vector mode's
+    # kernel slices subspaces batch-side.
+    kernel_assign = encode_mode in ("vector", "matmul")
+    svall = None
+    if not kernel_assign:
+        svall = corpus_norm.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("sub"),
+                            F.array(
+                                *[F.get("vn", j * sub_dim + i) for i in range(sub_dim)]
+                            ).alias("sv"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("z"),
+        ).select(F.col(id_col), F.col("z.sub").alias("sub"), F.col("z.sv").alias("sv"))
 
     for _ in range(iterations):
-        cent_df = F.broadcast(
-            corpus_norm.sparkSession.createDataFrame(
-                [(j, i, v) for j in range(m) for i, v in enumerate(books[j])],
-                "sub int, cid int, cv array<double>",
+        if kernel_assign:
+            assigned = _pq_train_assign_vector(corpus_norm, books, m, sub_dim)
+        else:
+            cent_df = F.broadcast(
+                corpus_norm.sparkSession.createDataFrame(
+                    [(j, i, v) for j in range(m) for i, v in enumerate(books[j])],
+                    "sub int, cid int, cv array<double>",
+                )
             )
-        )
-        assigned = (
-            svall.join(cent_df, on="sub")
-            .withColumn("d", _l2_unrolled(F.col("sv"), F.col("cv"), sub_dim))
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("sub", id_col).orderBy(
-                        F.col("d").asc(), F.col("cid")
-                    )
-                ),
+            assigned = (
+                svall.join(cent_df, on="sub")
+                .withColumn("d", _l2_unrolled(F.col("sv"), F.col("cv"), sub_dim))
+                .withColumn(
+                    "rk",
+                    F.row_number().over(
+                        Window.partitionBy("sub", id_col).orderBy(
+                            F.col("d").asc(), F.col("cid")
+                        )
+                    ),
+                )
+                .where(F.col("rk") == 1)
             )
-            .where(F.col("rk") == 1)
-        )
         sums = (
             assigned.select(
                 "sub",
@@ -1789,6 +2003,59 @@ def _pq_encode_matmul(
     return cn.select(F.col(id_col), "vn").mapInPandas(_encode, schema=out_schema)
 
 
+def _pq_encode_vector(
+    cn: DataFrame,
+    books: list[list[list[float]]],
+    m: int,
+    sub_dim: int,
+    id_col: str,
+) -> DataFrame:
+    """Bit-exact-fold PQ encoding at Arrow speed (round 15; the
+    ``_assign_vector`` pattern applied to squared-L2 argmin): per
+    subspace the distance accumulates over DIMENSIONS left to right —
+    ``D += (s_i - c_i) * (s_i - c_i)`` — the identical IEEE chain
+    ``_l2_unrolled`` (and the twin's ``list_sum``) evaluates, and
+    ``argmin`` takes the FIRST minimum (lowest cid — the fold's
+    ``array_position(dists, array_min(dists))`` rule). NaN distances are
+    masked to +inf first, mirroring Spark's NaN-greatest ordering in
+    ``array_min`` (a NaN distance requires a NaN input component; the
+    documented no-NaN precondition). Oracle-safe, unlike matmul — and
+    plan size is O(1) in ``n_codes``, so the paper's k*=256 codebooks
+    cost the same plan as 16."""
+    import numpy as np
+
+    C = [np.asarray(books[j], dtype=np.float64) for j in range(m)]  # (k, sub)
+    id_type = cn.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, " + ", ".join(
+        f"code{j} int" for j in range(m)
+    )
+    sub = int(sub_dim)
+    mm = int(m)
+
+    def _encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np.vstack([_np.asarray(x, dtype=_np.float64) for x in pdf["vn"]])
+            n = len(pdf)
+            out = {id_col: pdf[id_col].values}
+            for j in range(mm):
+                S = V[:, j * sub : (j + 1) * sub]
+                Cj = C[j]
+                D = _np.zeros((n, Cj.shape[0]), dtype=_np.float64)
+                for i in range(sub):
+                    diff = S[:, i][:, None] - Cj[None, :, i]
+                    D += diff * diff
+                D[_np.isnan(D)] = _np.inf
+                out[f"code{j}"] = D.argmin(axis=1).astype("int32")
+            yield _pd.DataFrame(out)
+
+    return cn.select(F.col(id_col), "vn").mapInPandas(_encode, schema=out_schema)
+
+
 def _pq_encode(
     cn: DataFrame,
     books: list[list[list[float]]],
@@ -1797,9 +2064,12 @@ def _pq_encode(
     id_col: str,
     encode_mode: str,
 ) -> DataFrame:
-    """(id, code0..code{m-1}) — the fold/matmul encode switch shared by
-    pq_topk, ivfpq_topk and build_pq_index (one implementation, one tie
-    rule: first minimum -> lowest cid)."""
+    """(id, code0..code{m-1}) — the fold/vector/matmul encode switch
+    shared by pq_topk, ivfpq_topk and build_pq_index (one implementation,
+    one tie rule: first minimum -> lowest cid). "vector" (default since
+    round 15) is bit-identical to "fold"."""
+    if encode_mode == "vector":
+        return _pq_encode_vector(cn, books, m, sub_dim, id_col)
     if encode_mode == "matmul":
         return _pq_encode_matmul(cn, books, m, sub_dim, id_col)
     code_cols = []
@@ -1844,7 +2114,7 @@ def build_pq_index(
     sample_den: int = 1,
     coarse_sample_num: int = 1,
     coarse_sample_den: int = 1,
-    encode_mode: str = "fold",
+    encode_mode: str = "vector",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
@@ -1879,9 +2149,9 @@ def build_pq_index(
         raise ValueError(f"m must be >= 1, got {m}")
     if dim % m != 0:
         raise ValueError(f"dim={dim} must be divisible by m={m}")
-    if encode_mode not in ("fold", "matmul"):
+    if encode_mode not in ("fold", "matmul", "vector"):
         raise ValueError(
-            f"encode_mode must be 'fold' or 'matmul', got {encode_mode!r}"
+            f"encode_mode must be 'fold', 'matmul' or 'vector', got {encode_mode!r}"
         )
     if n_lists is not None and n_lists < 1:
         raise ValueError(f"n_lists must be >= 1, got {n_lists}")
@@ -1894,7 +2164,7 @@ def build_pq_index(
         train = cn.where(
             _md5_sample_pred(id_col, sample_num, sample_den)
         ).localCheckpoint(eager=True)
-    books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
+    books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col, encode_mode)
     codes = _pq_encode(cn, books, m, sub_dim, id_col, encode_mode)
 
     spark.createDataFrame(
@@ -1932,7 +2202,7 @@ def build_pq_index(
             id_col=id_col,
             vec_col=vec_col,
             dim=dim,
-            assign_mode="matmul" if encode_mode == "matmul" else "fold",
+            assign_mode=encode_mode,
         )
         spark.createDataFrame(
             [(i, v) for i, v in enumerate(coarse)],
@@ -2356,7 +2626,10 @@ def _check_index_meta(
     fit with a specific sampling / iteration / encode regime; a caller
     requesting a different one would get results trained differently
     than requested while the docstrings promise bit-identical-to-rebuild
-    serving."""
+    serving. "fold" and "vector" encode modes are ONE equivalence class
+    (round 15): the vector kernels reproduce the fold's IEEE order
+    exactly, so their artifacts are bit-identical and interchangeable —
+    only "matmul" (BLAS summation order) stays a distinct regime."""
     got = (meta["kind"], meta["m"], meta["n_codes"], meta["dim"])
     want = (kind, m, n_codes, dim)
     if got != want:
@@ -2364,6 +2637,7 @@ def _check_index_meta(
             f"persisted index (kind, m, n_codes, dim)={got} does not match "
             f"requested {want}; rebuild the index or match the parameters"
         )
+    exact_modes = {"fold", "vector"}
     knobs = {
         "iterations": iterations,
         "sample_num": sample_num,
@@ -2373,9 +2647,14 @@ def _check_index_meta(
         "coarse_sample_den": coarse_sample_den,
     }
     for key, val in knobs.items():
-        if val is not None and meta.get(key) != val:
+        if val is None:
+            continue
+        stored = meta.get(key)
+        if key == "encode_mode" and stored in exact_modes and val in exact_modes:
+            continue
+        if stored != val:
             raise ValueError(
-                f"persisted index was trained with {key}={meta.get(key)!r}, "
+                f"persisted index was trained with {key}={stored!r}, "
                 f"caller requested {val!r}; serving it would silently "
                 "return results from a differently-trained index — rebuild "
                 "or pass the stored value"
@@ -2391,8 +2670,16 @@ def _coarse_assign(
     dim: int,
 ) -> DataFrame:
     """(id, cid) — nearest coarse centroid per corpus vector (cosine,
-    ties to lowest cid), fold (broadcast centroid table + window) or
-    matmul (Arrow argmax) mode; shared by ivfpq_topk and build_pq_index."""
+    ties to lowest cid), fold (broadcast centroid table + window),
+    vector (Arrow argmax, fold-bit-exact) or matmul (Arrow argmax, BLAS)
+    mode; shared by ivfpq_topk and build_pq_index."""
+    if encode_mode == "vector":
+        return _assign_vector(
+            corpus.select(F.col(id_col), _as_double(vec_col).alias("v")),
+            coarse,
+            id_col,
+            dim,
+        ).select(F.col(id_col), "cid")
     if encode_mode == "matmul":
         return _assign_matmul(
             corpus.select(F.col(id_col), _as_double(vec_col).alias("v")),
@@ -2434,7 +2721,7 @@ def pq_topk(
     shards: int = 32,
     sample_num: int = 1,
     sample_den: int = 1,
-    encode_mode: str = "fold",
+    encode_mode: str = "vector",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
@@ -2472,14 +2759,18 @@ def pq_topk(
     trick — so ``pq_topk_sql`` replays the WHOLE procedure and
     hash-matches, like s3/d8.
 
-    ``encode_mode="matmul"`` (the d8 assign_mode pattern): the encode runs
-    as an Arrow-batched numpy argmin (``_pq_encode_matmul``) and the ADC
-    selects centroids via m broadcast hash-joins on (code -> cid) instead
-    of element_at over literal arrays — plan size O(1) in ``n_codes``,
-    the path that makes the paper's k*=256-per-subspace codebooks
-    runnable (the fold's literal plan is not). Not bit-exact-oracle-safe
-    (numpy summation order); the oracle keeps the fold default, and
-    fold/matmul final-result equality on the test fixture is asserted.
+    ``encode_mode="vector"`` (round 15, the DEFAULT): training assignment
+    and encode run as Arrow-batched numpy kernels whose dimension-loop
+    accumulation keeps the fold's exact IEEE order
+    (``_pq_train_assign_vector`` / ``_pq_encode_vector``) — BIT-IDENTICAL
+    to the fold (oracle-safe) with plan size O(1) in ``n_codes``; the ADC
+    selects centroids via m broadcast hash-joins like matmul mode (the
+    selected centroid array, and hence the ADC dot chain, is identical
+    either way). ``encode_mode="matmul"`` (the d8 assign_mode pattern) is
+    the BLAS variant: one matmul per batch, NOT bit-exact in the last ulp
+    (numpy pairwise/SIMD summation); fold/matmul final-result equality on
+    the test fixture is asserted. ``encode_mode="fold"`` is the legacy
+    pure-JVM form (literal plan chains, O(n_codes) plan size).
 
     ``index_path`` (r10 verdict #3): serve from a ``build_pq_index``
     artifact instead of re-training — codebooks load driver-side
@@ -2500,9 +2791,9 @@ def pq_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if sample_num < 1 or sample_den < 1 or sample_num > sample_den:
         raise ValueError("sample fraction must satisfy 1 <= sample_num <= sample_den")
-    if encode_mode not in ("fold", "matmul"):
+    if encode_mode not in ("fold", "matmul", "vector"):
         raise ValueError(
-            f"encode_mode must be 'fold' or 'matmul', got {encode_mode!r}"
+            f"encode_mode must be 'fold', 'matmul' or 'vector', got {encode_mode!r}"
         )
     cand = 4 * k if candidates is None else int(candidates)
     if cand < k:
@@ -2536,10 +2827,10 @@ def pq_topk(
             train = cn.where(
                 _md5_sample_pred(id_col, sample_num, sample_den)
             ).localCheckpoint(eager=True)
-        books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
+        books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col, encode_mode)
         # encode: per subspace, argmin squared-L2 against the codebook
-        # literals (array_position finds the FIRST minimum -> ties to the
-        # lowest cid, the twin's row_number ORDER BY d ASC, cid).
+        # (array_position / numpy argmin find the FIRST minimum -> ties
+        # to the lowest cid, the twin's row_number ORDER BY d ASC, cid).
         codes = _pq_encode(cn, books, m, sub_dim, id_col, encode_mode)
 
     qn = _normalized(queries, id_col, vec_col, dim).select(
@@ -2547,11 +2838,12 @@ def pq_topk(
     )
     # ADC: adc = sum_j dot(q_sub_j, codebook_j[code_j]) in fixed j order.
     # Centroid selection: literal-array element_at in fold mode (zero
-    # joins, plan O(n_codes)); m broadcast hash-joins in matmul mode
-    # (plan O(1) in n_codes — required at paper-scale codebooks). The dot
-    # chain itself is identical either way.
+    # joins, plan O(n_codes)); m broadcast hash-joins in vector/matmul
+    # mode (plan O(1) in n_codes — required at paper-scale codebooks).
+    # The dot chain itself is identical either way, so vector-mode ADC
+    # values stay bit-identical to the fold's.
     adc: Column | None = None
-    if encode_mode == "matmul":
+    if encode_mode in ("matmul", "vector"):
         # attach the selected centroids to the CORPUS-sized codes table
         # BEFORE the query crossJoin — __cv{j} depends only on code{j},
         # so joining after would re-probe and re-carry every centroid
@@ -2647,7 +2939,7 @@ def ivfpq_topk(
     sample_den: int = 1,
     coarse_sample_num: int = 1,
     coarse_sample_den: int = 1,
-    encode_mode: str = "fold",
+    encode_mode: str = "vector",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = EMBED_DIM,
@@ -2684,16 +2976,18 @@ def ivfpq_topk(
     0.19 s/query), crossover ~34 queries — BELOW that batch size use
     flat ``pq_topk`` (its 5-query bench entry beats s6's there; the
     t2_s5/s6 *_q50_* pair records the regime where IVF earns its build). Coarse
-    training/assignment cost is n_lists-proportional — at paper-scale
-    list counts use ``encode_mode="matmul"``, which routes BOTH the
-    coarse Lloyd/assignment and the PQ encode through the Arrow-batched
-    numpy path (d8's assign_mode; not bit-exact-oracle-safe, so the
-    oracle keeps the fold default — same discipline as s5/d8), and
-    ``coarse_sample_num/den`` trains the coarse quantizer on the d8 md5
+    training/assignment cost is n_lists-proportional — the
+    ``encode_mode="vector"`` DEFAULT (round 15) routes BOTH the coarse
+    Lloyd/assignment and the PQ encode through the Arrow-batched numpy
+    kernels whose dimension-loop accumulation is BIT-IDENTICAL to the
+    fold (oracle-safe at paper-scale list counts; see ``pq_topk``);
+    ``"matmul"`` is the BLAS variant (not bit-exact in the last ulp),
+    ``"fold"`` the legacy pure-JVM form. ``coarse_sample_num/den``
+    trains the coarse quantizer on the d8 md5
     subsample instead of the full corpus (every Lloyd round otherwise
     scans all vectors; FAISS likewise trains IVF on a sample). Final
     list ASSIGNMENT always covers the full corpus; the sample knob
-    mirrors in the twin, so the fold oracle stays exact.
+    mirrors in the twin, so the exact-mode oracle stays exact.
 
     Plan-audit note: the two ``Join Cross`` nodes tools/plan_audit.py
     flags here are the coarse ASSIGNMENT joins — corpus/query rows
@@ -2720,9 +3014,9 @@ def ivfpq_topk(
         raise ValueError(
             f"n_probe must be in [1, n_lists={n_lists}], got {n_probe}"
         )
-    if encode_mode not in ("fold", "matmul"):
+    if encode_mode not in ("fold", "matmul", "vector"):
         raise ValueError(
-            f"encode_mode must be 'fold' or 'matmul', got {encode_mode!r}"
+            f"encode_mode must be 'fold', 'matmul' or 'vector', got {encode_mode!r}"
         )
     if m < 1:
         raise ValueError(f"m must be >= 1, got {m}")
@@ -2782,7 +3076,7 @@ def ivfpq_topk(
             id_col=id_col,
             vec_col=vec_col,
             dim=dim,
-            assign_mode="matmul" if encode_mode == "matmul" else "fold",
+            assign_mode=encode_mode,
         )
         c_lists = _coarse_assign(corpus, coarse, encode_mode, id_col, vec_col, dim)
 
@@ -2793,7 +3087,7 @@ def ivfpq_topk(
             train = cn.where(
                 _md5_sample_pred(id_col, sample_num, sample_den)
             ).localCheckpoint(eager=True)
-        books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col)
+        books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col, encode_mode)
         codes = _pq_encode(cn, books, m, sub_dim, id_col, encode_mode)
         # the stored artifact at scale: codes PARTITIONED BY the list id —
         # a probe below prunes to n_probe partitions (build_pq_index
@@ -2842,8 +3136,11 @@ def ivfpq_topk(
         )
 
     # ---- ADC over probed lists only (vs s5's full crossJoin) -----------
+    # vector mode rides the broadcast-join centroid selection (the
+    # selected centroid array, and hence the dot chain, is identical to
+    # the fold's element_at — bit-identical ADC values).
     adc: Column | None = None
-    if encode_mode == "matmul":
+    if encode_mode in ("matmul", "vector"):
         cl = coded_lists
         for j in range(m):
             cb_j = F.broadcast(
