@@ -916,29 +916,20 @@ def embedding_neardup_lsh(
         F.col("v").alias("vb"),
         _norm(F.col("v")).alias("nb"),
     )
+    # exact verification rides the _cosine_verify_vector kernel (round
+    # 15): bit-identical doubles at Arrow speed, and no 64-term codegen
+    # chain exists anymore for pushdown substitution to overflow.
     return (
-        cands.join(va, on="id_a")
-        .join(vb, on="id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                _dot_unrolled(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb"))
-            ).alias("cos"),
+        _cosine_verify_vector(
+            cands.join(va, on="id_a").join(vb, on="id_b")
         )
+        .select("id_a", "id_b", "cos")
         # Null-TOLERANT threshold (r11): a plain ``cos >= t`` filter is
         # null-intolerant, so InferFiltersFromConstraints derives
-        # ``isnotnull(na)``/``isnotnull(nb)`` and pushes them below the
-        # verify joins — where predicate pushdown SUBSTITUTES the input
-        # projection into every term, so a caller whose vector column is
-        # itself an expression (the planted fixture's concat/slice, any
-        # normalize/select upstream) gets a Filter holding 2·dim copies of
-        # that expression: the 64 KB janino overflow the r10 judge caught
-        # (silent interpreted fallback). ``coalesce(pred, false)`` is
-        # value-identical (NULL cos never passes either form) but
-        # null-tolerant, so no constraint is inferred and no giant Filter
-        # exists to overflow. Gate: tools/codegen_gate.py fails preflight/
+        # ``isnotnull(cos)`` — harmless against the kernel's output, but
+        # the null-tolerant form is kept: it is value-identical (NULL cos
+        # never passes either form) and stays robust if a JVM scoring
+        # path ever returns. Gate: tools/codegen_gate.py fails preflight/
         # bench on any ``ERROR CodeGenerator`` in captured stderr.
         .where(F.coalesce(F.col("cos") >= threshold, F.lit(False)))
     )
@@ -1088,17 +1079,17 @@ def knn_join(
         F.col("v").alias("cv"),
         _norm(F.col("v")).alias("cn"),
     )
-    scored = (
-        cands.join(vq, on="query_id")
-        .join(vc, on=id_col)
-        .select(
-            "query_id",
-            id_col,
-            (
-                _dot_unrolled(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-            ).alias("cos"),
-        )
-    )
+    # exact scoring rides the _cosine_verify_vector kernel (round 15):
+    # the joins themselves are cheap (~3.5 s at 7.4M candidates), the
+    # 64-term codegen dot chain was the wall (~18 s) — same doubles,
+    # bit for bit (see the kernel docstring).
+    scored = _cosine_verify_vector(
+        cands.join(vq, on="query_id").join(vc, on=id_col),
+        a_col="qv",
+        b_col="cv",
+        na_col="qn",
+        nb_col="cn",
+    ).select("query_id", id_col, "cos")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
@@ -1400,15 +1391,13 @@ def semantic_dedup(
         F.col("v").alias("vb"),
         F.col("nv").alias("nb"),
     )
-    dup_pairs = (
-        cands.join(side_a, on="id_a")
-        .join(side_b, on="id_b")
-        .withColumn(
-            "cos",
-            _dot_unrolled(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")),
-        )
-        .where(F.col("cos") >= F.lit(float(threshold)))
-    )
+    # exact verification rides the _cosine_verify_vector kernel (round
+    # 15): bit-identical doubles at Arrow speed; ca/cb and the ids pass
+    # through Arrow losslessly for the removal rule below.
+    dup_pairs = _cosine_verify_vector(
+        cands.join(side_a, on="id_a").join(side_b, on="id_b"),
+        dim=dim,
+    ).where(F.col("cos") >= F.lit(float(threshold)))
     removed = dup_pairs.select(
         F.when(
             (F.col("cb") < F.col("ca"))
@@ -1619,6 +1608,85 @@ def _assign_vector(
             )
 
     return base.mapInPandas(_assign, schema=out_schema)
+
+
+def _cosine_verify_vector(
+    pairs: DataFrame,
+    a_col: str = "va",
+    b_col: str = "vb",
+    na_col: str = "na",
+    nb_col: str = "nb",
+    dim: int = EMBED_DIM,
+    out: str = "cos",
+) -> DataFrame:
+    """Bit-exact pair-cosine scoring at Arrow speed (round 15; the
+    ``_assign_vector`` pattern applied to the ANN verify stage).
+
+    Input: one row per candidate pair carrying both vectors and their
+    precomputed norms (the fetch-back join output). Output: the same row
+    minus the two vector columns, plus ``out = dot/(na*nb)`` where the
+    dot accumulates over DIMENSIONS left to right — the identical IEEE
+    chain ``_dot_unrolled`` evaluates (elementwise numpy ``*``/``+`` are
+    single correctly-rounded ops), and the norm product + division are
+    one IEEE op each on both engines, so the emitted double is
+    bit-identical to the JVM expression. Measured motivation: the
+    64-term codegen chain costs ~2.4 µs/pair — ~18 s of s4's ~30 s wall
+    at 7.4M candidates (tools/profile_s4b.py), vs ~3.5 s for the joins
+    themselves; the kernel's 64 vectorized multiply-adds amortize that
+    to memory bandwidth. A pair whose vector is shorter than ``dim``
+    scores NULL, mirroring the JVM chain (out-of-bounds ``F.get`` is
+    NULL, which poisons the sum; numpy NaN converts to Arrow null).
+    NaN vector COMPONENTS are excluded by the documented no-NaN
+    precondition (a NaN cosine would also surface as NULL here, where
+    the JVM keeps NaN — the threshold/ranking consumers below treat
+    both as non-passing, and the precondition keeps the case
+    unreachable). All non-vector columns pass through Arrow unchanged
+    (lossless for the integer/string/double keys the callers carry)."""
+    import numpy as np  # noqa: F401 — workers re-import below
+
+    d = int(dim)
+    keep = [f for f in pairs.schema.fields if f.name not in (a_col, b_col)]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in keep
+    ) + f", {out} double"
+    keep_names = [f.name for f in keep]
+
+    def _score(batches):
+        import numpy as _np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+
+            def _stack(col):
+                arrs = [_np.asarray(x, dtype=_np.float64) for x in pdf[col]]
+                short = _np.fromiter(
+                    (a.size < d for a in arrs), dtype=bool, count=n
+                )
+                if short.any():
+                    mat = _np.vstack(
+                        [
+                            a[:d] if a.size >= d else _np.full(d, _np.nan)
+                            for a in arrs
+                        ]
+                    )
+                else:
+                    mat = _np.vstack([a[:d] for a in arrs])
+                return mat, short
+
+            A, short_a = _stack(a_col)
+            B, short_b = _stack(b_col)
+            dot = _np.zeros(n, dtype=_np.float64)
+            for i in range(d):
+                dot += A[:, i] * B[:, i]
+            cos = dot / (pdf[na_col].values * pdf[nb_col].values)
+            cos[short_a | short_b] = _np.nan  # -> Arrow null, the JVM's NULL
+            res = pdf[keep_names].copy()
+            res[out] = cos
+            yield res
+
+    return pairs.mapInPandas(_score, schema=out_schema)
 
 
 def semantic_dedup_sql(

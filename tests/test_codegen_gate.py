@@ -67,9 +67,9 @@ spark = (SparkSession.builder.master("local[4]")
          .config("spark.ui.enabled", "false")
          .getOrCreate())
 from stock_chart_kafka_streams_spark.operators.similarity import (
-    embedding_neardup_lsh, planted_neardup_vectors)
+    embedding_neardup_lsh, embedding_neardup_pairs, planted_neardup_vectors)
 embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-df = embedding_neardup_lsh(planted_neardup_vectors(embs), threshold=0.99)
+df = {operator}(planted_neardup_vectors(embs), threshold=0.99)
 {extra_filter}
 n = df.count()
 spark.stop()
@@ -78,11 +78,15 @@ print("HITS=%d ROWS=%d" % (len(gate.hits), n))
 """
 
 
-def _run_gate_subprocess(extra_filter: str) -> tuple[int, int]:
+def _run_gate_subprocess(
+    extra_filter: str, operator: str = "embedding_neardup_lsh"
+) -> tuple[int, int]:
     """Run d5 under the gate in a FRESH process (the JVM inherits fd 2 at
     launch, so the tee must wrap SparkSession creation — exactly how
     driver_sim.py and bench.py use it)."""
-    code = _SUBPROC_TEMPLATE.format(repo=REPO, extra_filter=extra_filter)
+    code = _SUBPROC_TEMPLATE.format(
+        repo=REPO, extra_filter=extra_filter, operator=operator
+    )
     proc = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -107,9 +111,15 @@ def test_gate_catches_the_r10_overflow_form():
     ``isnotnull(cos)``, which pushdown substitutes through the planted
     projection into a 2*dim-copy Filter — the exact 64 KB overflow the
     r10 judge observed. The gate must see it (results stay correct, so
-    nothing else will)."""
+    nothing else will). Since round 15 the LSH path scores pairs in the
+    Arrow kernel (no JVM dot chain left to overflow — the fix class
+    upgraded from null-tolerance to no-expression-at-all), so the
+    overflow vehicle is the quadratic ``embedding_neardup_pairs`` form,
+    which keeps the JVM ``_dot_unrolled`` chain and the planted
+    projection it substitutes."""
     hits, rows = _run_gate_subprocess(
-        'df = df.where(F.col("cos") >= 0.99)'
+        'df = df.where(F.col("cos") >= 0.99)',
+        operator="embedding_neardup_pairs",
     )
     assert hits > 0
     assert rows == 13  # correct-but-interpreted: why only the gate catches it

@@ -176,6 +176,55 @@ def test_assign_vector_nondefault_dim(spark):
     assert _rows(fold) == _rows(vect)
 
 
+def test_cosine_verify_kernel_bit_equals_dot_unrolled(spark, embs):
+    """The shared pair-verify kernel (s4/d5/d8's exact scoring) must emit
+    the IDENTICAL double the JVM 64-term chain emits, and NULL for a
+    short-array pair exactly like the chain's out-of-bounds F.get."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _as_double,
+        _cosine_verify_vector,
+        _dot_unrolled,
+        _norm,
+    )
+
+    v = embs.select(F.col("vec_id"), _as_double("embedding").alias("v"))
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        _norm(F.col("v")).alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        _norm(F.col("v")).alias("nb"),
+    )
+    pairs = a.join(b, F.col("id_a") + 7 == F.col("id_b"))
+    jvm = pairs.select(
+        "id_a",
+        "id_b",
+        (_dot_unrolled(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "cos"
+        ),
+    )
+    kern = _cosine_verify_vector(pairs).select("id_a", "id_b", "cos")
+    assert _rows(jvm) == _rows(kern)
+
+
+def test_cosine_verify_kernel_short_array_is_null(spark):
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _cosine_verify_vector,
+    )
+
+    rows = [(1, 2, [1.0] * 64, [2.0] * 8, 8.0, 8.0), (3, 4, [1.0] * 64, [2.0] * 64, 8.0, 16.0)]
+    pairs = spark.createDataFrame(
+        rows,
+        "id_a int, id_b int, va array<double>, vb array<double>, na double, nb double",
+    )
+    out = {r["id_a"]: r["cos"] for r in _cosine_verify_vector(pairs).collect()}
+    assert out[1] is None  # short vb -> NULL, the JVM F.get semantics
+    assert out[3] == 128.0 / (8.0 * 16.0)
+
+
 def test_vector_mode_rejected_names_still_raise(spark, embs):
     from stock_chart_kafka_streams_spark.operators.similarity import (
         ivf_build_centroids,
