@@ -119,6 +119,16 @@ def foreach_batch_corpus_ingest(
 
         stored_buckets = None
         if _table_exists(spark, corpus_path):
+            # materialize the within-batch survivors ONCE (round 15):
+            # incremental_dedup references its incoming THREE times (band
+            # buckets, candidate-shingle semi-join, final anti-join), and
+            # in the curation hook that lineage is the whole gate +
+            # decontam + within-batch-dedup pipeline — re-executed per
+            # reference without this pin (measured with the hook's gated
+            # pin: per-batch wall ~31-35 s -> ~17-21 s at the tier-2
+            # 100k-doc batch shape, identical corpus). The no-corpus
+            # bootstrap path checkpoints `fresh` below anyway.
+            within = within.localCheckpoint(eager=True)
             existing = spark.read.parquet(corpus_path)
             if buckets_path is not None and _table_exists(spark, buckets_path):
                 stored_buckets = spark.read.parquet(buckets_path)
@@ -268,6 +278,13 @@ def foreach_batch_curation_ingest(
                 )
                 .where(~F.coalesce(F.col("contaminated"), F.lit(False)))
                 .drop("contaminated")
+                # pin the gate+decontam output ONCE (round 15): the
+                # within-batch dedup references its input three times
+                # (band buckets, candidate-shingle semi-join, final
+                # anti-join), and without the pin each reference re-runs
+                # the gopher gate AND the decontam gram scan (measured
+                # with the `within` pin below it: see OPTIMIZATION_r15).
+                .localCheckpoint(eager=True)
             )
         inner(gated, batch_id)
 
