@@ -2232,7 +2232,39 @@ def build_pq_index(
         train = cn.where(
             _md5_sample_pred(id_col, sample_num, sample_den)
         ).localCheckpoint(eager=True)
-    books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col, encode_mode)
+    coarse = None
+    if n_lists is not None:
+        # overlap the two independent driver-blocking trainings (guide
+        # §2.6 — concurrent jobs back-fill each other's stage tails):
+        # the PQ codebooks and the IVF coarse quantizer train from their
+        # own (already-checkpointed) samples and share no state; results
+        # are pure values, so overlap cannot change them.
+        coarse_train = corpus
+        if coarse_sample_den > 1:
+            coarse_train = corpus.where(
+                _md5_sample_pred(id_col, coarse_sample_num, coarse_sample_den)
+            ).localCheckpoint(eager=True)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_books = pool.submit(
+                _pq_train, train, m, sub_dim, n_codes, iterations, id_col,
+                encode_mode,
+            )
+            fut_coarse = pool.submit(
+                ivf_build_centroids,
+                coarse_train,
+                n_lists,
+                iterations=iterations,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=dim,
+                assign_mode=encode_mode,
+            )
+            books = fut_books.result()
+            coarse = fut_coarse.result()
+    else:
+        books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col, encode_mode)
     codes = _pq_encode(cn, books, m, sub_dim, id_col, encode_mode)
 
     spark.createDataFrame(
@@ -2258,20 +2290,7 @@ def build_pq_index(
     }
 
     if n_lists is not None:
-        coarse_train = corpus
-        if coarse_sample_den > 1:
-            coarse_train = corpus.where(
-                _md5_sample_pred(id_col, coarse_sample_num, coarse_sample_den)
-            ).localCheckpoint(eager=True)
-        coarse = ivf_build_centroids(
-            coarse_train,
-            n_lists,
-            iterations=iterations,
-            id_col=id_col,
-            vec_col=vec_col,
-            dim=dim,
-            assign_mode=encode_mode,
-        )
+        assert coarse is not None  # trained concurrently above
         spark.createDataFrame(
             [(i, v) for i, v in enumerate(coarse)],
             "cid int, cv array<double>",
@@ -3131,31 +3150,43 @@ def ivfpq_topk(
         assert coarse is not None
         coded_lists = spark.read.parquet(f"{index_path}/codes")
     else:
-        # ---- coarse quantizer: s3's deterministic k-means, verbatim ----
+        # ---- coarse quantizer (s3's deterministic k-means) + PQ
+        # codebooks (s5's machinery), trained CONCURRENTLY (round 15,
+        # guide §2.6): the two trainings are independent driver-blocking
+        # Lloyd loops over their own checkpointed samples — overlapping
+        # them back-fills each other's stage tails and cannot change the
+        # (pure-value) results.
         coarse_train = corpus
         if coarse_sample_den > 1:
             coarse_train = corpus.where(
                 _md5_sample_pred(id_col, coarse_sample_num, coarse_sample_den)
             ).localCheckpoint(eager=True)
-        coarse = ivf_build_centroids(
-            coarse_train,
-            n_lists,
-            iterations=iterations,
-            id_col=id_col,
-            vec_col=vec_col,
-            dim=dim,
-            assign_mode=encode_mode,
-        )
-        c_lists = _coarse_assign(corpus, coarse, encode_mode, id_col, vec_col, dim)
-
-        # ---- PQ codebooks + encode: s5's machinery, verbatim ------------
         cn = _normalized(corpus, id_col, vec_col, dim)
         train = cn
         if sample_den > 1:
             train = cn.where(
                 _md5_sample_pred(id_col, sample_num, sample_den)
             ).localCheckpoint(eager=True)
-        books = _pq_train(train, m, sub_dim, n_codes, iterations, id_col, encode_mode)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_coarse = pool.submit(
+                ivf_build_centroids,
+                coarse_train,
+                n_lists,
+                iterations=iterations,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=dim,
+                assign_mode=encode_mode,
+            )
+            fut_books = pool.submit(
+                _pq_train, train, m, sub_dim, n_codes, iterations, id_col,
+                encode_mode,
+            )
+            coarse = fut_coarse.result()
+            books = fut_books.result()
+        c_lists = _coarse_assign(corpus, coarse, encode_mode, id_col, vec_col, dim)
         codes = _pq_encode(cn, books, m, sub_dim, id_col, encode_mode)
         # the stored artifact at scale: codes PARTITIONED BY the list id —
         # a probe below prunes to n_probe partitions (build_pq_index
