@@ -420,11 +420,15 @@ def cascade_upsert_with_corr(
     ]
 
     def _write(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        win = _cascade_batch(batch, path, coarse, fill_gaps)
+        # _cascade_batch evaluates the stateful micro-batch plan exactly
+        # once (its checkpoint) and hands the pinned batch back — the
+        # corr update's own probes/filters then run over the checkpoint
+        # instead of re-running the whole plan (round 16)
+        win, pinned = _cascade_batch(batch, path, coarse, fill_gaps)
+        if pinned is None:
+            return  # empty micro-batch
         corr_batch_update(
-            batch.sparkSession, batch, path, corr_path,
+            pinned.sparkSession, pinned, path, corr_path,
             n=corr_n, symbols=corr_symbols, win_rows=win,
         )
 

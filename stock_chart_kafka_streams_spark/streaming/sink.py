@@ -1055,9 +1055,17 @@ def foreach_batch_upsert(path: str):
     store call in the hot path)."""
 
     def _write(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
+        # evaluate the stateful micro-batch plan ONCE (round 16): the
+        # previous isEmpty() pre-check plus the MERGE's own touched
+        # collect and publish each re-ran the whole plan — pin it, then
+        # every downstream action reads the checkpoint
+        cols = list(CANDLE_COLUMNS) + (
+            ["is_gap"] if "is_gap" in batch.columns else []
+        )
+        pinned = batch.select(*cols).localCheckpoint(eager=True)
+        if pinned.isEmpty():
             return
-        upsert_candles(batch.sparkSession, batch, path)
+        upsert_candles(pinned.sparkSession, pinned, path)
 
     return _write
 
@@ -1156,7 +1164,11 @@ class BatchedCompactionSink:
 
     # -- foreachBatch hook --------------------------------------------------
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
+        # one evaluation of the stateful micro-batch plan (round 16): the
+        # isEmpty() pre-check re-ran the whole plan before the append ran
+        # it again — pin once, test emptiness on the pin
+        pinned = batch.select(*CANDLE_COLUMNS).localCheckpoint(eager=True)
+        if pinned.isEmpty():
             return
         self._spark = batch.sparkSession
         if self._recover_pending:
@@ -1165,9 +1177,7 @@ class BatchedCompactionSink:
             # the same max-batch-id dedup (see __init__)
             self._recover_pending = False
             self.flush()
-        staged = batch.select(*CANDLE_COLUMNS).withColumn(
-            "__bid", F.lit(int(batch_id))
-        )
+        staged = pinned.withColumn("__bid", F.lit(int(batch_id)))
         if self.files_per_batch is not None:
             staged = staged.repartition(int(self.files_per_batch))
         staged.write.mode("append").parquet(self.staging)
