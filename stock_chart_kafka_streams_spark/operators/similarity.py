@@ -2124,6 +2124,117 @@ def _pq_encode_vector(
     return cn.select(F.col(id_col), "vn").mapInPandas(_encode, schema=out_schema)
 
 
+def _adc_scan_vector(
+    codes: DataFrame,
+    books: list[list[list[float]]],
+    q_rows: list,
+    m: int,
+    sub_dim: int,
+    id_col: str,
+    dim: int,
+    qid_type: str,
+    probes: list | None = None,
+) -> DataFrame:
+    """Bit-exact ADC scan at Arrow speed (round 16, r15 verdict #5; the
+    ``_cosine_verify_vector`` recipe applied to the s5/s6 serve chain).
+
+    Input: the corpus code table — ``(id, code0..code{m-1}[, cid])`` —
+    and the (small, already driver-materialized) query set as plain rows
+    ``(query_id, qvn)``. Output: one ``(query_id, id, adc)`` row per
+    (query, scanned code) pair, where
+
+        adc = Σ_j dot(q_sub_j, codebook_j[code_j])
+
+    with the inner dot accumulated over DIMENSIONS left to right and the
+    outer sum accumulated in subspace order — the identical IEEE chains
+    the JVM form evaluates (``_dot_unrolled`` per subspace, left-
+    associated ``+`` across subspaces), so every emitted double is
+    bit-identical to the broadcast-join + codegen-chain plan it replaces
+    (pinned by tests/test_vector_exact_kernels.py). A query vector
+    SHORTER than ``dim`` scores NULL against every code, mirroring the
+    JVM chain (out-of-bounds ``F.get`` is NULL and poisons the sum).
+
+    What this removes from the plan (measured on the s6 q50 entry: the
+    ADC stage was ~2.5 s of JVM chain): the m broadcast hash-joins that
+    attached an m×sub_dim-double centroid payload to EVERY code row, the
+    query join that re-carried the dim-double query vector per scanned
+    row, and the m×sub_dim-term whole-stage-codegen arithmetic per
+    (row, query) — one MapInPandas with the codebooks and queries in the
+    task closure replaces all of it, and only the slim (id[, cid], codes)
+    columns cross the Python boundary.
+
+    ``probes``: for IVF (s6) — ``(query_index, cid)`` pairs restricting
+    each query's scan to its probed inverted lists (the kernel-side form
+    of the ``coded_lists JOIN probes ON cid`` the JVM plan did). None
+    means every query scans every row (s5's flat crossJoin)."""
+    import numpy as np
+
+    C = [np.asarray(books[j], dtype=np.float64) for j in range(m)]
+    qids = [r[0] for r in q_rows]
+    qvecs = []
+    q_short = []
+    for r in q_rows:
+        if r[1] is None:
+            # NULL query vector: the JVM chain scores NULL — same here
+            q_short.append(True)
+            qvecs.append(None)
+            continue
+        a = np.asarray(r[1], dtype=np.float64)
+        q_short.append(a.size < dim)
+        qvecs.append(a[:dim] if a.size >= dim else None)
+    id_type = codes.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {qid_type}, {id_col} {id_type}, adc double"
+    q_cids: list[list[int]] | None = None
+    if probes is not None:
+        q_cids = [[] for _ in qids]
+        for qi, cid in probes:
+            q_cids[int(qi)].append(int(cid))
+    sub = int(sub_dim)
+    mm = int(m)
+    in_cols = [id_col] + [f"code{j}" for j in range(mm)] + (
+        ["cid"] if probes is not None else []
+    )
+
+    def _scan(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            sel = [C[j][pdf[f"code{j}"].values] for j in range(mm)]
+            if q_cids is not None:
+                cid_vals = pdf["cid"].values
+            for qi, qid in enumerate(qids):
+                if q_cids is not None:
+                    probed = _np.isin(cid_vals, q_cids[qi])
+                    if not probed.any():
+                        continue
+                    ids = pdf[id_col].values[probed]
+                    csel = [s[probed] for s in sel]
+                else:
+                    ids = pdf[id_col].values
+                    csel = sel
+                rows = len(ids)
+                if q_short[qi]:
+                    adc = _np.full(rows, _np.nan)
+                else:
+                    q = qvecs[qi]
+                    adc = None
+                    for j in range(mm):
+                        dot = _np.zeros(rows, dtype=_np.float64)
+                        off = j * sub
+                        for i in range(sub):
+                            dot += q[off + i] * csel[j][:, i]
+                        adc = dot if adc is None else adc + dot
+                yield _pd.DataFrame(
+                    {"query_id": qid, id_col: ids, "adc": adc}
+                )
+
+    return codes.select(*in_cols).mapInPandas(_scan, schema=out_schema)
+
+
 def _pq_encode(
     cn: DataFrame,
     books: list[list[list[float]]],
@@ -2924,33 +3035,23 @@ def pq_topk(
         F.col(id_col).alias("query_id"), F.col("vn").alias("qvn")
     )
     # ADC: adc = sum_j dot(q_sub_j, codebook_j[code_j]) in fixed j order.
-    # Centroid selection: literal-array element_at in fold mode (zero
-    # joins, plan O(n_codes)); m broadcast hash-joins in vector/matmul
-    # mode (plan O(1) in n_codes — required at paper-scale codebooks).
-    # The dot chain itself is identical either way, so vector-mode ADC
-    # values stay bit-identical to the fold's.
-    adc: Column | None = None
+    # vector/matmul mode (round 16, r15 verdict #5): ONE Arrow kernel
+    # with the codebooks and the (small, already-driver-materialized)
+    # query set in the task closure — replaces the m broadcast joins
+    # that attached centroid payloads to every code row, the query
+    # crossJoin that re-carried the dim-double query per scanned row,
+    # and the m×sub_dim-term codegen chain; bit-identical doubles by the
+    # kernel's dimension-loop order (see _adc_scan_vector). fold mode
+    # keeps the literal-array element_at JVM form (plan O(n_codes)) as
+    # the pure-JVM reference implementation.
     if encode_mode in ("matmul", "vector"):
-        # attach the selected centroids to the CORPUS-sized codes table
-        # BEFORE the query crossJoin — __cv{j} depends only on code{j},
-        # so joining after would re-probe and re-carry every centroid
-        # array once per query (r9 review finding)
-        spark_s = corpus.sparkSession
-        for j in range(m):
-            cb_j = F.broadcast(
-                spark_s.createDataFrame(
-                    [(i, v) for i, v in enumerate(books[j])],
-                    f"code{j} int, __cv{j} array<double>",
-                )
-            )
-            codes = codes.join(cb_j, on=f"code{j}")
-        paired = codes.crossJoin(F.broadcast(qn))
-        for j in range(m):
-            contrib = _dot_unrolled(
-                F.col("qvn"), F.col(f"__cv{j}"), sub_dim, j * sub_dim
-            )
-            adc = contrib if adc is None else adc + contrib
+        q_rows = [(r["query_id"], r["qvn"]) for r in qn.collect()]
+        scored = _adc_scan_vector(
+            codes, books, q_rows, m, sub_dim, id_col, dim,
+            qn.schema["query_id"].dataType.simpleString(),
+        )
     else:
+        adc: Column | None = None
         paired = codes.crossJoin(F.broadcast(qn))
         for j in range(m):
             off = j * sub_dim
@@ -2962,7 +3063,7 @@ def pq_topk(
                 off,
             )
             adc = contrib if adc is None else adc + contrib
-    scored = paired.select("query_id", F.col(id_col), adc.alias("adc"))
+        scored = paired.select("query_id", F.col(id_col), adc.alias("adc"))
 
     # two-phase candidate cut: per-(query, shard) top-cand, then global
     # per-query top-cand over the <= shards*cand survivors — identical
@@ -3220,42 +3321,40 @@ def ivfpq_topk(
     qn = _normalized(queries, id_col, vec_col, dim).select(
         F.col(id_col).alias("query_id"), F.col("vn").alias("qvn")
     )
-    probes = F.broadcast(q_probes.join(qn, on="query_id"))
-
-    if index_path is not None:
-        # static probe pruning: the probed cid set is O(queries x n_probe)
-        # and known BEFORE the scan (it is an index lookup), so collect it
-        # (driver-bounded, the centroid-collect class) and filter the
-        # cid-partitioned code table with a literal IN — the scan prunes
-        # to exactly the probed directories at planning time instead of
-        # relying on runtime DPP through the join.
-        probed_cids = sorted({r["cid"] for r in q_probes.collect()})
-        coded_lists = coded_lists.where(
-            F.col("cid").isin([int(c) for c in probed_cids])
-        )
 
     # ---- ADC over probed lists only (vs s5's full crossJoin) -----------
-    # vector mode rides the broadcast-join centroid selection (the
-    # selected centroid array, and hence the dot chain, is identical to
-    # the fold's element_at — bit-identical ADC values).
-    adc: Column | None = None
+    # vector/matmul mode (round 16, r15 verdict #5): the probe pairs are
+    # O(queries × n_probe) and driver-bounded (index mode already
+    # collected them for the static IN), so the probed-list restriction
+    # moves INTO the Arrow kernel alongside the codebooks — one
+    # MapInPandas replaces the m centroid broadcast joins, the
+    # probes-by-cid join and the codegen ADC chain, bit-identically
+    # (see _adc_scan_vector).
     if encode_mode in ("matmul", "vector"):
-        cl = coded_lists
-        for j in range(m):
-            cb_j = F.broadcast(
-                spark.createDataFrame(
-                    [(i, v) for i, v in enumerate(books[j])],
-                    f"code{j} int, __cv{j} array<double>",
-                )
-            )
-            cl = cl.join(cb_j, on=f"code{j}")
-        paired = cl.join(probes, on="cid")
-        for j in range(m):
-            contrib = _dot_unrolled(
-                F.col("qvn"), F.col(f"__cv{j}"), sub_dim, j * sub_dim
-            )
-            adc = contrib if adc is None else adc + contrib
+        probe_rows = q_probes.collect()
+        if index_path is not None:
+            # static probe pruning: the probed cid set is known BEFORE
+            # the scan, so the cid-partitioned code table prunes to
+            # exactly the probed directories at planning time.
+            probed_cids = sorted({int(r["cid"]) for r in probe_rows})
+            coded_lists = coded_lists.where(F.col("cid").isin(probed_cids))
+        q_rows = [(r["query_id"], r["qvn"]) for r in qn.collect()]
+        qi_by_id = {qid: i for i, (qid, _) in enumerate(q_rows)}
+        scored = _adc_scan_vector(
+            coded_lists, books, q_rows, m, sub_dim, id_col, dim,
+            qn.schema["query_id"].dataType.simpleString(),
+            probes=[
+                (qi_by_id[r["query_id"]], r["cid"]) for r in probe_rows
+            ],
+        )
     else:
+        probes = F.broadcast(q_probes.join(qn, on="query_id"))
+        if index_path is not None:
+            probed_cids = sorted({r["cid"] for r in q_probes.collect()})
+            coded_lists = coded_lists.where(
+                F.col("cid").isin([int(c) for c in probed_cids])
+            )
+        adc: Column | None = None
         paired = coded_lists.join(probes, on="cid")
         for j in range(m):
             off = j * sub_dim
@@ -3267,7 +3366,7 @@ def ivfpq_topk(
                 off,
             )
             adc = contrib if adc is None else adc + contrib
-    scored = paired.select("query_id", F.col(id_col), adc.alias("adc"))
+        scored = paired.select("query_id", F.col(id_col), adc.alias("adc"))
 
     # ---- s5's two-phase candidate cut + exact rerank --------------------
     sharded = scored.withColumn(

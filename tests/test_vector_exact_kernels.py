@@ -225,6 +225,80 @@ def test_cosine_verify_kernel_short_array_is_null(spark):
     assert out[3] == 128.0 / (8.0 * 16.0)
 
 
+def test_adc_scan_kernel_bit_equals_jvm_chain(spark, embs):
+    """Round-16 ADC kernel (s5/s6 serve chain): the kernel's adc doubles
+    must be bit-identical to the JVM form — per-subspace _dot_unrolled
+    against the element_at-selected centroid, summed in subspace order —
+    both flat (s5) and probe-restricted (s6)."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _adc_scan_vector,
+        _dot_unrolled,
+        _normalized,
+        _pq_encode,
+        _pq_train,
+    )
+
+    m, sub_dim, dim = 4, 16, 64
+    cn = _normalized(embs, "vec_id", "embedding", dim)
+    books = _pq_train(cn, m, sub_dim, 8, 2, "vec_id", "fold")
+    codes = _pq_encode(cn, books, m, sub_dim, "vec_id", "fold")
+    qn = _normalized(embs.where(F.col("vec_id") < 5), "vec_id", "embedding", dim).select(
+        F.col("vec_id").alias("query_id"), F.col("vn").alias("qvn")
+    )
+    adc = None
+    paired = codes.crossJoin(F.broadcast(qn))
+    for j in range(m):
+        book_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in books[j]])
+        contrib = _dot_unrolled(
+            F.col("qvn"),
+            F.element_at(book_lit, F.col(f"code{j}") + 1),
+            sub_dim,
+            j * sub_dim,
+        )
+        adc = contrib if adc is None else adc + contrib
+    jvm = paired.select("query_id", F.col("vec_id"), adc.alias("adc"))
+    q_rows = [(r["query_id"], r["qvn"]) for r in qn.collect()]
+    kern = _adc_scan_vector(
+        codes, books, q_rows, m, sub_dim, "vec_id", dim, "bigint"
+    )
+    assert _rows(jvm) == _rows(kern)
+
+    # probe-restricted (s6's shape): queries 0/1 scan cid 0, the rest cid 1
+    coded = codes.withColumn("cid", (F.col("vec_id") % 2).cast("int"))
+    probes = [(i, 0 if q < 2 else 1) for i, (q, _) in enumerate(q_rows)]
+    kern_p = _adc_scan_vector(
+        coded, books, q_rows, m, sub_dim, "vec_id", dim, "bigint",
+        probes=probes,
+    )
+    probe_df = spark.createDataFrame(
+        [(q_rows[i][0], c) for i, c in probes], "query_id bigint, cid int"
+    )
+    jvm_p = (
+        coded.join(F.broadcast(probe_df.join(qn, on="query_id")), on="cid")
+        .select("query_id", F.col("vec_id"), adc.alias("adc"))
+    )
+    assert _rows(jvm_p) == _rows(kern_p)
+
+
+def test_adc_scan_kernel_short_query_is_null(spark, embs):
+    """A query vector shorter than dim scores NULL against every code —
+    the JVM chain's out-of-bounds F.get semantics."""
+    from stock_chart_kafka_streams_spark.operators.similarity import (
+        _adc_scan_vector,
+        _normalized,
+        _pq_encode,
+        _pq_train,
+    )
+
+    cn = _normalized(embs, "vec_id", "embedding", 64)
+    books = _pq_train(cn, 4, 16, 8, 1, "vec_id", "fold")
+    codes = _pq_encode(cn, books, 4, 16, "vec_id", "fold").limit(3)
+    out = _adc_scan_vector(
+        codes, books, [(99, [1.0] * 8)], 4, 16, "vec_id", 64, "bigint"
+    ).collect()
+    assert len(out) == 3 and all(r["adc"] is None for r in out)
+
+
 def test_vector_mode_rejected_names_still_raise(spark, embs):
     from stock_chart_kafka_streams_spark.operators.similarity import (
         ivf_build_centroids,
