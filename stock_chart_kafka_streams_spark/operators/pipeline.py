@@ -191,17 +191,30 @@ def curation_pipeline(
     ``source_col`` names the domain column, which must exist on the
     input. Twin mirrored (``curation_pipeline_sql(domain_cap_n=...)``).
 
-    ``persist_stages`` (default False): when True, each stage boundary is
-    eagerly ``localCheckpoint``-ed, so the final job reads materialized
-    stage outputs instead of re-deriving them. The one-plan (False) form
-    is the oracle surface, but its DAG re-expands shared stages per
-    reference (column pruning de-canonicalizes branches, so ReuseExchange
-    only partially recovers) — the executed plan re-scans the corpus ~12×.
-    With persist_stages each stage scans its input exactly once (the
-    final plan contains ZERO source scans — asserted by
-    tests/test_corpus_filters.py), which is how an operable 100 TB run
-    would execute (on a cluster: write each boundary to parquet — curated
-    corpora are artifacts; localCheckpoint is the single-job analogue).
+    Lineage pins on the DEFAULT path (round 16, r15 verdict #4 — the
+    p13 streaming-curation pattern applied to the batch pipeline): the
+    two intermediates that are provably referenced more than once are
+    eagerly ``localCheckpoint``-ed unconditionally — the quality-gate
+    output (``dedup_minhash`` references its input three times: band
+    buckets, candidate semi-join, final anti-join) and the dedup
+    survivors (referenced by the decontamination fingerprint scan AND
+    the contaminated-id anti-join). Without the pins the DAG re-expands
+    those subtrees per reference (column pruning de-canonicalizes
+    branches, so ReuseExchange only partially recovers) and the executed
+    plan re-scans the corpus ~12×; measured on the tier-2 bench shape
+    the pins halve the wall (20.6 → ~11 s, the persist_stages gap).
+    Reuse-driven materialization per guide §5 — NOT cross-run caching:
+    every call still computes from its own input. Results are unchanged
+    (localCheckpoint is exact), so the five p9 oracle twins hold.
+
+    ``persist_stages`` (default False): when True, EVERY stage boundary
+    is pinned (also the benchmark slice and the post-decontamination
+    survivors), so the final job reads only materialized stage outputs —
+    the final plan contains ZERO source scans (asserted by
+    tests/test_curation_pipeline.py), which is how an operable 100 TB
+    run would execute (on a cluster: write each boundary to parquet —
+    curated corpora are artifacts; localCheckpoint is the single-job
+    analogue).
     """
     stage_q = quality_stage(
         docs,
@@ -217,8 +230,10 @@ def curation_pipeline(
     # p4's benchmark slice scans the original corpus; checkpoint it with
     # the stages so the persisted form's final plan has no source scans.
     bench = docs.where((F.col(id_col) % bench_mod) == 0)
+    # lineage pin (round 16, see docstring): the gate output feeds
+    # dedup_minhash's THREE references — pin it on every path
+    stage_q = stage_q.localCheckpoint(eager=True)
     if persist_stages:
-        stage_q = stage_q.localCheckpoint(eager=True)
         bench = bench.localCheckpoint(eager=True)
     # d10: optional per-domain cap between quality and dedup (the
     # RefinedWeb ordering — cap boilerplate-heavy domains BEFORE paying
@@ -233,10 +248,13 @@ def curation_pipeline(
         )
         if persist_stages:
             stage_q = stage_q.localCheckpoint(eager=True)
-    # d2: MinHash-LSH near-dedup of the quality survivors.
+    # d2: MinHash-LSH near-dedup of the quality survivors. Lineage pin
+    # (round 16): the survivors are referenced TWICE below — the
+    # decontamination fingerprint/gram scan and the contaminated-id
+    # anti-join — so the whole shingle+minhash subtree would otherwise
+    # execute twice.
     stage_dd = dedup_minhash(stage_q, id_col=id_col, text_col=text_col)
-    if persist_stages:
-        stage_dd = stage_dd.localCheckpoint(eager=True)
+    stage_dd = stage_dd.localCheckpoint(eager=True)
     # decontamination: p4's fuzzy winnow-overlap (default) or p4b's exact
     # n-gram collision rule (``decontam_mode="ngram"``) — both broadcast
     # the benchmark's fingerprint/gram set, so the corpus side is
