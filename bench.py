@@ -97,6 +97,16 @@ HEAVY_ISOLATED = [
     "t2_p11_dsir_100x",
     "t2_t7_vocabulary_500k",
     "t2_p4b_ngram_decontam_100x",
+    # r15 verdict #3: the four entries that flapped 20-60% in-suite every
+    # round since r10 (d2 hit 0.62× in r15 with ZERO code on its path
+    # changed). Same additions-only pattern: the in-suite number stays
+    # recorded as insuite_*, the fresh-JVM number becomes the number of
+    # record. replay and index_q50 need per-entry prep (streaming input /
+    # a prebuilt index) — see _isolated_main.
+    "t2_d2_dedup_minhash_100x",
+    "t2_d5_neardup_50k",
+    "t2_s6_index_q50_200k",
+    "t2_stream_replay_full_1m",
 ]
 
 
@@ -118,6 +128,34 @@ def _heavy_entry_df(name: str, trades, docs, embs, **kw):
 
     if name == "t2_s4_knn_200k":
         return knn_join(embs, k=10, n_bits=16, **kw)
+    if name == "t2_d2_dedup_minhash_100x":
+        from stock_chart_kafka_streams_spark.operators.dedup import (
+            dedup_minhash,
+        )
+
+        return dedup_minhash(docs, **kw)
+    if name == "t2_d5_neardup_50k":
+        from stock_chart_kafka_streams_spark.operators.similarity import (
+            embedding_neardup_lsh,
+        )
+
+        return embedding_neardup_lsh(
+            embs.where(F.col("vec_id") < 2_500_000_000),
+            threshold=0.99,
+            n_bits=14,
+            **kw,
+        )
+    if name == "t2_s6_index_q50_200k":
+        # serving against a PREBUILT index: the caller passes index_path
+        # (in-suite: the t2_s6_index_build_200k artifact; isolated: the
+        # subprocess builds the identical index untimed first)
+        return ivfpq_topk(
+            embs, embs.where(F.col("vec_id") < 50),
+            k=10, n_lists=64, n_probe=8, m=4, n_codes=256,
+            sample_num=1, sample_den=16,
+            coarse_sample_num=1, coarse_sample_den=16,
+            encode_mode="matmul", **kw,
+        )
     if name == "t2_s5_pq_topk_200k":
         return pq_topk(
             embs, embs.where(F.col("vec_id") < 5),
@@ -185,6 +223,35 @@ def _isolated_main(name: str, trades_path: str, docs_path: str, embs_path: str) 
     spark = get_spark(app_name=f"candle-bench-iso-{name}")
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    if name == "t2_stream_replay_full_1m":
+        # streaming entry (round 16, r15 verdict #3): not a DataFrame
+        # builder — regenerate the identical replay input (same tick
+        # count, symbols and 12-batch split as the in-suite entry) and
+        # time the same start_candle_pipeline run, runs-until-stable.
+        _isolated_replay_main(spark)
+        spark.stop()
+        return
+    kw: dict = {}
+    prep_dir = None
+    if name == "t2_s6_index_q50_200k":
+        # serving entry: build the identical index UNTIMED first (the
+        # in-suite pair charges the build to t2_s6_index_build_200k),
+        # then time only the query batch
+        import tempfile as _tempfile
+
+        from stock_chart_kafka_streams_spark.operators.similarity import (
+            build_pq_index,
+        )
+
+        prep_dir = _tempfile.mkdtemp(prefix="bench-iso-index-")
+        idx = os.path.join(prep_dir, "ivfpq")
+        build_pq_index(
+            spark.read.parquet(embs_path), idx, n_lists=64, m=4,
+            n_codes=256, sample_num=1, sample_den=16,
+            coarse_sample_num=1, coarse_sample_den=16,
+            encode_mode="matmul",
+        )
+        kw["index_path"] = idx
     trades = spark.read.parquet(trades_path)
     docs = spark.read.parquet(docs_path)
     embs = spark.read.parquet(embs_path)
@@ -209,7 +276,84 @@ def _isolated_main(name: str, trades_path: str, docs_path: str, embs_path: str) 
             if best2[1] <= best2[0] * 1.10:
                 break
     print(json.dumps({"name": name, "sec": min(runs), "runs": runs}))
+    if prep_dir is not None:
+        shutil.rmtree(prep_dir, ignore_errors=True)
     spark.stop()
+
+
+def _isolated_replay_main(spark) -> None:
+    """Fresh-JVM replay measurement (round 16, r15 verdict #3): the
+    replay entry's in-suite runs were wildly bimodal (r15: [113.4,
+    43.1]) because it shares the JVM with the whole suite. Identical
+    input recipe and timed span to the in-suite entry; runs-until-stable
+    like the other isolated entries."""
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from stock_chart_kafka_streams_spark.sources.generator import (
+        generate_trades,
+    )
+    from stock_chart_kafka_streams_spark.streaming.pipeline import (
+        start_candle_pipeline,
+    )
+    from stock_chart_kafka_streams_spark.streaming.replay import (
+        read_trades_json_stream,
+        write_replay_batches,
+    )
+
+    work = _tempfile.mkdtemp(prefix="bench-iso-replay-")
+    try:
+        n_ticks_r = int(
+            os.environ.get("SPARK_GRAFT_BENCH_TICKS_REPLAY", "20000")
+        )
+        symbols = {f"S{i:03d}": 10.0 + 7.3 * i for i in range(50)}
+        trades = generate_trades(spark, n_ticks_r, symbols=symbols)
+        lo, hi = trades.agg(F.min("ts"), F.max("ts")).collect()[0]
+        span = max((hi - lo).total_seconds(), 1.0)
+        width = max(int(span // 12) + 1, 1)
+        tb = trades.withColumn(
+            "batch",
+            (
+                (F.col("ts").cast("long") - int(lo.timestamp())) / width
+            ).cast("long"),
+        )
+        write_replay_batches(tb, os.path.join(work, "in"))
+        runs: list[float] = []
+        while True:
+            r = len(runs)
+            stream = read_trades_json_stream(
+                spark, os.path.join(work, "in"), max_files_per_trigger=2
+            )
+            spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            q = start_candle_pipeline(
+                stream,
+                os.path.join(work, f"serving{r}"),
+                os.path.join(work, f"ck{r}"),
+                frames=["MINUTE", "HOUR"],
+                watermark_delay="0 seconds",
+                available_now=True,
+            )
+            q.awaitTermination()
+            runs.append(round(time.perf_counter() - t0, 3))
+            if len(runs) >= 6:
+                break
+            if len(runs) >= 3:
+                best2 = sorted(runs)[:2]
+                if best2[1] <= best2[0] * 1.10:
+                    break
+        print(
+            json.dumps(
+                {
+                    "name": "t2_stream_replay_full_1m",
+                    "sec": min(runs),
+                    "runs": runs,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _tier2_inputs(spark, sf_dir: str, work: str) -> tuple[str, str, str, int, int]:
@@ -818,11 +962,8 @@ def _tier2_queries(
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
         _noop(
-            ivfpq_topk(
-                embs, q50, k=10, n_lists=64, n_probe=8, m=4, n_codes=256,
-                sample_num=1, sample_den=16,
-                coarse_sample_num=1, coarse_sample_den=16,
-                encode_mode="matmul", index_path=idx,
+            _heavy_entry_df(
+                "t2_s6_index_q50_200k", None, None, embs, index_path=idx
             )
         )
         timings["t2_s6_index_q50_200k"] = round(time.perf_counter() - t0, 3)
